@@ -1,0 +1,107 @@
+"""DuckDB oracle SQL for every declared query (SURVEY.md §2.8).
+
+Keys match :data:`ksql_query_tutorial_spark.queries.TUTORIAL_QUERIES`.
+Column names/aliases match the Spark DataFrames exactly (driver sorts
+columns by name before hashing). Integer SUMs are cast to BIGINT because
+DuckDB's SUM(int) yields HUGEINT while Spark yields LongType.
+"""
+
+TUTORIAL_ORACLES: dict[str, str] = {
+    "q01_full_scan": """
+        SELECT * FROM region ORDER BY r_regionkey
+    """,
+    "q02_projection": """
+        SELECT c_name, c_mktsegment AS segment FROM customer ORDER BY c_name
+    """,
+    "q03_ucase": """
+        SELECT n_nationkey, UPPER(n_name) AS n_name_uc
+        FROM nation ORDER BY n_nationkey
+    """,
+    "q04_case_when": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 150000 THEN 'BIG' ELSE 'SMALL' END AS bucket
+        FROM orders ORDER BY o_orderkey
+    """,
+    "q05_eq_filter": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey
+    """,
+    "q06_conj_filter": """
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q07_bool_not": """
+        SELECT event_id FROM events
+        WHERE NOT (event_type = 'view') AND value > 50.0
+        ORDER BY event_id
+    """,
+    "q08_not_null": """
+        SELECT event_id, user_id FROM events
+        WHERE props IS NOT NULL ORDER BY event_id
+    """,
+    "q09_group_count": """
+        SELECT event_type, COUNT(event_id) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q10_filtered_group_count": """
+        SELECT user_id, COUNT(event_id) AS purchases
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "q11_conditional_sums": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q12_count_distinct_ratio": """
+        SELECT user_id,
+               ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(DISTINCT event_type) AS DOUBLE), 6) AS purchase_ratio
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q13_latest_by_offset": """
+        SELECT user_id, MAX_BY(event_type, event_id) AS latest_event
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q14_inner_join": """
+        SELECT n.n_nationkey, n.n_name, r.r_name
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_nationkey
+    """,
+    "q15_left_join": """
+        SELECT c.c_custkey, c.c_name, n.n_name
+        FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_custkey
+    """,
+    "q16_join_group_count": """
+        SELECT o.o_custkey, COUNT(l.l_orderkey) AS items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey ORDER BY o.o_custkey
+    """,
+    "q17_player_stats": """
+        SELECT e.user_id,
+               MAX_BY(c.c_name, e.event_id) AS user_name,
+               CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+               ROUND(CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(DISTINCT e.event_type) AS DOUBLE), 6) AS purchase_ratio,
+               CAST(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.user_id ORDER BY e.user_id
+    """,
+    "q18_multi_group": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(l_orderkey) AS n, ROUND(SUM(l_quantity), 6) AS qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q19_csas_projection": """
+        SELECT event_id, event_type, user_id FROM events ORDER BY event_id
+    """,
+    "q20_windowed_agg": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(event_id) AS n, ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+}

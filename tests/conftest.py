@@ -1,0 +1,21 @@
+"""Shared fixtures: one SparkSession per test session (local[*])."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from ksql_query_tutorial_spark.session import get_spark
+
+    s = get_spark(app_name="ksql-tutorial-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
