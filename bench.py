@@ -1,0 +1,71 @@
+"""Benchmark harness (driver contract).
+
+Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries":
+{name: sec}, "sf": ...}``.
+
+Each query is executed with a count-style action that forces full
+computation without driver-side materialization of result rows
+(``df.foreach`` no-op would disable WholeStageCodegen result reuse;
+we use ``count`` on the result, which executes the whole plan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from ksql_query_tutorial_spark.session import get_spark
+
+    spark = get_spark(app_name="ksql-tutorial-bench", cpus=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not first-touch JIT/IO.
+    from ksql_query_tutorial_spark.tables import TABLES, load
+
+    for t in TABLES:
+        load(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
