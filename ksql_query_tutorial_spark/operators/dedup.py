@@ -104,32 +104,41 @@ def ngram_jaccard_pairs(
     Returns: ``id_a``, ``id_b`` (id_a < id_b), ``jaccard`` (rounded 6).
     """
     post = _distinct_shingle_posting(df, id_col, text_col, n)
+    # join on the 64-bit shingle hash, not the string: smaller shuffle
+    # rows; collision probability over the corpus is ~2^-64·|pairs|,
+    # i.e. vanishing (and would only perturb one intersection count).
+    post = post.select("id", F.xxhash64("sh").alias("h"))
     if max_posting is not None:
         post = (
-            post.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+            post.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
             .filter(F.col("__df") <= max_posting)
             .drop("__df")
         )
-    sizes = post.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # carry each doc's shingle-set size on the posting rows (one window
+    # shuffle on id) so no extra sizes-join is needed, and persist: the
+    # self-join reads the posting twice and shingle generation is the
+    # expensive part. At cluster scale this persist is a few bytes/doc.
+    post = post.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    ).persist()
 
     a, b = post.alias("a"), post.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+    pair = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter").cast("double")
-                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter")).cast("double"), 6),
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    return pair.select("id_a", "id_b", "jaccard")
 
 
 def minhash_signatures(
@@ -150,10 +159,13 @@ def minhash_signatures(
 
     Docs with fewer than ``n`` tokens have no shingles and drop out.
     """
-    post = df.select(
+    sh_sets = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
-    ).withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)))
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    )
+    post = sh_sets.select(
+        "id", F.explode("sh").alias("s")
+    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)))
     aggs = []
     for i in range(num_hashes):
         a = 2 * i + 1          # odd multipliers; deterministic, no RNG
@@ -182,7 +194,21 @@ def minhash_lsh_pairs(
     (equal when LSH recall is 1 on the data).
     """
     rows = num_hashes // bands
-    sig_df = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # persist the per-doc distinct shingle sets ONCE: signatures (via
+    # explode) and exact verification both read them.
+    sh_sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    ).persist()
+    post = sh_sets.select("id", F.explode("sh").alias("s")).withColumn(
+        "h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))
+    )
+    aggs = []
+    for i in range(num_hashes):
+        a_c = 2 * i + 1
+        b_c = (i * i + 1) % _MERSENNE
+        aggs.append(F.min((a_c * F.col("h") + b_c) % _MERSENNE).alias(f"m{i}"))
+    sig_df = post.groupBy("id").agg(*aggs)
     band_cols = [
         F.md5(F.concat_ws(",", F.lit(bi), *[F.col(f"m{bi * rows + r}") for r in range(rows)]))
         .alias("bucket")
@@ -198,13 +224,9 @@ def minhash_lsh_pairs(
     # exact verification on CANDIDATES ONLY: join each side's distinct
     # shingle set and compute Jaccard pairwise (array_intersect) — cost
     # O(collisions · shingles), never the full inverted-index join.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    )
     verified = (
-        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        candidates.join(sh_sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh_sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -315,7 +337,12 @@ def embedding_cosine_pairs(
     )
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = v.withColumn("norm", norm)
-    a, b = v.alias("a"), v.alias("b")
+    # The broadcast-nested-loop join streams the left side: spread it
+    # across all cores (a small parquet read arrives as ONE partition —
+    # measured 4-5x on local[32], and the difference between one busy
+    # executor and a full cluster at scale).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    a, b = v.repartition(par).alias("a"), v.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
         F.lit(0.0),

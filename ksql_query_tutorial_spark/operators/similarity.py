@@ -54,8 +54,9 @@ def brute_force_topk(
 
     Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
     """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cn", l2_norm(F.col("cv")))
+    c = c.withColumn("cn", l2_norm(F.col("cv"))).repartition(par)
     q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", l2_norm(F.col("qv")))
 
@@ -114,10 +115,11 @@ def lsh_ann_topk(
     Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
     """
     planes = hyperplanes(dim, n_planes)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("cv"))
     c = c.withColumn("cn", l2_norm(F.col("cv"))).withColumn(
         "bucket", bucket_code(F.col("cv"), planes)
-    )
+    ).repartition(par)
     q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", l2_norm(F.col("qv"))).withColumn(
         "qbucket", bucket_code(F.col("qv"), planes)
