@@ -1,0 +1,65 @@
+"""EngineSession: catalog DDL, table-state materialization, persistent
+queries (CTAS → memory sink), admin surface (SHOW/TERMINATE)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ksql_query_tutorial_spark import tutorial
+from ksql_query_tutorial_spark.session import EngineSession
+from ksql_query_tutorial_spark.streaming import replay as R
+from ksql_query_tutorial_spark.streaming.persistent import (
+    default_output_mode,
+    start_persistent_query,
+)
+
+
+def test_catalog_ddl_and_table_state(spark):
+    eng = EngineSession(spark)
+    rows = [dict(r, __offset=i) for i, r in enumerate(tutorial.PLAYERS_ROWS)]
+    rows.append({"id": "1", "name": "Lionel Messi", "team": "Inter Miami",
+                 "nationality": "Argentinian", "__offset": 10})
+    df = spark.createDataFrame(rows)
+    eng.create_table("players_t", df, key_cols=("id",))
+    eng.create_stream("events_s", df)
+    assert eng.show_tables() == ["players_t"]
+    assert eng.show_streams() == ["events_s"]
+    state = eng.table_state("players_t")
+    got = {r["id"]: r["team"] for r in state.collect()}
+    assert len(got) == 10 and got["1"] == "Inter Miami"
+    # SQL passthrough over the registered view (changelog, 11 rows)
+    assert eng.sql("SELECT count(*) AS n FROM players_t").collect()[0].n == 11
+
+
+def test_output_mode_by_plan_shape(spark):
+    events = spark.createDataFrame(
+        [tuple(r.values()) for r in tutorial.MATCH_EVENT_ROWS], tutorial.MATCH_EVENT_SCHEMA
+    )
+    assert default_output_mode(tutorial.match_event_player(events)) == "append"
+    assert default_output_mode(tutorial.match_results(events)) == "update"
+
+
+def test_persistent_query_ctas_to_memory_sink(spark, tmp_path):
+    """CTAS lifecycle: start, emits upserts with the reference's sink
+    key/value layout, appears in SHOW QUERIES, terminates."""
+    eng = EngineSession(spark)
+    d = str(tmp_path / "events")
+    R.write_chunks(d, tutorial.MATCH_EVENT_ROWS, chunk_size=1)
+    src = R.stream_source(spark, d, tutorial.MATCH_EVENT_SCHEMA)
+    q = start_persistent_query(
+        eng, "match_results_pq", tutorial.match_results(src), key_cols=["id"],
+        sink_format="memory", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert eng.show_queries() == ["match_results_pq"]
+    q.processAllAvailable()
+    rows = spark.table("match_results_pq").collect()
+    latest = {}
+    for r in rows:  # memory sink in update mode appends each upsert
+        latest[r.key] = r.value
+    assert json.loads(latest["1"]) == {"HOME_GOALS": 2, "AWAY_GOALS": 1}
+    assert json.loads(latest["2"]) == {"HOME_GOALS": 1, "AWAY_GOALS": 1}
+    eng.terminate("match_results_pq")
+    assert eng.show_queries() == []
+    assert not q.isActive

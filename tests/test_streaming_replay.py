@@ -1,0 +1,203 @@
+"""Streaming-semantics replay suite (SURVEY.md §5.3): the tutorial's
+exact scenario through real Structured Streaming micro-batches, asserted
+against the README's golden outputs (/root/reference/README.md)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ksql_query_tutorial_spark import tutorial
+from ksql_query_tutorial_spark.functions.serde import encode_kv
+from ksql_query_tutorial_spark.operators.upsert import latest_by_key
+from ksql_query_tutorial_spark.streaming import replay as R
+
+
+def players_df(spark):
+    return spark.createDataFrame(
+        [tuple(r.values()) for r in tutorial.PLAYERS_ROWS], tutorial.PLAYERS_SCHEMA
+    )
+
+
+# ------------------------------------------------------- TABLE semantics
+
+def test_players_upsert_scan_matches_golden(spark):
+    """TABLE full-scan golden (README.md:100-114) + upsert-on-rekey
+    (README.md:92): an 11th record with id=1 must UPDATE, not append."""
+    rows = [dict(r, offset=i) for i, r in enumerate(tutorial.PLAYERS_ROWS)]
+    rows.append({"id": "1", "name": "Lionel Messi", "team": "Inter Miami",
+                 "nationality": "Argentinian", "offset": 10})
+    from pyspark.sql import types as T
+
+    # copy: StructType.add mutates in place, and PLAYERS_SCHEMA is shared
+    schema = T.StructType(
+        list(tutorial.PLAYERS_SCHEMA.fields) + [T.StructField("offset", T.LongType())]
+    )
+    df = spark.createDataFrame([tuple(r[f.name] for f in schema.fields) for r in rows], schema)
+    state = latest_by_key(df, ["id"], "offset").drop("offset")
+    got = {r.id: (r.name, r.team) for r in state.collect()}
+    assert len(got) == 10
+    assert got["1"] == ("Lionel Messi", "Inter Miami")
+    assert got["2"] == ("Cristiano Ronaldo", "Al-Nassr")
+
+
+# -------------------------------------------- CTAS: match_results golden
+
+def test_match_results_final_and_intermediate(spark):
+    """Replay the 7-event insert sequence one micro-batch per event.
+
+    Asserts (1) final state equals README.md:348-351; (2) the mid-replay
+    checkpoint after event 4: match 1 home_goals=2 (README.md:249-253);
+    (3) per-key emissions are monotone upserts."""
+    q = R.replay(
+        spark,
+        tutorial.MATCH_EVENT_ROWS,
+        tutorial.MATCH_EVENT_SCHEMA,
+        tutorial.match_results,
+        name="match_results",
+        output_mode="update",
+        with_batch_id=True,
+    )
+    emissions = q.emissions
+    assert emissions, "no rows emitted"
+
+    final: dict[str, tuple[int, int]] = {}
+    seen_by_key: dict[str, list[tuple[int, int]]] = {}
+    upto4: dict[str, tuple[int, int]] = {}
+    for batch_id, row in emissions:
+        final[row.id] = (row.home_goals, row.away_goals)
+        seen_by_key.setdefault(row.id, []).append((row.home_goals, row.away_goals))
+        if batch_id <= 3:
+            upto4[row.id] = (row.home_goals, row.away_goals)
+
+    # golden final state (README.md:348-351)
+    assert final == {"1": (2, 1), "2": (1, 1)}
+    # mid-replay checkpoint (README.md:249-253)
+    assert upto4["1"] == (2, 1)
+    # monotone per-key upserts (counts never decrease)
+    for key, seq in seen_by_key.items():
+        for (h1, a1), (h2, a2) in zip(seq, seq[1:]):
+            assert h2 >= h1 and a2 >= a1, f"non-monotone emission for {key}"
+
+
+# ------------------------------------- CTAS: player_stats (join + agg)
+
+def test_player_stats_final_golden(spark):
+    """Stream⋈table join + multi-aggregate replay; final state equals
+    README.md:413-420 (Messi 3 goals / avg 1.5 / 1 assist; Ronaldo
+    2 / 1.0 / 1)."""
+    players = players_df(spark)
+    q = R.replay(
+        spark,
+        tutorial.MATCH_EVENT_ROWS,
+        tutorial.MATCH_EVENT_SCHEMA,
+        lambda s: tutorial.player_stats(s, players),
+        name="player_stats",
+        output_mode="update",
+        with_batch_id=True,
+    )
+    final = {}
+    for _, row in q.emissions:
+        final[row.player_id] = (row.name, row.goals, row.avg_goals, row.assists)
+    assert final["1"] == ("Lionel Messi", 3, 1.5, 1)
+    assert final["2"] == ("Cristiano Ronaldo", 2, 1.0, 1)
+    assert set(final) == {"1", "2"}
+
+
+def test_batch_equals_final_stream_state(spark):
+    """Stream/batch unification (SURVEY.md §5.3): the same logical plan
+    over the same rows gives identical results batch vs final stream."""
+    players = players_df(spark)
+    batch_events = spark.createDataFrame(
+        [tuple(r.values()) for r in tutorial.MATCH_EVENT_ROWS], tutorial.MATCH_EVENT_SCHEMA
+    )
+    batch = {
+        r.player_id: (r.name, r.goals, r.avg_goals, r.assists)
+        for r in tutorial.player_stats(batch_events, players).collect()
+    }
+    q = R.replay(
+        spark,
+        tutorial.MATCH_EVENT_ROWS,
+        tutorial.MATCH_EVENT_SCHEMA,
+        lambda s: tutorial.player_stats(s, players),
+        name="player_stats_b",
+        output_mode="update",
+        with_batch_id=True,
+        chunk_size=3,
+    )
+    stream_final = {}
+    for _, row in q.emissions:
+        stream_final[row.player_id] = (row.name, row.goals, row.avg_goals, row.assists)
+    assert stream_final == batch
+
+
+# ----------------------------------------------------- sink record layout
+
+def test_sink_key_value_layout_single_key(spark):
+    """match_results sink: bare-string key, uppercase-field JSON value
+    (README.md:339-351: `1:{"HOME_GOALS":2,"AWAY_GOALS":1}`)."""
+    events = spark.createDataFrame(
+        [tuple(r.values()) for r in tutorial.MATCH_EVENT_ROWS], tutorial.MATCH_EVENT_SCHEMA
+    )
+    kv = {r.key: r.value for r in encode_kv(tutorial.match_results(events), ["id"]).collect()}
+    assert json.loads(kv["1"]) == {"HOME_GOALS": 2, "AWAY_GOALS": 1}
+    assert json.loads(kv["2"]) == {"HOME_GOALS": 1, "AWAY_GOALS": 1}
+    # field ORDER must follow column order (README.md:339-341)
+    assert kv["1"] == '{"HOME_GOALS":2,"AWAY_GOALS":1}'
+
+
+def test_sink_key_layout_composite(spark):
+    """Composite grouping key → JSON-object key with uppercase field
+    names in group-by order (README.md:461-465)."""
+    players = players_df(spark)
+    events = spark.createDataFrame(
+        [tuple(r.values()) for r in tutorial.MATCH_EVENT_ROWS], tutorial.MATCH_EVENT_SCHEMA
+    )
+    stats = tutorial.player_stats_composite_key(events, players)
+    kv = encode_kv(stats, ["player_id", "name", "nationality"]).collect()
+    keys = {r.key for r in kv}
+    assert '{"PLAYER_ID":"1","NAME":"Lionel Messi","NATIONALITY":"Argentinian"}' in keys
+
+
+# ------------------------------------------ windowed agg with watermark
+
+def test_windowed_agg_with_watermark_replay(spark):
+    """§7.4 windows: tumbling 1-minute window + watermark through the
+    streaming path equals the batch window aggregate."""
+    rows = [
+        {"ts": f"2024-01-01T00:{m:02d}:{s:02d}", "k": "a"}
+        for m, s in [(0, 10), (0, 40), (1, 5), (1, 50), (2, 30), (3, 10)]
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("k", T.StringType(), True),
+    ])
+
+    def agg(df):
+        return (
+            df.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 minute"), "k")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("ws"), "k", "n")
+        )
+
+    q = R.replay(spark, rows, schema, agg, name="win", output_mode="update",
+                 with_batch_id=True, chunk_size=2)
+    final = {}
+    for _, row in q.emissions:
+        final[(str(row.ws), row.k)] = row.n
+    batch_df = spark.createDataFrame([(r["ts"], r["k"]) for r in rows], schema="ts string, k string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "k")
+    batch = {
+        (str(r.ws), r.k): r.n
+        for r in batch_df.groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "k", "n")
+        .collect()
+    }
+    assert final == batch
+    assert len(final) == 4
