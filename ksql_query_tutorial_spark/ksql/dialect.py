@@ -1,0 +1,139 @@
+"""KSQL → Spark SQL dialect rewriting (text level).
+
+Covers exactly the language surface the reference exercises
+(/root/reference/files/ksqldb-cli/all.sql, README.md):
+
+- ``EMIT CHANGES`` — push-query marker; stripped (continuous execution
+  is the streaming layer's job, the relational semantics are identical).
+- ``UCASE``/``LCASE`` → ``upper``/``lower`` (README.md:131).
+- ``LATEST_BY_OFFSET(x)`` → ``max_by(x, __offset)`` over the engine's
+  offset pseudo-column (all.sql:136-137).
+- ``COUNT_DISTINCT(x)`` → ``count(DISTINCT x)`` (all.sql:115,150).
+- ``PARTITION BY col`` (CSAS re-key, all.sql:50) — extracted, not
+  translated: in Spark it is sink key selection, not a plan node.
+
+No general SQL parser: statements are split respecting quotes, classed
+by leading keyword, and rewritten with targeted regexes. Everything
+else IS Spark SQL already (the exercised KSQL surface is ANSI-ish).
+"""
+
+from __future__ import annotations
+
+import re
+
+# KSQL type → Spark SQL type (SURVEY.md §1.4)
+TYPE_MAP = {
+    "VARCHAR": "STRING",
+    "STRING": "STRING",
+    "BOOLEAN": "BOOLEAN",
+    "INT": "INT",
+    "INTEGER": "INT",
+    "BIGINT": "BIGINT",
+    "DOUBLE": "DOUBLE",
+}
+
+
+def split_statements(text: str) -> list[str]:
+    """Split a KSQL script into statements on ';', respecting single
+    quotes; drops ``--`` comment lines."""
+    lines = []
+    for line in text.splitlines():
+        stripped = line.strip()
+        if stripped.startswith("--"):
+            continue
+        lines.append(line)
+    text = "\n".join(lines)
+    out, buf, in_q = [], [], False
+    for ch in text:
+        if ch == "'":
+            in_q = not in_q
+        if ch == ";" and not in_q:
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def strip_emit_changes(sql: str) -> str:
+    return re.sub(r"\bEMIT\s+CHANGES\b", "", sql, flags=re.I).strip()
+
+
+def _from_alias(sql: str) -> str | None:
+    """Alias (or name) of the first FROM-clause relation — the stream
+    side in the reference's stream⋈table joins (ksqlDB puts the stream
+    first). Its offsets drive LATEST_BY_OFFSET: the aggregation's input
+    order follows stream arrival."""
+    m = re.search(r"\bFROM\s+(\w+)(?:\s+(?:AS\s+)?(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|JOIN\b|WHERE\b|GROUP\b|PARTITION\b|EMIT\b)(\w+))?",
+                  sql, flags=re.I)
+    if not m:
+        return None
+    return m.group(2) or m.group(1)
+
+
+def rewrite_functions(sql: str) -> str:
+    sql = re.sub(r"\bUCASE\s*\(", "upper(", sql, flags=re.I)
+    sql = re.sub(r"\bLCASE\s*\(", "lower(", sql, flags=re.I)
+    alias = _from_alias(sql)
+    offset_ref = f"{alias}.__offset" if alias else "__offset"
+    sql = re.sub(r"\bLATEST_BY_OFFSET\s*\(\s*([^)]+?)\s*\)",
+                 rf"max_by(\1, {offset_ref})", sql, flags=re.I)
+    sql = re.sub(r"\bCOUNT_DISTINCT\s*\(", "count(DISTINCT ", sql, flags=re.I)
+    return sql
+
+
+def extract_partition_by(sql: str) -> tuple[str, str | None]:
+    """Pull a trailing ``PARTITION BY col`` out of a CSAS select (the
+    re-key is sink key selection in Spark, SURVEY.md §1.5)."""
+    m = re.search(r"\bPARTITION\s+BY\s+([A-Za-z_][\w.]*)\s*", sql, flags=re.I)
+    if not m:
+        return sql, None
+    return (sql[: m.start()] + sql[m.end():]).strip(), m.group(1)
+
+
+def rewrite_select(sql: str) -> tuple[str, str | None]:
+    """Full select rewrite: returns (spark_sql, partition_by_col)."""
+    sql = strip_emit_changes(sql)
+    sql, part = extract_partition_by(sql)
+    return rewrite_functions(sql), part
+
+
+_COLDEF = re.compile(
+    r"\s*(?P<name>[A-Za-z_]\w*)\s+(?P<type>[A-Za-z]+)(?:\s*\(\s*\d+\s*\))?"
+    r"(?P<key>\s+PRIMARY\s+KEY|\s+KEY)?\s*$",
+    re.I,
+)
+
+
+def parse_column_defs(defs: str) -> tuple[list[tuple[str, str]], list[str], str]:
+    """Parse ``(id VARCHAR PRIMARY KEY, name VARCHAR(50), home BOOLEAN)``
+    → (columns [(name, spark_type)], key_cols, key_kind)."""
+    cols: list[tuple[str, str]] = []
+    key_cols: list[str] = []
+    key_kind = ""
+    for part in defs.split(","):
+        m = _COLDEF.match(part)
+        if not m:
+            raise ValueError(f"cannot parse column definition: {part!r}")
+        name = m.group("name").lower()
+        ktype = m.group("type").upper()
+        if ktype not in TYPE_MAP:
+            raise ValueError(f"unsupported KSQL type {ktype!r} in {part!r}")
+        cols.append((name, TYPE_MAP[ktype]))
+        if m.group("key"):
+            key_cols.append(name)
+            key_kind = m.group("key").strip().upper()
+    return cols, key_cols, key_kind
+
+
+def parse_with_props(props: str) -> dict[str, str]:
+    """Parse ``WITH (KAFKA_TOPIC = 'players', PARTITIONS = 1, ...)``."""
+    out: dict[str, str] = {}
+    for m in re.finditer(r"([A-Za-z_.]+)\s*=\s*(?:'([^']*)'|(\d+))", props):
+        out[m.group(1).lower()] = m.group(2) if m.group(2) is not None else m.group(3)
+    return out

@@ -1,0 +1,178 @@
+"""Run the reference tutorial's KSQL statements through the engine's
+dialect front-end and assert the README's golden outputs.
+
+Statement shapes mirror /root/reference/files/ksqldb-cli/all.sql and
+README.md (cited per block); data is the FIXTURES.md §A scenario.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from ksql_query_tutorial_spark import tutorial
+from ksql_query_tutorial_spark.ksql.engine import print_topic
+from ksql_query_tutorial_spark.session import EngineSession
+
+
+@pytest.fixture()
+def eng(spark):
+    e = EngineSession(spark)
+    # SET + source DDL (all.sql:1, 20-43)
+    e.ksql("SET 'auto.offset.reset' = 'earliest';")
+    e.ksql("""
+        CREATE TABLE players (
+          id VARCHAR PRIMARY KEY,
+          name VARCHAR(50),
+          team VARCHAR(50),
+          nationality VARCHAR(50)
+        ) WITH (KAFKA_TOPIC = 'players', VALUE_FORMAT = 'JSON', PARTITIONS = 1);
+    """)
+    e.ksql("""
+        CREATE STREAM match_event (
+          id VARCHAR KEY,
+          event_type VARCHAR,
+          player_id VARCHAR,
+          home BOOLEAN
+        ) WITH (KAFKA_TOPIC = 'match_event', VALUE_FORMAT = 'JSON', PARTITIONS = 1);
+    """)
+    # seed players (the reference seeds via MySQL CDC, init.sql:11-22)
+    for r in tutorial.PLAYERS_ROWS:
+        e.ksql(
+            "INSERT INTO players (id, name, team, nationality) VALUES "
+            f"('{r['id']}', '{r['name']}', '{r['team']}', '{r['nationality']}');"
+        )
+    # CSAS re-key (all.sql:45-51)
+    e.ksql("""
+        CREATE STREAM match_event_player
+        WITH (KAFKA_TOPIC = 'match_event_player', VALUE_FORMAT = 'JSON', PARTITIONS = 1)
+        AS SELECT id AS match_id, event_type, player_id, __offset
+        FROM match_event PARTITION BY player_id;
+    """)
+    return e
+
+
+def insert_events(e, rows):
+    for r in rows:
+        e.ksql(
+            "INSERT INTO match_event (id, event_type, player_id, home) VALUES "
+            f"('{r['id']}', '{r['event_type']}', '{r['player_id']}', {str(r['home']).lower()});"
+        )
+
+
+def test_table_scan_golden(eng):
+    """SELECT * FROM players EMIT CHANGES (README.md:97, golden 100-114)."""
+    df = eng.ksql("SELECT * FROM players EMIT CHANGES;")
+    rows = {r.id: (r.name, r.team, r.nationality) for r in df.collect()}
+    assert len(rows) == 10
+    assert rows["1"] == ("Lionel Messi", "Paris Saint-Germain", "Argentinian")
+    assert rows["10"] == ("Raheem Sterling", "Chelsea", "English")
+
+
+def test_table_upsert_on_rekey(eng):
+    """Upsert semantics (README.md:92): same PRIMARY KEY → update."""
+    eng.ksql("INSERT INTO players (id, name, team, nationality) VALUES "
+             "('1', 'Lionel Messi', 'Inter Miami', 'Argentinian');")
+    rows = {r.id: r.team for r in eng.ksql("SELECT * FROM players;").collect()}
+    assert len(rows) == 10 and rows["1"] == "Inter Miami"
+
+
+def test_projection_ucase_case_filters(eng):
+    """UCASE (README.md:128-133), CASE (136-148), WHERE (150-163)."""
+    up = eng.ksql("SELECT id, UCASE(team) team FROM players EMIT CHANGES;")
+    assert {r.team for r in up.collect() if r.id == "1"} == {"PARIS SAINT-GERMAIN"}
+    case = eng.ksql("""
+        SELECT id, name,
+          CASE WHEN nationality = 'Portuguese' THEN 'POR' ELSE 'OTHER' END AS tag
+        FROM players EMIT CHANGES;
+    """)
+    tags = {r.id: r.tag for r in case.collect()}
+    assert tags["2"] == "POR" and tags["9"] == "POR" and tags["1"] == "OTHER"
+    filt = eng.ksql(
+        "SELECT name FROM players WHERE team = 'Paris Saint-Germain' "
+        "AND nationality = 'Brazilian' EMIT CHANGES;")
+    assert [r.name for r in filt.collect()] == ["Neymar Jr."]
+
+
+def test_stream_filter_golden(eng):
+    """WHERE event_type='ASSIST' on the stream (README.md:216-226)."""
+    insert_events(eng, tutorial.MATCH_EVENT_ROWS[:2])
+    df = eng.ksql("SELECT * FROM match_event WHERE event_type = 'ASSIST' EMIT CHANGES;")
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].player_id == "1" and rows[0].home is True
+
+
+def test_match_results_ctas_golden(eng):
+    """CTAS match_results (README.md:308-327) + sink layout (333-351)."""
+    insert_events(eng, tutorial.MATCH_EVENT_ROWS)
+    eng.ksql("""
+        CREATE TABLE match_results
+        WITH (KAFKA_TOPIC = 'match_results', VALUE_FORMAT = 'JSON', PARTITIONS = 1)
+        AS SELECT id,
+             SUM(CASE WHEN event_type = 'GOAL' AND home THEN 1 ELSE 0 END) AS home_goals,
+             SUM(CASE WHEN event_type = 'GOAL' AND NOT home THEN 1 ELSE 0 END) AS away_goals
+        FROM match_event GROUP BY id EMIT CHANGES;
+    """)
+    res = {r.id: (r.home_goals, r.away_goals)
+           for r in eng.ksql("SELECT * FROM match_results;").collect()}
+    assert res == {"1": (2, 1), "2": (1, 1)}
+    kv = {r.key: json.loads(r.value) for r in print_topic(eng, "match_results").collect()}
+    assert kv["1"] == {"HOME_GOALS": 2, "AWAY_GOALS": 1}   # README.md:348-351
+    assert kv["2"] == {"HOME_GOALS": 1, "AWAY_GOALS": 1}
+
+
+def test_player_stats_ctas_golden(eng):
+    """player_stats CTAS with LATEST_BY_OFFSET, COUNT_DISTINCT, CAST
+    (all.sql:129-160); golden README.md:413-420."""
+    insert_events(eng, tutorial.MATCH_EVENT_ROWS)
+    eng.ksql("""
+        CREATE TABLE player_stats
+        WITH (KAFKA_TOPIC = 'player_stats', VALUE_FORMAT = 'JSON', PARTITIONS = 1)
+        AS SELECT p.id AS player_id,
+             LATEST_BY_OFFSET(p.name) AS name,
+             SUM(CASE WHEN m.event_type = 'GOAL' THEN 1 ELSE 0 END) AS goals,
+             CAST(SUM(CASE WHEN m.event_type = 'GOAL' THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT_DISTINCT(m.match_id) AS DOUBLE) AS avg_goals,
+             SUM(CASE WHEN m.event_type = 'ASSIST' THEN 1 ELSE 0 END) AS assists
+        FROM match_event_player m
+        INNER JOIN players p ON m.player_id = p.id
+        GROUP BY p.id EMIT CHANGES;
+    """)
+    stats = {r.player_id: (r.name, r.goals, r.avg_goals, r.assists)
+             for r in eng.ksql("SELECT * FROM player_stats;").collect()}
+    assert stats["1"] == ("Lionel Messi", 3, 1.5, 1)
+    assert stats["2"] == ("Cristiano Ronaldo", 2, 1.0, 1)
+
+
+def test_composite_key_sink_layout(eng):
+    """README's grouped-by-3-columns variant → composite JSON key
+    (README.md:454, 461-465)."""
+    insert_events(eng, tutorial.MATCH_EVENT_ROWS)
+    eng.ksql("""
+        CREATE TABLE player_goals
+        WITH (KAFKA_TOPIC = 'player_goals', VALUE_FORMAT = 'JSON', PARTITIONS = 1)
+        AS SELECT p.id AS player_id, p.name AS name, p.nationality AS nationality,
+             SUM(CASE WHEN m.event_type = 'GOAL' THEN 1 ELSE 0 END) AS goals
+        FROM match_event_player m
+        INNER JOIN players p ON m.player_id = p.id
+        GROUP BY p.id, p.name, p.nationality EMIT CHANGES;
+    """)
+    keys = {r.key for r in print_topic(eng, "player_goals").collect()}
+    assert '{"PLAYER_ID":"1","NAME":"Lionel Messi","NATIONALITY":"Argentinian"}' in keys
+
+
+def test_admin_surface(eng):
+    """SHOW TOPICS/STREAMS/TABLES/CONNECTORS (README.md:64-72, §2.7)."""
+    assert "players" in eng.ksql("SHOW TOPICS;")
+    assert "match_event" in eng.show_streams()
+    assert "players" in eng.show_tables()
+    eng.ksql("""
+        CREATE SOURCE CONNECTOR players_source WITH (
+          'connector.class' = 'io.confluent.connect.jdbc.JdbcSourceConnector',
+          'connection.url' = 'jdbc:mysql://mysql:3306/football',
+          'mode' = 'incrementing',
+          'incrementing.column.name' = 'id'
+        );
+    """)
+    assert "players_source" in eng.ksql("SHOW CONNECTORS;")
