@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the 100 TB discipline, codified.
+
+Each helper inspects ``explain``-level output so tests can pin the
+properties that matter at scale — filters reaching the parquet scan,
+column pruning, broadcast joins for bounded dims, partial aggregation,
+and no Python in JVM-only pipelines. A plan regression (e.g. a filter
+silently becoming post-scan) fails tests instead of surfacing as a 10×
+slowdown at sf=real.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Plan AFTER an action, with AQE final decisions materialized.
+
+    Must execute THIS DataFrame's plan (``count()`` would build a
+    different QueryExecution and leave this one's AQE plan unfinalized).
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_pushed_filter(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear in a scan's PushedFilters list."""
+    plan = formatted_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    for frag in fragments:
+        assert frag in pushed, f"filter {frag!r} not pushed; PushedFilters=[{pushed}]\n{plan}"
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", formatted_plan(df))
+
+
+def assert_scan_pruned_to(df: DataFrame, table_cols: set[str],
+                          allowed: set[str]) -> None:
+    """The scan touching ``table_cols`` must read ONLY ``allowed``."""
+    for schema in read_schemas(df):
+        cols = {c.split(":")[0] for c in schema.split(",") if c}
+        if cols & table_cols:
+            extra = cols - allowed
+            assert not extra, f"scan reads unpruned columns {extra} (schema {schema})"
+            return
+    raise AssertionError(f"no scan found for columns {table_cols}")
+
+
+def assert_broadcast_join(df: DataFrame) -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"expected a broadcast join:\n{plan}"
+    )
+
+
+def assert_partial_aggregation(df: DataFrame) -> None:
+    """Partial (map-side) + final hash aggregation around the shuffle."""
+    plan = formatted_plan(df)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, (
+        f"expected partial+final HashAggregate:\n{plan}"
+    )
+
+
+def assert_no_python(df: DataFrame) -> None:
+    """No row-at-a-time or Arrow Python eval in the plan (JVM-only)."""
+    plan = formatted_plan(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"unexpected Python stage {node}:\n{plan}"
+
+
+def assert_wholestage_codegen(df: DataFrame) -> None:
+    """Codegen spans only materialize in the AQE FINAL plan, so this
+    executes the query and inspects the executed plan (codegen stages
+    print as ``*(n)`` prefixes)."""
+    plan = executed_plan(df)
+    assert "*(" in plan or "WholeStageCodegen" in plan, (
+        f"no WholeStageCodegen spans in executed plan:\n{plan}"
+    )

@@ -257,6 +257,9 @@ def q20_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch form of ``F.window``; the streaming form (withWatermark + window)
     lives in ksql_query_tutorial_spark.streaming and is tested by replay.
     """
+    # window rendering is session-timezone-dependent; pin UTC so results
+    # match the (naive-UTC) oracle under any driver session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

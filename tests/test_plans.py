@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: the scale properties every query
+must keep (pushdown, pruning, broadcast, partial agg, JVM-only)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ksql_query_tutorial_spark import queries as Q
+from ksql_query_tutorial_spark.extensions import (
+    dedup_exact,
+    text_quality,
+    text_token_stats,
+)
+from ksql_query_tutorial_spark.plans import checks
+from tests.conftest import SF_ORACLE
+
+
+def test_equality_filter_pushed_to_scan(spark):
+    df = Q.q05_eq_filter(spark, SF_ORACLE)
+    checks.assert_pushed_filter(df, "EqualTo(c_mktsegment,BUILDING)")
+
+
+def test_conjunctive_filter_pushed_to_scan(spark):
+    df = Q.q06_conj_filter(spark, SF_ORACLE)
+    checks.assert_pushed_filter(
+        df, "EqualTo(l_returnflag,R)", "EqualTo(l_linestatus,F)"
+    )
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = Q.q02_projection(spark, SF_ORACLE)
+    checks.assert_scan_pruned_to(
+        df, {"c_name", "c_mktsegment"}, {"c_name", "c_mktsegment"}
+    )
+
+
+def test_filter_under_aggregate_pushed(spark):
+    # the filter written AFTER the read but BEFORE groupBy must reach the scan
+    df = Q.q10_filtered_group_count(spark, SF_ORACLE)
+    checks.assert_pushed_filter(df, "EqualTo(event_type,purchase)")
+    checks.assert_scan_pruned_to(
+        df, {"event_id", "user_id", "event_type"}, {"event_id", "user_id", "event_type"}
+    )
+
+
+def test_bounded_dim_joins_broadcast(spark):
+    checks.assert_broadcast_join(Q.q14_inner_join(spark, SF_ORACLE))
+    checks.assert_broadcast_join(Q.q15_left_join(spark, SF_ORACLE))
+
+
+def test_aggregations_are_partial_plus_final(spark):
+    checks.assert_partial_aggregation(Q.q09_group_count(spark, SF_ORACLE))
+    checks.assert_partial_aggregation(Q.q18_multi_group(spark, SF_ORACLE))
+
+
+def test_tutorial_queries_have_no_python_stages(spark):
+    for name, fn in Q.TUTORIAL_QUERIES.items():
+        checks.assert_no_python(fn(spark, SF_ORACLE))
+
+
+def test_text_and_dedup_hot_paths_are_jvm_only(spark):
+    for fn in (text_token_stats, text_quality, dedup_exact):
+        checks.assert_no_python(fn(spark, SF_ORACLE))
+
+
+def test_wholestage_codegen_active(spark):
+    checks.assert_wholestage_codegen(Q.q18_multi_group(spark, SF_ORACLE))
+    checks.assert_wholestage_codegen(Q.q17_player_stats(spark, SF_ORACLE))
