@@ -1,0 +1,88 @@
+"""Windowed / time-bounded streaming operators.
+
+The reference DECLARES these capabilities without exercising them: its
+join matrix says stream–stream joins must be windowed
+(/root/reference/README.md:356-360), and ksqlDB generally offers
+tumbling/hopping/session windows. Spark equivalents, as scheduled in
+SURVEY.md §7.2.7:
+
+- tumbling/sliding windows: ``F.window(ts, size[, slide])``
+- session windows: ``F.session_window(ts, gap)``
+- watermarks / late-data policy: ``withWatermark`` (late rows dropped
+  once the watermark passes — ksqlDB's grace period analog)
+- stream–stream joins: watermark both sides + a time-range condition
+  (the WITHIN clause analog); inner/left/full all supported
+- streaming dedup: ``dropDuplicates`` (unbounded state) /
+  ``dropDuplicatesWithinWatermark`` (state bounded by the watermark —
+  the only one that survives 100 TB/day of events)
+
+State-scale note: every operator here keys state by (key, window); the
+watermark is what lets Spark EVICT state — an unwatermarked
+stream–stream join or dedup grows without bound. Always set one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, ts_col: str, size: str, key_cols: list[str],
+                 aggs: list[Column], watermark: str | None = None) -> DataFrame:
+    """Tumbling-window aggregate with optional watermark."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    out = df.groupBy(F.window(ts_col, size).alias("w"), *key_cols).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *key_cols)]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"), *key_cols, *agg_cols,
+    )
+
+
+def session_agg(events: DataFrame, ts_col: str, gap: str, key_cols: list[str],
+                aggs: list[Column], watermark: str | None = None) -> DataFrame:
+    """Session-window aggregate: windows extend while events arrive
+    within ``gap`` of each other (per key)."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    out = df.groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *key_cols)]
+    return out.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"), *key_cols, *agg_cols,
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Column,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 1 hour",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Windowed stream–stream join (the KSQL ``JOIN ... WITHIN`` analog,
+    README.md:356-360): equi-condition + time-range bound, watermarks on
+    BOTH sides so join state is evictable.
+
+    right_ts must lie in [left_ts - lower, left_ts + upper].
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        on
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(lower))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(upper))
+    )
+    return lw.join(rw, cond, how)
+
+
+def dedup_within_watermark(events: DataFrame, ts_col: str, keys: list[str],
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates of a key
+    arriving within the watermark horizon are dropped; state for keys
+    older than the watermark is evicted. The streaming counterpart of
+    operators.dedup.exact_duplicates."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
