@@ -1,0 +1,110 @@
+"""Property-based checks (SURVEY.md §5.3): stream/batch unification and
+operator invariants over RANDOM inputs, not just the tutorial fixture.
+
+Hypothesis drives the row generation; Spark jobs are slow, so examples
+are capped tightly and deadlines disabled.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ksql_query_tutorial_spark.operators.upsert import latest_by_key
+from ksql_query_tutorial_spark.streaming import replay as R
+
+EVENT = st.fixed_dictionaries(
+    {
+        "id": st.sampled_from(["1", "2", "3"]),
+        "event_type": st.sampled_from(["GOAL", "ASSIST"]),
+        "player_id": st.sampled_from(["1", "2", "3", "4"]),
+        "home": st.booleans(),
+    }
+)
+
+SCHEMA = T.StructType([
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("id", T.StringType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("player_id", T.StringType(), True),
+    T.StructField("home", T.BooleanType(), True),
+])
+
+
+def with_offsets(rows):
+    return [dict(r, offset=i) for i, r in enumerate(rows)]
+
+
+def agg_goals(df):
+    is_goal = F.col("event_type") == "GOAL"
+    return df.groupBy("id").agg(
+        F.sum(F.when(is_goal & F.col("home"), 1).otherwise(0)).alias("home_goals"),
+        F.sum(F.when(is_goal & ~F.col("home"), 1).otherwise(0)).alias("away_goals"),
+        F.max_by("player_id", "offset").alias("latest_player"),
+    )
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=12))
+def test_stream_final_state_equals_batch(spark, rows):
+    """For ANY insert sequence, replaying through micro-batches yields
+    the same final state as the batch plan — Spark's unification
+    guarantee, which the whole dual-mode engine design leans on."""
+    rows = with_offsets(rows)
+    batch_df = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA.fields) for r in rows], SCHEMA
+    )
+    want = {r.id: (r.home_goals, r.away_goals, r.latest_player)
+            for r in agg_goals(batch_df).collect()}
+    q = R.replay(spark, rows, SCHEMA, agg_goals, name="prop",
+                 output_mode="update", with_batch_id=True, chunk_size=4)
+    got = {}
+    for _, r in q.emissions:
+        got[r.id] = (r.home_goals, r.away_goals, r.latest_player)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=20))
+def test_upsert_is_last_write_wins(spark, rows):
+    """latest_by_key == the naive Python fold over the same sequence."""
+    rows = with_offsets(rows)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA.fields) for r in rows], SCHEMA
+    )
+    state = latest_by_key(df, ["id"], "offset")
+    got = {r.id: (r.event_type, r.player_id, r.home) for r in state.collect()}
+    want = {}
+    for r in rows:  # fold in offset order: last write wins
+        want[r["id"]] = (r["event_type"], r["player_id"], r["home"])
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1,
+                max_size=15))
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    """exact_duplicates: keepers are distinct, counts sum to corpus
+    size, and every duplicate group collapses to its min id."""
+    from ksql_query_tutorial_spark.operators.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = exact_duplicates(df, "doc_id").collect()
+    assert sum(r.dup_count for r in out) == len(texts)
+    keepers = [r.keeper_id for r in out]
+    assert len(keepers) == len(set(keepers))
+    # group by normalized text in Python and compare keepers
+    import re
+
+    norm = {}
+    for i, t in enumerate(texts):
+        key = re.sub(r"\s+", " ", t.strip().lower())
+        norm.setdefault(key, []).append(i)
+    assert sorted(keepers) == sorted(min(v) for v in norm.values())
