@@ -1,0 +1,61 @@
+"""Serde unit tests: JSON wire layout round-trips + Avro gating."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ksql_query_tutorial_spark.functions import avro
+from ksql_query_tutorial_spark.functions.serde import (
+    decode_record,
+    decode_value,
+    encode_kv,
+)
+
+
+def test_json_value_roundtrip_with_subset_schema(spark):
+    """A collection may declare a SUBSET of the topic's value fields
+    (README.md:90) — extra fields are dropped, missing are null."""
+    raw = spark.createDataFrame(
+        [("k1", '{"a": 1, "b": "x", "extra": true}'), ("k2", '{"a": 2}')],
+        "key string, value string",
+    )
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("missing", T.StringType()),
+    ])
+    rows = {r.key: (r.a, r.b, r.missing)
+            for r in decode_value(raw, schema).collect()}
+    assert rows == {"k1": (1, "x", None), "k2": (2, None, None)}
+
+
+def test_decode_record_key_and_offset(spark):
+    raw = spark.createDataFrame(
+        [("7", '{"name": "x"}', 42)], "key string, value string, offset long"
+    )
+    out = decode_record(raw, "id", "string",
+                        T.StructType([T.StructField("name", T.StringType())]))
+    r = out.collect()[0]
+    assert (r.id, r.name, r.offset) == ("7", "x", 42)
+
+
+def test_encode_kv_value_field_order_is_column_order(spark):
+    df = spark.createDataFrame([("1", 2, 1)], "id string, home_goals int, away_goals int")
+    r = encode_kv(df, ["id"]).collect()[0]
+    assert r.key == "1"
+    assert r.value == '{"HOME_GOALS":2,"AWAY_GOALS":1}'
+
+
+def test_avro_is_cleanly_gated(spark):
+    """No spark-avro in this container → clear NotImplementedError."""
+    df = spark.createDataFrame([("k", b"x")], "key string, value binary")
+    if avro.avro_available(spark):  # pragma: no cover - not in container
+        pytest.skip("spark-avro present; gating not applicable")
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        avro.decode_avro_value(df, '{"type":"record"}')
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        avro.encode_avro_value(df, ["key"])
