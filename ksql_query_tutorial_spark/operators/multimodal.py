@@ -129,7 +129,14 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "n_bytes", "mean_byte",
                                              "byte_entropy"])
 
-    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+    # decouple worker parallelism from the file layout (a small parquet
+    # arrives as one partition → one Python worker)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.select("media_id", "payload")
+        .repartition(par)
+        .mapInPandas(batches, FEATURE_SCHEMA)
+    )
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64,

@@ -2,25 +2,32 @@
 
 Two tiers, per the north-star brief:
 
-- **Brute-force cosine top-k** — the exact baseline. Broadcast the
-  (small) query set against the full corpus: one map-side pass over the
-  corpus, a single shuffle for the per-query top-k. Cosine is
-  ``zip_with`` + ``aggregate`` (JVM, codegen) — no Python, no UDF.
+- **Brute-force cosine top-k** — the exact baseline. The (small) query
+  set is L2-normalized into a matrix and broadcast; each corpus
+  partition scores its block with one BLAS matmul inside Arrow-batched
+  ``mapInPandas`` and emits only its LOCAL top-k per query, so shuffle
+  volume is ``partitions × queries × k`` rows, never ``corpus ×
+  queries``. A single window ranks the survivors globally. (Scoring
+  via ``zip_with``/``aggregate`` HOFs is CodegenFallback — interpreted
+  per element — and loses to BLAS by orders of magnitude.)
 - **LSH-bucketed ANN (random hyperplanes)** — the 100 TB path. A
   deterministic hyperplane matrix (seeded RNG, data-independent) maps
-  each vector to a sign-bit bucket code; search joins queries to corpus
-  rows by bucket (with optional multi-probe over Hamming-1 neighbor
-  buckets), then ranks exactly within candidates. Pair generation is an
-  equality join on the bucket code — never O(n²). An IVF analog would
-  swap bucket codes for nearest-centroid ids; the plumbing is identical.
+  each vector to a sign-bit bucket code (one vectorized matmul per
+  Arrow batch); search joins queries to corpus rows by bucket (with
+  optional multi-probe over Hamming-1 neighbor buckets), then ranks
+  exactly within candidates. Pair generation is an equality join on
+  the bucket code — never O(n²). An IVF analog would swap bucket codes
+  for nearest-centroid ids; the plumbing is identical.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.functions import pandas_udf
 
 
 def as_double(vec_col: Column) -> Column:
@@ -38,6 +45,17 @@ def dot(a: Column, b: Column) -> Column:
                        lambda acc, x: acc + x)
 
 
+def _stack(series: pd.Series) -> np.ndarray:
+    """(m, d) float64 matrix from an Arrow array-column batch."""
+    return np.stack(series.to_numpy()).astype("float64")
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    np.maximum(norms, np.finfo("float64").tiny, out=norms)
+    return mat / norms
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,33 +65,52 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    The query side is broadcast (top-k search with a small query set is
-    the common shape); the corpus streams through map-side, then one
-    shuffle on query_id ranks candidates. Ties broken by neighbor id for
-    determinism.
+    Map-side: one BLAS matmul per corpus block against the broadcast
+    query matrix, keeping the local top-k per query (ties broken by
+    neighbor id). One shuffle on query_id then ranks the ≤
+    ``partitions·k`` survivors per query globally.
 
     Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cn", l2_norm(F.col("cv"))).repartition(par)
-    q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("qn", l2_norm(F.col("qv")))
+    spark = corpus.sparkSession
+    qpdf = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    q_ids = qpdf["id"].to_numpy(dtype="int64")
+    q_mat = _normalize(_stack(qpdf["v"]))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
+    def local_topk(batches):
+        b_qids, b_qmat = bc.value
+        for batch in batches:
+            if batch.empty:
+                continue
+            n_ids = batch["id"].to_numpy(dtype="int64")
+            scores = _normalize(_stack(batch["v"])) @ b_qmat.T  # (m, q)
+            frames = []
+            for j, qid in enumerate(b_qids):
+                col = scores[:, j]
+                valid = n_ids != qid  # self-match excluded
+                # top-k by (cosine desc, neighbor id asc): lexsort keys
+                # are applied last-key-major
+                order = np.lexsort((n_ids[valid], -col[valid]))[:k]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": n_ids[valid][order],
+                    "cosine": col[valid][order],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
     scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .withColumn("cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .repartition(par)
+        .mapInPandas(local_topk, schema="query_id long, neighbor_id long, cosine double")
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            "rank",
-            F.round("cosine", 6).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine"))
     )
 
 
@@ -83,14 +120,24 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
-def bucket_code(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit LSH bucket code: bit i = (vec · plane_i) >= 0."""
-    code = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        code = code.bitwiseOR(F.shiftleft(bit, i))
-    return code
+def bucket_code(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket code column: bit i = (vec · plane_i) >= 0.
+
+    One vectorized matmul per Arrow batch (a per-plane HOF dot is
+    interpreted per element and dominated the ANN runtime)."""
+    plane_mat = np.asarray(planes, dtype="float64")
+
+    @pandas_udf("long")
+    def _codes(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        bits = (_stack(v) @ plane_mat.T) >= 0  # (m, planes)
+        codes = np.zeros(len(bits), dtype="int64")
+        for i in range(plane_mat.shape[0]):
+            codes |= bits[:, i].astype("int64") << i
+        return pd.Series(codes)
+
+    return _codes(vec_col)
 
 
 def lsh_ann_topk(
@@ -110,16 +157,18 @@ def lsh_ann_topk(
     2^n_planes buckets; recall rises with multiprobe breadth. The join
     is bucket-equality (shuffle on an 8-bit code → heavily skew-prone at
     tiny n_planes; size n_planes so buckets ≈ corpus/2^n stay fine-
-    grained at scale).
+    grained at scale). Candidate scoring uses the JVM HOF dot — the
+    candidate set is bounded by bucket size × probes, so the interpreted
+    cost stays negligible by construction.
 
     Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
     """
     planes = hyperplanes(dim, n_planes)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cn", l2_norm(F.col("cv"))).withColumn(
+    c = c.repartition(par).withColumn("cn", l2_norm(F.col("cv"))).withColumn(
         "bucket", bucket_code(F.col("cv"), planes)
-    ).repartition(par)
+    )
     q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qn", l2_norm(F.col("qv"))).withColumn(
         "qbucket", bucket_code(F.col("qv"), planes)
