@@ -251,28 +251,29 @@ def minhash_lsh_pairs(
     (equal when LSH recall is 1 on the data).
     """
     rows = num_hashes // bands
-    # persist the posting ONCE: signatures and the exact-verification
-    # shingle sets both read it (and both aggregate on its existing
-    # id-partitioning — no further shuffle).
-    post = shingle_hash_posting(df, id_col, text_col, n).persist()
-    sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh"))
+    # ONE aggregation over the posting (reusing its id-partitioning — no
+    # extra shuffle): the per-doc distinct-hash arrays feed BOTH the
+    # band bucketing and the exact-Jaccard verification. Persist is a
+    # few longs per doc — negligible even cluster-wide.
+    post = shingle_hash_posting(df, id_col, text_col, n)
+    sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
 
     from pyspark.sql.functions import pandas_udf
 
     a_vec = np.arange(num_hashes, dtype=np.int64) * 2 + 1
     b_vec = (np.arange(num_hashes, dtype=np.int64) ** 2 + 1) % _MERSENNE
 
-    # permutation mins AND the per-band bucket keys in one vectorized
-    # pass per doc: bucket = 64-bit multiplicative mix of the band's
-    # ``rows`` mins seeded with the band index (collision-safe enough
-    # that the exact-Jaccard verification absorbs any stray candidate).
-    # Joining on a long beats 32 md5-string columns: smaller shuffle
-    # rows and none of the wide-projection codegen compile cost.
+    # Mersenne fold, permutation mins, AND the per-band bucket keys in
+    # one vectorized pass per doc: bucket = 64-bit multiplicative mix of
+    # the band's ``rows`` mins seeded with the band index (collision-
+    # safe enough that the exact-Jaccard verification absorbs any stray
+    # candidate). Joining on a long beats 32 md5-string columns: smaller
+    # shuffle rows and none of the wide-projection codegen compile cost.
     @pandas_udf("array<long>")
     def _band_buckets(hs: pd.Series) -> pd.Series:
         out = []
         for h in hs:
-            hv = np.asarray(h, dtype=np.int64)
+            hv = np.asarray(h, dtype=np.int64) % _MERSENNE  # == pmod: _MERSENNE > 0
             mins = ((a_vec[None, :] * hv[:, None] + b_vec[None, :]) % _MERSENNE).min(axis=0)
             m = mins.astype(np.uint64).reshape(bands, rows)
             acc = np.arange(bands, dtype=np.uint64)
@@ -281,8 +282,7 @@ def minhash_lsh_pairs(
             out.append(acc.astype(np.int64))
         return pd.Series(out)
 
-    gathered = _permuted_posting(post).groupBy("id").agg(F.collect_list("h").alias("hs"))
-    buckets = gathered.select("id", F.explode(_band_buckets("hs")).alias("bucket"))
+    buckets = sh_sets.select("id", F.explode(_band_buckets("sh")).alias("bucket"))
     l, r = buckets.alias("l"), buckets.alias("r")
     candidates = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
@@ -354,7 +354,10 @@ def simhash_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sim = simhash64(df, id_col, text_col)
+    # persist the sketch (two longs per doc): the banding self-join
+    # reads it twice, and without the persist the whole posting +
+    # gather + UDF pipeline executes once per side.
+    sim = simhash64(df, id_col, text_col).persist()
     chunks = sim.select(
         "id",
         "simhash",
@@ -382,8 +385,11 @@ def simhash_pairs(
             F.col("r.id").alias("id_b"),
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: on clustered data the banding join
+        # emits ~15× more candidate rows than surviving pairs, and the
+        # bit_count filter is a register op while distinct is a shuffle.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
