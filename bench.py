@@ -54,6 +54,7 @@ def main() -> None:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
@@ -62,6 +63,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # each query stands alone: operators that persist intermediates
+        # must not leak cache blocks (and GC pressure) into later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
