@@ -26,7 +26,9 @@ COSINE_THRESHOLD = 0.4
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return text.with_token_stats(d).select("doc_id", "n_tokens", "n_chars_measured")
+    return text.with_token_stats(d).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_chars_measured"
+    )
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,6 +75,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, "doc_id", max_hamming=3)
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-Jaccard near-dup pairs → the
+    per-document keeper decision. Oracle: recursive-CTE transitive
+    closure (components are small, so closure is cheap at oracle sf)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+    return dedup.keeper_assignment(d, pairs, "doc_id")
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return dedup.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
@@ -84,6 +95,14 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.brute_force_topk(e, queries, k=5)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (approximate by construction; centroid training
+    is a bounded driver-side sample — see spherical_kmeans_centroids)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(e, queries, k=5, n_centroids=16, nprobe=4)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,9 +151,11 @@ EXTENSION_QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding": dedup_embedding,
     "similarity_topk": similarity_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
 }
@@ -152,6 +173,8 @@ EXTENSION_ORACLES: dict[str, str] = {
     "text_token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS INT)
+                 AS n_bpe_tokens,
                CAST(length(text) AS INT) AS n_chars_measured
         FROM documents ORDER BY doc_id
     """,
@@ -211,6 +234,34 @@ EXTENSION_ORACLES: dict[str, str] = {
         FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
         ORDER BY id_a, id_b
+    """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+        post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (SELECT src AS id, least(src, min(dst)) AS keeper FROM reach GROUP BY src)
+        SELECT d.doc_id,
+               COALESCE(c.keeper, d.doc_id) AS keeper_id,
+               COALESCE(c.keeper, d.doc_id) = d.doc_id AS is_keeper
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ORDER BY d.doc_id
     """,
     "dedup_embedding": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -452,3 +452,86 @@ def embedding_cosine_pairs(
         out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: ``(id, cluster_id)``
+    where ``cluster_id`` is the component's minimum member id.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds — near-dup clusters are dense and
+    shallow, so a handful. Each round is one join + one groupBy (two
+    shuffles on id-sized rows), with an eager ``localCheckpoint`` to cut
+    the lineage (an unchecked iterative plan re-executes every prior
+    round per action and eventually breaks the optimizer). At extreme
+    skew (one giant component) the large-star/small-star variant halves
+    rounds; near-dup components don't get there.
+
+    Input: any pair DataFrame with ``id_a``/``id_b`` columns
+    (:func:`ngram_jaccard_pairs`, :func:`minhash_lsh_pairs`,
+    :func:`simhash_pairs`, :func:`embedding_cosine_pairs`).
+    """
+    # materialize the pair pipeline ONCE before symmetrizing: a union of
+    # two branches over the raw pairs plan would execute the (expensive)
+    # candidate-generation subtree once per branch
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    # seed each node with min(id, min neighbor) — the first propagation
+    # round folded into initialization (every node appears as src in the
+    # symmetrized edge set, so this groupBy covers all of them)
+    labels = (
+        edges.groupBy("src").agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("id"), F.least("src", "mn").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def keeper_assignment(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Per-document keeper id: the dedup decision a training pipeline
+    actually applies — keep ``cluster min``, drop the rest.
+
+    Documents in no near-dup cluster keep themselves. Returns
+    ``(doc_id, keeper_id, is_keeper)`` for EVERY input document, so
+    ``filter(is_keeper)`` is the deduplicated corpus.
+    """
+    comp = duplicate_clusters(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("keeper_id"),
+        )
+        .withColumn("is_keeper", F.col("keeper_id") == F.col("doc_id"))
+    )

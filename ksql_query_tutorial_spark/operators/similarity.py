@@ -195,3 +195,118 @@ def lsh_ann_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def spherical_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    sample: int = 65536,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train IVF centroids: spherical k-means on a bounded driver-side
+    sample (deterministic seed, deterministic ``limit`` sample).
+
+    The sample bound is what makes this 100 TB-safe: training touches at
+    most ``sample`` rows regardless of corpus size (IVF quality needs
+    only a representative sample, not the corpus), and the loop is a few
+    BLAS matmuls on a (sample, d) matrix. Returns an L2-normalized
+    ``(k, d)`` centroid matrix.
+    """
+    pdf = corpus.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
+    x = _normalize(_stack(pdf["v"]))
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(x))
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)           # (n,)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        sums[empty] = cent[empty]                        # keep dead centroids
+        cent = _normalize(sums)
+    return cent
+
+
+def with_centroid_id(df: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding",
+                     out_col: str = "cid", nprobe: int = 1) -> DataFrame:
+    """Assign each vector its ``nprobe`` nearest centroid ids (cosine).
+
+    One broadcast of the (k, d) centroid matrix + one BLAS matmul per
+    Arrow batch; with ``nprobe > 1`` the column is an array (explode for
+    multi-probe search). Centroid count ~sqrt(corpus) keeps both the
+    broadcast and the per-list candidate size bounded at scale.
+    """
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    @pandas_udf("array<int>")
+    def _assign(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="object")
+        scores = _normalize(_stack(v)) @ bc.value.T       # (m, k)
+        p = min(nprobe, scores.shape[1])
+        top = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+        # order probes best-first for each row
+        row = np.arange(len(top))[:, None]
+        top = top[row, np.argsort(-scores[row, top], axis=1)]
+        return pd.Series(list(top.astype("int32")))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: inverted-file ANN — the centroid analog of
+    :func:`lsh_ann_topk` (same plumbing, nearest-centroid ids instead of
+    sign-bit bucket codes).
+
+    Index: every corpus vector is assigned its nearest centroid (one
+    vectorized matmul pass). Search: each query probes its ``nprobe``
+    nearest centroid lists (explode → equality join on centroid id) and
+    ranks candidates by exact cosine. Candidates per query ≈
+    ``nprobe · corpus / k_centroids`` — bounded and tunable, never
+    O(n²). At cluster scale the corpus side would be written
+    partitioned by ``cid`` so a probe prunes to its partitions.
+
+    Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
+    """
+    cent = spherical_kmeans_centroids(corpus, n_centroids, id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
+    c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("cv"))
+    c = with_centroid_id(c.repartition(par), cent, "cv", "cid", nprobe=1)
+    c = c.select("nid", "cv", F.element_at("cid", 1).alias("cid"),
+                 l2_norm(F.col("cv")).alias("cn"))
+
+    q = queries.select(F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv"))
+    q = with_centroid_id(q, cent, "qv", "qcids", nprobe=nprobe)
+    q = q.select("qid", "qv", l2_norm(F.col("qv")).alias("qn"),
+                 F.explode("qcids").alias("cid"))
+
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("cosine", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -35,12 +35,13 @@ def tokens(col: Column) -> Column:
 
 
 def bpe_ish_tokens(col: Column) -> Column:
-    """BPE-flavored tokenization: split out word pieces, digits, and
-    punctuation runs with a regex (still JVM-side)."""
-    return F.filter(
-        F.split(F.lower(col), r"(?<=[^a-z0-9])|(?=[^a-z0-9])"),
-        lambda t: (t != "") & (t != " "),
-    )
+    """BPE-flavored tokenization: alphanumeric runs as word pieces plus
+    each punctuation mark as its own token, whitespace dropped.
+
+    One ``regexp_extract_all`` — whole-stage codegen (no lambda HOF),
+    and the pattern avoids lookarounds so RE2-based engines (DuckDB
+    oracle) tokenize identically."""
+    return F.regexp_extract_all(F.lower(col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
 
 
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
@@ -48,10 +49,16 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token & char counts: the unit economics of a training corpus."""
+    """Token & char counts: the unit economics of a training corpus.
+
+    ``n_tokens`` = whitespace tokens; ``n_bpe_tokens`` = BPE-ish word
+    pieces (:func:`bpe_ish_tokens`) — the closer proxy for LLM token
+    budgets."""
     t = tokens(F.col(text_col))
-    return df.withColumn("n_tokens", F.size(t)).withColumn(
-        "n_chars_measured", F.length(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(t))
+        .withColumn("n_bpe_tokens", F.size(bpe_ish_tokens(F.col(text_col))))
+        .withColumn("n_chars_measured", F.length(F.col(text_col)))
     )
 
 

@@ -120,3 +120,75 @@ def test_sample_frames_counts(spark):
         .collect()
     }
     assert got == want
+
+
+def test_duplicate_clusters_matches_transitive_closure(spark):
+    """CC labels == min id over the transitively-connected component,
+    checked against a driver-side union-find on the same pairs."""
+    d = load(spark, SF_ORACLE, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.5)
+    got = {r.id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = pairs.collect()
+    assert rows, "fixture should contain planted near-dups"
+    for r in rows:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_keeper_assignment_covers_every_doc(spark):
+    d = load(spark, SF_ORACLE, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", threshold=0.5)
+    ka = dedup.keeper_assignment(d, pairs, "doc_id")
+    rows = ka.collect()
+    assert len(rows) == d.count()
+    by_id = {r.doc_id: r for r in rows}
+    # keepers keep themselves; every keeper_id is itself a keeper
+    for r in rows:
+        assert r.is_keeper == (r.keeper_id == r.doc_id)
+        assert by_id[r.keeper_id].is_keeper
+        assert r.keeper_id <= r.doc_id
+
+
+def test_ivf_topk_structure_and_recall(spark):
+    from ksql_query_tutorial_spark.extensions import ann_ivf_topk
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    ivf = ann_ivf_topk(spark, SF_ORACLE).collect()
+    exact = similarity_topk(spark, SF_ORACLE).collect()
+    # structure: ranks are 1..k' per query, cosine non-increasing
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in sorted(ivf, key=lambda r: (r.query_id, r.rank)):
+        per_q[r.query_id].append(r)
+    for q, rs in per_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+    # recall: approximate, but must beat random-candidate floor by far
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    ap = {(r.query_id, r.neighbor_id) for r in ivf}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, f"IVF recall {recall:.2f} suspiciously low"
+
+
+def test_bpe_tokens_split_punctuation(spark):
+    from ksql_query_tutorial_spark.operators.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([("Hello, world! x2",)], "text string")
+    toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).first().t
+    assert toks == ["hello", ",", "world", "!", "x2"]
