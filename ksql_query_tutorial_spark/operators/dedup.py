@@ -495,22 +495,19 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nl"))
         )
-        new_labels = (
+        # carry the convergence flag through the checkpoint so the
+        # early-stop check is a scan of materialized rows, not a join
+        stepped = (
             labels.join(neigh_min, labels.id == neigh_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("id", "label")
+        if stepped.filter("changed").count() == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
 

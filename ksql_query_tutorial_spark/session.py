@@ -46,7 +46,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode: driver == executor, so shuffles, cached blocks,
+        # and checkpoint blocks all share this one heap. 16g showed
+        # multi-second full-GC pauses mid-query (2-3x run-to-run
+        # variance on the shingle-dedup family); 48g removes them on
+        # the 128 GiB test host. Cluster deployments size executors
+        # instead and can ignore this knob.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
