@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ksql_query_tutorial_spark.operators import dedup, multimodal, similarity, text
+from ksql_query_tutorial_spark.operators import asof, dedup, multimodal, similarity, text
 from ksql_query_tutorial_spark.tables import load
 
 JACCARD_THRESHOLD = 0.5
@@ -89,6 +89,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (LSH recall < 1 by construction); every emitted
+    pair carries the exact cosine, a subset of dedup_embedding."""
+    e = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(e, threshold=COSINE_THRESHOLD, n_planes=8)
+
+
 # --------------------------------------------------------------- similarity
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,6 +126,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes = max(2, min(16, int(math.log2(max(n, 32) / 16))))
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(e, queries, k=5, n_planes=n_planes)
+
+
+# -------------------------------------------------------------------- asof
+
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at or before it (ties on ts broken by highest click event id)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof.asof_join(
+        purchases, clicks, time_col="ts", by_cols=["user_id"],
+        order_col="click_event_id",
+    ).select("event_id", "user_id", "ts", "click_event_id", "click_ts")
 
 
 # --------------------------------------------------------------- multimodal
@@ -153,9 +181,11 @@ EXTENSION_QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk": similarity_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "asof_purchase_click": asof_purchase_click,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
 }
@@ -262,6 +292,18 @@ EXTENSION_ORACLES: dict[str, str] = {
                COALESCE(c.keeper, d.doc_id) = d.doc_id AS is_keeper
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
         ORDER BY d.doc_id
+    """,
+    "asof_purchase_click": """
+        WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id AS click_event_id, user_id, ts AS click_ts
+              FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, p.ts, c.click_event_id, c.click_ts
+        FROM p LEFT JOIN c
+          ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        QUALIFY row_number() OVER (
+          PARTITION BY p.event_id
+          ORDER BY c.click_ts DESC NULLS LAST, c.click_event_id DESC NULLS LAST) = 1
+        ORDER BY p.event_id
     """,
     "dedup_embedding": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

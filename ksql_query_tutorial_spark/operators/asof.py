@@ -1,0 +1,122 @@
+"""As-of (temporal) join: for each left row, the most recent right row
+at or before its timestamp, per key.
+
+The reference's join matrix (`/root/reference/README.md:356-360`) stops
+at equi-joins; as-of is the canonical "operator Spark lacks" a
+training-data / event pipeline needs (align events to the latest prior
+state: clicks→purchases, quotes→trades, feature snapshots→labels).
+
+Spark-first design — union + running ``last(ignorenulls)`` window, NOT
+a range join:
+
+- A range-condition join (``r.t <= l.t``) explodes to O(|matches per
+  key|²) intermediate rows before picking the max; the union-window
+  form touches every row exactly once.
+- ONE shuffle (on the key, for the window sort) — the same cost as any
+  keyed aggregation, so it scales like groupBy: 100 TB of events
+  partition by key and sort within partition (Spark's window uses
+  spillable external sort; no per-key memory blowup).
+- Hot keys are the skew hazard (same as any keyed op); mitigate
+  upstream with salting or key-bucketing if one key dominates.
+
+Tie-breaking is deterministic: right rows at the same timestamp sort
+before left rows (a right row AT the left timestamp matches —
+inclusive as-of), and among equal-timestamp right rows the one with
+the highest ``order_col`` wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    by_cols: list[str],
+    order_col: str | None = None,
+    how: str = "left",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Join each left row to the latest right row with
+    ``right.time_col <= left.time_col``, matching on ``by_cols``.
+
+    ``right``'s payload columns (everything except ``by_cols`` +
+    ``time_col``) must not collide with left column names — rename
+    before calling. ``order_col`` (a right payload column) breaks ties
+    among right rows sharing a timestamp (highest wins); omit for
+    arbitrary-but-stable tie-break on the remaining sort order.
+
+    ``how``: ``"left"`` keeps unmatched left rows with null payload;
+    ``"inner"`` drops them. ``tolerance_seconds`` nulls/drops matches
+    older than the window.
+
+    Returns all left columns + right payload columns.
+    """
+    overlap = (set(right.columns) - set(by_cols) - {time_col}) & set(left.columns)
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
+
+    payload = [c for c in right.columns if c not in by_cols and c != time_col]
+    left_payload = [c for c in left.columns if c not in by_cols and c != time_col]
+
+    null_of = {f.name: F.lit(None).cast(f.dataType) for f in right.schema.fields}
+    lnull_of = {f.name: F.lit(None).cast(f.dataType) for f in left.schema.fields}
+
+    sort_keys = ["__t", "__is_l"] + (["__ord"] if order_col else [])
+    l2 = left.select(
+        *by_cols,
+        F.col(time_col).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        *([F.lit(None).cast(right.schema[order_col].dataType).alias("__ord")]
+          if order_col else []),
+        *left_payload,
+        F.lit(None).cast("timestamp").alias("__rt"),
+        *[null_of[c].alias(c) for c in payload],
+    )
+    r2 = right.select(
+        *by_cols,
+        F.col(time_col).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        *([F.col(order_col).alias("__ord")] if order_col else []),
+        *[lnull_of[c].alias(c) for c in left_payload],
+        F.col(time_col).cast("timestamp").alias("__rt"),
+        *payload,
+    )
+    u = l2.unionByName(r2)
+
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*[F.col(k).asc() for k in sort_keys])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *by_cols,
+        "__t",
+        "__is_l",
+        *left_payload,
+        F.last("__rt", ignorenulls=True).over(w).alias("__rt"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    ).filter(F.col("__is_l") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col("__rt").isNotNull()
+            & (F.unix_timestamp("__t") - F.unix_timestamp("__rt")
+               <= F.lit(float(tolerance_seconds)))
+        )
+        filled = filled.select(
+            *by_cols, "__t", "__is_l", *left_payload, "__rt",
+            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in payload],
+        ).withColumn("__rt", F.when(in_tol, F.col("__rt")))
+
+    if how == "inner":
+        filled = filled.filter(F.col("__rt").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+
+    return filled.select(
+        *by_cols, F.col("__t").alias(time_col), *left_payload, *payload
+    )

@@ -532,3 +532,73 @@ def keeper_assignment(
         )
         .withColumn("is_keeper", F.col("keeper_id") == F.col("doc_id"))
     )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Embedding near-dup pairs via multi-table random-hyperplane LSH —
+    the sub-quadratic scale path for :func:`embedding_cosine_pairs`.
+
+    Standard (k, L) LSH: ``n_tables`` independent hyperplane tables of
+    ``n_planes`` sign bits each; candidates = vectors sharing a bucket
+    in ANY table (plus, with ``multiprobe``, Hamming-1 probes per
+    table, probed from one side only); survivors are verified with
+    exact cosine, so output pairs are a subset of the brute-force
+    result with identical scores. Per Goemans-Williamson a pair at
+    angle θ agrees per bit w.p. 1−θ/π; per-table hit ≈ p^k, union over
+    L tables ≈ 1−(1−p^k)^L — k trades candidate volume for precision,
+    L buys recall back. Cost is O(n·d·L) hashing + bucket-equality
+    joins — never O(n²).
+
+    Returns: ``id_a``, ``id_b``, ``cosine`` (rounded 6).
+    """
+    from ksql_query_tutorial_spark.operators import similarity
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    v = df.select(
+        F.col(id_col).alias("id"), similarity.as_double(F.col(vec_col)).alias("v")
+    ).repartition(par)
+    coded = v
+    for t in range(n_tables):
+        planes = similarity.hyperplanes(dim, n_planes, seed=42 + t)
+        coded = coded.withColumn(f"b{t}", similarity.bucket_code(F.col("v"), planes))
+    coded = coded.withColumn("norm", similarity.l2_norm(F.col("v"))).persist()
+
+    # build-side rows: one per table, keyed (table, code); probe-side
+    # adds the Hamming-1 neighbor codes per table
+    def keyed(side_probe: bool) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            codes = [F.col(f"b{t}")]
+            if side_probe and multiprobe:
+                codes += [F.col(f"b{t}").bitwiseXOR(F.lit(1 << i))
+                          for i in range(n_planes)]
+            entries += [F.struct(F.lit(t).alias("t"), c.alias("code")) for c in codes]
+        return coded.select(
+            "id", "v", "norm", F.explode(F.array(*entries)).alias("k")
+        ).select("id", "v", "norm", F.col("k.t").alias("t"), F.col("k.code").alias("code"))
+
+    l, r = keyed(side_probe=True).alias("l"), keyed(side_probe=False).alias("r")
+    cand = (
+        l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.code") == F.col("r.code"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (similarity.dot(F.col("l.v"), F.col("r.v"))
+             / (F.col("l.norm") * F.col("r.norm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        # the same pair can collide in several tables/probes — dedupe
+        # last, after the cheap cosine cut
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

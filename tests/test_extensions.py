@@ -192,3 +192,63 @@ def test_bpe_tokens_split_punctuation(spark):
     df = spark.createDataFrame([("Hello, world! x2",)], "text string")
     toks = df.select(bpe_ish_tokens(F.col("text")).alias("t")).first().t
     assert toks == ["hello", ",", "world", "!", "x2"]
+
+
+def test_embedding_lsh_is_subset_of_brute_force(spark):
+    from ksql_query_tutorial_spark.extensions import (
+        COSINE_THRESHOLD,
+        dedup_embedding,
+        dedup_embedding_lsh,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding(spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_lsh(spark, SF_ORACLE).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-6
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    # (k=8, L=4) + Hamming-1 multiprobe at the fixture's planted-cosine
+    # levels (~0.5 → per-bit agree ≈ 0.67, a hard LSH regime); the
+    # bound is loose on purpose (recall is data-dependent)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} below expectation"
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(20)), (3, "u", t(5)), (4, "v", t(10))],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "u", t(10)), (101, "u", t(10)), (102, "u", t(15)), (103, "w", t(1))],
+        "rid long, k string, ts timestamp",
+    )
+    got = {
+        r.lid: (r.rid)
+        for r in asof_join(left, right, "ts", ["k"], order_col="rid").collect()
+    }
+    # lid=1 at t10: right rows at t10 qualify (inclusive); max rid wins -> 101
+    # lid=2 at t20: latest right <= t20 is t15 -> 102
+    # lid=3 at t5: no right row at/before -> None
+    # lid=4 key v: no right rows for key -> None
+    assert got == {1: 101, 2: 102, 3: None, 4: None}
+
+    inner = asof_join(left, right, "ts", ["k"], order_col="rid", how="inner")
+    assert {r.lid for r in inner.collect()} == {1, 2}
+
+    tol = asof_join(left, right, "ts", ["k"], order_col="rid",
+                    tolerance_seconds=4)
+    got_tol = {r.lid: r.rid for r in tol.collect()}
+    # lid=2 at t20 matched t15: gap 5s > 4s tolerance -> nulled
+    assert got_tol == {1: 101, 2: None, 3: None, 4: None}

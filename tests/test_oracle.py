@@ -17,7 +17,11 @@ def test_every_query_has_an_oracle_or_is_declared_weak():
     # queries without oracles get the driver's weaker rows-only check;
     # keep that set intentional and small.
     weak = set(QUERIES) - set(ORACLES)
-    allowed_weak = {k for k in QUERIES if k.startswith(("dedup_minhash", "dedup_simhash", "ann_", "mm_"))}
+    allowed_weak = {
+        k for k in QUERIES
+        if k.startswith(("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
+                         "ann_", "mm_"))
+    }
     assert weak <= allowed_weak, f"unexpected oracle-less queries: {weak - allowed_weak}"
 
 
