@@ -15,7 +15,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ksql_query_tutorial_spark.operators import asof, dedup, multimodal, similarity, text
+from ksql_query_tutorial_spark.operators import (
+    asof,
+    dedup,
+    multimodal,
+    rangejoin,
+    rollup,
+    similarity,
+    text,
+)
 from ksql_query_tutorial_spark.tables import load
 
 JACCARD_THRESHOLD = 0.5
@@ -149,6 +157,45 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "click_event_id", "click_ts")
 
 
+def range_orders_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per order, how many OTHER orders the same customer
+    placed in the preceding 90 days (inclusive) — repeat-purchase
+    density via the bucketized-equality range join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = o.withColumn("pt", F.unix_timestamp("o_orderdate").cast("double"))
+    r = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("r_orderkey"),
+        F.unix_timestamp("o_orderdate").cast("double").alias("rpt"),
+    )
+    pairs = rangejoin.range_join(
+        l, r, ["o_custkey"], "pt", "rpt", lower=-90 * 86400.0, upper=0.0
+    ).filter(F.col("r_orderkey") != F.col("o_orderkey"))
+    counts = pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_prior_90d"))
+    return (
+        o.join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.coalesce(F.col("n_prior_90d"), F.lit(0).cast("long")).alias("n_prior_90d"),
+        )
+    )
+
+
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: hour+day continuous aggregate over events,
+    day level re-aggregated from hourly partials (not the raw table)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    out = rollup.hypertable_rollup(
+        e, "ts", ["event_type"], "value", granularities=("hour", "day")
+    )
+    return out.select(
+        "granularity", "bucket_start", "event_type", "n",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,6 +233,8 @@ EXTENSION_QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "asof_purchase_click": asof_purchase_click,
+    "range_orders_90d": range_orders_90d,
+    "rollup_events": rollup_events,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
 }
@@ -304,6 +353,30 @@ EXTENSION_ORACLES: dict[str, str] = {
           PARTITION BY p.event_id
           ORDER BY c.click_ts DESC NULLS LAST, c.click_event_id DESC NULLS LAST) = 1
         ORDER BY p.event_id
+    """,
+    "range_orders_90d": """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_prior_90d
+        FROM orders o LEFT JOIN (
+          SELECT a.o_orderkey AS k, count(*) AS cnt
+          FROM orders a JOIN orders b
+            ON a.o_custkey = b.o_custkey
+           AND a.o_orderkey <> b.o_orderkey
+           AND b.o_orderdate >= a.o_orderdate - INTERVAL 90 DAY
+           AND b.o_orderdate <= a.o_orderdate
+          GROUP BY 1
+        ) c ON o.o_orderkey = c.k
+        ORDER BY o.o_orderkey
+    """,
+    "rollup_events": """
+        SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_start,
+               event_type, count(*) AS n, ROUND(SUM(value), 6) AS total_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day', date_trunc('day', ts), event_type,
+               count(*), ROUND(SUM(value), 6)
+        FROM events GROUP BY 2, 3
+        ORDER BY granularity, bucket_start, event_type
     """,
     "dedup_embedding": f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -252,3 +252,53 @@ def test_asof_join_semantics(spark):
     got_tol = {r.lid: r.rid for r in tol.collect()}
     # lid=2 at t20 matched t15: gap 5s > 4s tolerance -> nulled
     assert got_tol == {1: 101, 2: None, 3: None, 4: None}
+
+
+def test_range_join_semantics(spark):
+    from ksql_query_tutorial_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 50.0), (3, "v", 100.0)],
+        "lid long, k string, p double",
+    )
+    right = spark.createDataFrame(
+        # 95 in-window for lid=1 ([90,100]); 89 just outside (bucket hit,
+        # range miss — the how='left' regression case); 100 inclusive edge
+        [(200, "u", 95.0), (201, "u", 89.0), (202, "u", 100.0), (203, "w", 95.0)],
+        "rid long, k string, rp double",
+    )
+    inner = range_join(left, right, ["k"], "p", "rp", lower=-10.0, upper=0.0)
+    got = {(r.lid, r.rid) for r in inner.collect()}
+    assert got == {(1, 200), (1, 202)}
+
+    lft = range_join(left, right, ["k"], "p", "rp", lower=-10.0, upper=0.0,
+                     how="left")
+    rows = lft.collect()
+    by_lid = {}
+    for r in rows:
+        by_lid.setdefault(r.lid, set()).add(r.rid)
+    # lid=2 at p=50: bucket-level hit possible but no in-range match ->
+    # exactly one null row, not dropped and not duplicated
+    assert by_lid == {1: {200, 202}, 2: {None}, 3: {None}}
+
+
+def test_hypertable_rollup_day_equals_hour_sum(spark):
+    from ksql_query_tutorial_spark.operators.rollup import hypertable_rollup
+    from ksql_query_tutorial_spark.tables import load
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, SF_ORACLE, "events")
+    out = hypertable_rollup(e, "ts", ["event_type"], "value",
+                            granularities=("hour", "day")).collect()
+    hours = [r for r in out if r.granularity == "hour"]
+    days = [r for r in out if r.granularity == "day"]
+    assert hours and days
+    # day rows == re-aggregated hour rows, and totals conserve
+    assert sum(r.n for r in days) == sum(r.n for r in hours) == e.count()
+    got_day = {(r.bucket_start, r.event_type): r.n for r in days}
+    from collections import defaultdict
+
+    want_day = defaultdict(int)
+    for r in hours:
+        want_day[(r.bucket_start.replace(hour=0), r.event_type)] += r.n
+    assert got_day == dict(want_day)
