@@ -201,3 +201,81 @@ def test_windowed_agg_with_watermark_replay(spark):
     }
     assert final == batch
     assert len(final) == 4
+
+
+# ------------------------------------------- custom stateful operators
+
+def test_upsert_table_stream_changelog(spark):
+    """applyInPandasWithState KTable: per-key state across micro-batches,
+    emission only on change, stale offsets suppressed (README.md:92)."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming.stateful import upsert_table_stream
+
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("team", T.StringType()),
+        T.StructField("offset", T.LongType()),
+    ])
+    rows = [
+        {"id": "1", "team": "Barcelona", "offset": 0},
+        {"id": "2", "team": "Juventus", "offset": 1},
+        {"id": "1", "team": "PSG", "offset": 2},        # update key 1
+        {"id": "2", "team": "Juventus", "offset": 1},   # replay: same offset, re-emits (>=)
+        {"id": "1", "team": "Barcelona", "offset": 1},  # STALE: offset 1 < 2, suppressed
+    ]
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: upsert_table_stream(s, ["id"], "offset"),
+        name="upsert_state", output_mode="update", with_batch_id=True,
+    )
+    emissions = [(b, r.id, r.team, r.offset) for b, r in q.emissions]
+    # batch 0..1: inserts; batch 2: key 1 -> PSG; batch 3: no-op-ish
+    # re-emit allowed (>= keeps replays idempotent-latest); batch 4: stale -> NOTHING
+    assert (0, "1", "Barcelona", 0) in emissions
+    assert (1, "2", "Juventus", 1) in emissions
+    assert (2, "1", "PSG", 2) in emissions
+    assert not any(b == 4 for b, *_ in emissions), "stale offset must be suppressed"
+    # final state: key 1 is PSG (offset 2), key 2 Juventus
+    final = {}
+    for b, i, team, off in emissions:
+        final[i] = (team, off)
+    assert final == {"1": ("PSG", 2), "2": ("Juventus", 1)}
+
+
+def test_running_distinct_count_stream_exact(spark):
+    """Exact streaming COUNT_DISTINCT via keyed set state — the A4
+    capability built-in streaming aggregation refuses in update mode."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming.stateful import (
+        running_distinct_count_stream,
+    )
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows = [
+        {"user_id": 1, "event_type": "view"},
+        {"user_id": 1, "event_type": "click"},
+        {"user_id": 1, "event_type": "view"},      # repeat: count stays 2
+        {"user_id": 2, "event_type": "purchase"},
+        {"user_id": 1, "event_type": "purchase"},  # -> 3
+    ]
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: running_distinct_count_stream(s, ["user_id"], "event_type"),
+        name="distinct_state", output_mode="update", with_batch_id=True,
+    )
+    emissions = [(b, r.user_id, r.n_distinct) for b, r in q.emissions]
+    final = {}
+    for b, u, n in emissions:
+        final[u] = n
+    assert final == {1: 3, 2: 1}
+    # growth is monotone per key and the repeat batch emitted nothing
+    assert not any(b == 2 for b, *_ in emissions), "repeat value must not emit"
+    per_key: dict = {}
+    for b, u, n in sorted(emissions):
+        assert n > per_key.get(u, 0)
+        per_key[u] = n
