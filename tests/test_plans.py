@@ -66,3 +66,58 @@ def test_text_and_dedup_hot_paths_are_jvm_only(spark):
 def test_wholestage_codegen_active(spark):
     checks.assert_wholestage_codegen(Q.q18_multi_group(spark, SF_ORACLE))
     checks.assert_wholestage_codegen(Q.q17_player_stats(spark, SF_ORACLE))
+
+def test_range_join_is_equality_not_nested_loop(spark):
+    """The bucketized range join must plan as a shuffle/broadcast HASH
+    or sort-merge join — a BroadcastNestedLoopJoin means the binning
+    regressed to a theta join (O(n·m) at scale)."""
+    from ksql_query_tutorial_spark.extensions import range_orders_90d
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(range_orders_90d(spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+
+
+def test_asof_join_single_keyed_window(spark):
+    """As-of join: window over the union, no join node at all (the
+    range-join formulation would explode); exactly one window sort."""
+    from ksql_query_tutorial_spark.extensions import asof_purchase_click
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(asof_purchase_click(spark, SF_ORACLE))
+    assert "Window" in plan, plan
+    for node in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node} in as-of plan:\n{plan}"
+
+
+def test_rollup_scans_raw_table_once(spark):
+    """Hypertable rollup: the day level re-aggregates hourly partials —
+    the events parquet must appear in (at most) one scan subtree reused
+    across both levels, never two independent full scans."""
+    from ksql_query_tutorial_spark.extensions import rollup_events
+    from ksql_query_tutorial_spark.plans.checks import executed_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = executed_plan(rollup_events(spark, SF_ORACLE))
+    import re
+
+    scans = len(re.findall(r"FileScan parquet|Scan parquet", plan))
+    reused = len(re.findall(r"ReusedExchange|TableCacheQueryStage", plan))
+    assert scans <= 1 or reused >= 1, (
+        f"rollup re-scans the raw table (scans={scans}, reused={reused}):\n{plan}"
+    )
+
+
+def test_ivf_assignment_is_arrow_batched(spark):
+    """IVF centroid assignment must be an Arrow-batched Python stage
+    (ArrowEvalPython / MapInPandas), never row-at-a-time BatchEvalPython."""
+    from ksql_query_tutorial_spark.extensions import ann_ivf_topk
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(ann_ivf_topk(spark, SF_ORACLE))
+    assert "BatchEvalPython" not in plan, plan
