@@ -104,4 +104,36 @@ TUTORIAL_ORACLES: dict[str, str] = {
                COUNT(event_id) AS n, ROUND(SUM(value), 6) AS total_value
         FROM events GROUP BY 1, 2 ORDER BY 1, 2
     """,
+    "q21_semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q22_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q23_revenue_by_region": """
+        SELECT r.r_name,
+               ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    "q24_parts_by_supplier_nation": """
+        SELECT s.s_nationkey,
+               COUNT(*) AS n_lineitems,
+               CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+               ROUND(CAST(SUM(l.l_quantity) AS DOUBLE), 6) AS qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size < 25
+        GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
 }

@@ -272,6 +272,88 @@ def q20_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# extended join matrix: semi/anti/multi-way (SURVEY.md §2.4 "absent in the
+# reference; Spark covers them natively if we ever extend" — extended here)
+# --------------------------------------------------------------------------
+
+def q21_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J-ext] LEFT SEMI join: customers with at least one order.
+
+    Semi joins ship ONLY the join key of the right side through the
+    shuffle and stop probing a key at first match — strictly cheaper
+    than inner-join + distinct at any scale.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q22_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J-ext] LEFT ANTI join: customers with no recorded events (the
+    NOT EXISTS shape; null-safe by construction, unlike NOT IN).
+    events covers a small user slice, so the result is non-trivial at
+    every sf (customers⋈orders anti-joins to zero rows)."""
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+    return (
+        c.join(e, c.c_custkey == e.user_id, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def q23_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J-ext,A2,A3] Five-table multiway join (TPC-H Q5 flavor):
+    lineitem⋈orders⋈customer⋈nation⋈region → revenue per region.
+
+    Scale shape: the two sf-scaled joins (lineitem⋈orders,
+    ⋈customer) shuffle on their keys under AQE; the bounded dims
+    (nation 25 rows, region 5 rows) broadcast explicitly, so the last
+    two joins are map-side and add no exchange. Catalyst reorders
+    freely because the plan is declarative.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(revenue, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q24_parts_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J-ext,A2] lineitem⋈part⋈supplier: shipped small parts per
+    supplier nation — exercises the part/supplier tables; the p_size
+    filter pushes to the part scan before the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("p_size") < 25)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.round(F.sum("l_quantity"), 6).alias("qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -296,4 +378,8 @@ TUTORIAL_QUERIES = {
     "q18_multi_group": q18_multi_group,
     "q19_csas_projection": q19_csas_projection,
     "q20_windowed_agg": q20_windowed_agg,
+    "q21_semi_join": q21_semi_join,
+    "q22_anti_join": q22_anti_join,
+    "q23_revenue_by_region": q23_revenue_by_region,
+    "q24_parts_by_supplier_nation": q24_parts_by_supplier_nation,
 }
