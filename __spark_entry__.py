@@ -31,6 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL, keyed identically to :func:`queries`. Keys
-    absent here (MinHash-LSH, SimHash, ANN, mapInPandas features) are
-    non-SQL-expressible → the driver's rows-only check applies."""
+    absent here (MinHash-LSH, SimHash, embedding-LSH, ANN, mapInPandas
+    byte features) are approximate or non-SQL-expressible → the
+    driver's rows-only check applies; everything else (including the
+    iterative connected-components dedup, via a recursive CTE) gets the
+    full value-hash compare."""
     return {**TUTORIAL_ORACLES, **EXTENSION_ORACLES}

@@ -217,6 +217,17 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(m)
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level deterministic resize behind the real mapInPandas
+    plumbing (codec stubbed). The shape contract IS the oracle: every
+    image row resizes to exactly width×height bytes."""
+    d = load(spark, sf_dir, "documents")
+    m = multimodal.media_from_documents(d)
+    r = multimodal.resize_images(m, width=16, height=8)
+    return r.select("media_id", F.length("payload").alias("n_bytes"),
+                    "width", "height")
+
+
 EXTENSION_QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -237,6 +248,7 @@ EXTENSION_QUERIES = {
     "rollup_events": rollup_events,
     "mm_meta": mm_meta,
     "mm_features": mm_features,
+    "mm_resize": mm_resize,
 }
 
 # DuckDB shingle expression shared by the jaccard + fingerprint oracles:
@@ -396,6 +408,15 @@ EXTENSION_ORACLES: dict[str, str] = {
               FROM q JOIN e ON q.vec_id != e.vec_id)
         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(c, 6) AS cosine
         FROM s WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    "mm_resize": """
+        SELECT doc_id AS media_id,
+               CAST(16 * 8 AS INT) AS n_bytes,
+               CAST(16 AS INT) AS width,
+               CAST(8 AS INT) AS height
+        FROM documents
+        WHERE doc_id % 3 = 0 AND length(text) > 0
+        ORDER BY media_id
     """,
     "mm_meta": """
         SELECT doc_id AS media_id,

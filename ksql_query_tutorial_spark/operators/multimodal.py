@@ -162,3 +162,55 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64,
         .select("media_id", F.col("f.frame_index").alias("frame_index"),
                 F.col("f.frame").alias("frame"))
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Resize "image" payloads to ``width×height`` via Arrow-batched
+    ``mapInPandas`` — the plumbing for a PIL/opencv resize, with the
+    codec stubbed (no image libs in this container).
+
+    The deterministic fake "resample" strides the payload bytes to
+    exactly ``width·height`` output bytes (repeating when upscaling),
+    preserving the real operator's shape contract: bounded output size
+    per row regardless of input size — which is what makes the stage
+    safe at 100 TB (output partitions can't blow up past
+    rows × width × height bytes). Only (media_id, payload) enter the
+    Python worker; a metadata-only media_type filter prunes non-images
+    BEFORE any byte crosses into Arrow.
+    """
+    import numpy as np
+
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    out.append((mid, None, None, None))
+                    continue
+                if not fake:
+                    decode_image(bytes(payload), fake=False)  # raises: stub
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                idx = (np.arange(target) * len(arr)) // target
+                out.append((mid, arr[idx].tobytes(), width, height))
+            yield pd.DataFrame(out, columns=["media_id", "payload", "width", "height"])
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .repartition(par)
+        .mapInPandas(batches, RESIZED_SCHEMA)
+    )

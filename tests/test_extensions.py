@@ -302,3 +302,18 @@ def test_hypertable_rollup_day_equals_hour_sum(spark):
     for r in hours:
         want_day[(r.bucket_start.replace(hour=0), r.event_type)] += r.n
     assert got_day == dict(want_day)
+
+
+def test_resize_images_shape_contract(spark):
+    d = load(spark, SF_ORACLE, "documents")
+    media = multimodal.media_from_documents(d)
+    resized = multimodal.resize_images(media, width=8, height=4)
+    rows = resized.collect()
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images and n_images > 0
+    for r in rows:
+        assert len(r.payload) == 8 * 4
+        assert (r.width, r.height) == (8, 4)
+    # deterministic: same input -> same bytes
+    again = {r.media_id: bytes(r.payload) for r in resized.collect()}
+    assert {r.media_id: bytes(r.payload) for r in rows} == again
