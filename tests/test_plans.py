@@ -121,3 +121,15 @@ def test_ivf_assignment_is_arrow_batched(spark):
 
     plan = formatted_plan(ann_ivf_topk(spark, SF_ORACLE))
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_multiway_join_broadcasts_bounded_dims(spark):
+    """q23: nation/region must be broadcast (map-side), never shuffled."""
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from ksql_query_tutorial_spark.queries import q23_revenue_by_region
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(q23_revenue_by_region(spark, SF_ORACLE))
+    import re
+
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
