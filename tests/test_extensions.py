@@ -339,3 +339,45 @@ def test_salted_join_equals_plain_join(spark):
     salted_l = {(r.k, r.lval, r.rval)
                 for r in salted_join(left, right, ["k"], n_salts=8, how="left").collect()}
     assert salted_l == plain_l and len(plain_l) == 502
+
+
+def test_dedup_family_tolerates_null_and_empty_text(spark):
+    """Nulls/empties must not crash or produce phantom pairs (ANSI mode
+    makes sloppy expressions throw — pin the behavior)."""
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),   # exact dup of 0
+            (2, None),
+            (3, ""),
+            (4, "   "),
+            (5, "one two"),                  # < 3 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    exact = {r.keeper_id: r.dup_count for r in
+             dedup.exact_duplicates(df, "doc_id").collect()}
+    assert exact[0] == 2  # the planted dup pair
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in jac} == {(0, 1)}
+    lsh = dedup.minhash_lsh_pairs(df, "doc_id", threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in lsh} <= {(0, 1)}
+    sim = dedup.simhash_pairs(df, "doc_id", max_hamming=3).collect()
+    assert (0, 1) in {(r.id_a, r.id_b) for r in sim}
+
+
+def test_text_ops_tolerate_null_and_empty(spark):
+    from ksql_query_tutorial_spark.operators import text as T_
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in T_.with_token_stats(df).collect()}
+    assert stats[0].n_tokens == 2 and stats[0].n_bpe_tokens == 2
+    # nulls propagate as nulls (not crashes), empties count zero-ish
+    assert stats[1].n_tokens is None or stats[1].n_tokens == 0
+    q = T_.with_quality(df).collect()
+    assert len(q) == 3
+    lang = {r.doc_id: r.lang_pred for r in T_.with_lang_id(df).collect()}
+    assert lang[0] in {"en", "xx"}
