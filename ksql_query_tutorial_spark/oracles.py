@@ -136,4 +136,17 @@ TUTORIAL_ORACLES: dict[str, str] = {
         WHERE p.p_size < 25
         GROUP BY s.s_nationkey ORDER BY s.s_nationkey
     """,
+    "q25_full_outer_join": """
+        WITH p AS (
+          SELECT user_id, count(*) AS purchases FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id HAVING count(*) >= 12
+        ),
+        c AS (
+          SELECT user_id, count(*) AS clicks FROM events
+          WHERE event_type = 'click' GROUP BY user_id HAVING count(*) >= 12
+        )
+        SELECT COALESCE(p.user_id, c.user_id) AS user_id, p.purchases, c.clicks
+        FROM p FULL JOIN c ON p.user_id = c.user_id
+        ORDER BY user_id
+    """,
 }

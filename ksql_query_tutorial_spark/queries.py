@@ -353,6 +353,26 @@ def q24_parts_by_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[J3] FULL OUTER join — the join-matrix capability the reference
+    declares for table-table/stream-stream (README.md:356-360) but never
+    exercises. Heavy-purchaser and heavy-clicker user sets overlap only
+    partly, so both null sides are non-trivial.
+    """
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("purchases"))
+        .filter(F.col("purchases") >= 12)
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("clicks"))
+        .filter(F.col("clicks") >= 12)
+    )
+    return p.join(c, "user_id", "full")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -382,4 +402,5 @@ TUTORIAL_QUERIES = {
     "q22_anti_join": q22_anti_join,
     "q23_revenue_by_region": q23_revenue_by_region,
     "q24_parts_by_supplier_nation": q24_parts_by_supplier_nation,
+    "q25_full_outer_join": q25_full_outer_join,
 }
