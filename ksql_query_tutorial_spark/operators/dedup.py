@@ -139,6 +139,18 @@ def ngram_jaccard_pairs(
     shingle counts. ``max_posting`` applies the frequency cut for skew
     (None = exact mode, used when an oracle must match).
 
+    Scale note (measured): exact all-pairs Jaccard is inherently
+    quadratic in near-dup cluster size — on a 40k-doc corpus with 8-way
+    duplication the shingle self-join emits ~30M candidate rows for
+    156k true pairs. AllPairs/PPJoin prefix filtering was implemented
+    and benchmarked: on this corpus's dense shingle-sharing graph it
+    pruned almost nothing (25.7M of 30M candidates survived the prefix
+    join) while adding two window shuffles, so it was removed. The
+    sub-quadratic scale path is :func:`minhash_lsh_pairs` (5× faster at
+    40k docs, identical verified output modulo LSH recall); this exact
+    operator is the oracle-parity baseline with ``max_posting`` as the
+    skew relief valve.
+
     Returns: ``id_a``, ``id_b`` (id_a < id_b), ``jaccard`` (rounded 6).
     """
     post = shingle_hash_posting(df, id_col, text_col, n)
