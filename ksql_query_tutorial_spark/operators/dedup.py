@@ -294,7 +294,13 @@ def minhash_lsh_pairs(
             out.append(acc.astype(np.int64))
         return pd.Series(out)
 
-    buckets = sh_sets.select("id", F.explode(_band_buckets("sh")).alias("bucket"))
+    # persist the (id, bucket) rows — two longs each: the banding
+    # self-join reads both branches, and without the persist the Arrow
+    # UDF computing signatures runs once PER BRANCH (measured ~2× the
+    # whole sketch cost at 40k docs)
+    buckets = sh_sets.select(
+        "id", F.explode(_band_buckets("sh")).alias("bucket")
+    ).persist()
     l, r = buckets.alias("l"), buckets.alias("r")
     candidates = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
