@@ -279,3 +279,39 @@ def test_running_distinct_count_stream_exact(spark):
     for b, u, n in sorted(emissions):
         assert n > per_key.get(u, 0)
         per_key[u] = n
+
+
+def test_players_upsert_via_stateful_stream_matches_golden(spark):
+    """The tutorial's TABLE semantic through the TRUE streaming path
+    (applyInPandasWithState): replay the 10 players + an 11th record
+    re-keying id=1 (README.md:92); final per-key state must equal the
+    batch max_by materialization and the README golden."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming.stateful import upsert_table_stream
+
+    rows = [dict(r, offset=i) for i, r in enumerate(tutorial.PLAYERS_ROWS)]
+    rows.append({"id": "1", "name": "Lionel Messi", "team": "Inter Miami",
+                 "nationality": "Argentinian", "offset": 10})
+    schema = T.StructType(
+        list(tutorial.PLAYERS_SCHEMA.fields) + [T.StructField("offset", T.LongType())]
+    )
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: upsert_table_stream(s, ["id"], "offset"),
+        name="players_state", output_mode="update", with_batch_id=True,
+        chunk_size=3,  # multi-record batches: per-batch max must win
+    )
+    final: dict = {}
+    for _b, r in q.emissions:
+        final[r.id] = (r.name, r.team)
+    assert len(final) == 10
+    assert final["1"] == ("Lionel Messi", "Inter Miami")  # upserted
+    assert final["2"] == ("Cristiano Ronaldo", "Al-Nassr")
+    # batch materialization agrees (stream/batch unification)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in rows], schema
+    )
+    batch = {r.id: (r.name, r.team)
+             for r in latest_by_key(df, ["id"], "offset").collect()}
+    assert final == batch
