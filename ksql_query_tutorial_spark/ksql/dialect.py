@@ -132,8 +132,16 @@ def parse_column_defs(defs: str) -> tuple[list[tuple[str, str]], list[str], str]
 
 
 def parse_with_props(props: str) -> dict[str, str]:
-    """Parse ``WITH (KAFKA_TOPIC = 'players', PARTITIONS = 1, ...)``."""
+    """Parse ``WITH (KAFKA_TOPIC = 'players', PARTITIONS = 1, ...)``.
+
+    Keys may be bare identifiers (collection DDL) or quoted strings
+    (connector DDL, ``'table.whitelist' = 'players'``, all.sql:3-18);
+    values may be quoted strings, numbers, or bare booleans
+    (``'schemas.enable' = false``, all.sql:17).
+    """
     out: dict[str, str] = {}
-    for m in re.finditer(r"([A-Za-z_.]+)\s*=\s*(?:'([^']*)'|(\d+))", props):
-        out[m.group(1).lower()] = m.group(2) if m.group(2) is not None else m.group(3)
+    pat = r"(?:'([^']+)'|([A-Za-z_.]+))\s*=\s*(?:'([^']*)'|(\d+)|(true|false))"
+    for m in re.finditer(pat, props, re.I):
+        key = (m.group(1) or m.group(2)).lower()
+        out[key] = next(g for g in (m.group(3), m.group(4), m.group(5)) if g is not None)
     return out

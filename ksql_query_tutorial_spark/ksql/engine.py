@@ -74,8 +74,21 @@ def _execute_one(session, stmt: str) -> Any:
             raise ValueError(f"cannot parse CREATE CONNECTOR: {stmt!r}")
         name, props = m.group(1), dialect.parse_with_props(m.group(2))
         session.connectors[name] = props
-        # incrementing-JDBC ingest adapter is sources.jdbc.IncrementingIngest;
-        # in this broker/db-less container the registration is metadata-only.
+        # The incrementing-JDBC ingest adapter is sources.jdbc.
+        # IncrementingIngest; without a database in this container the
+        # connector's initial snapshot is simulated from the reference's
+        # own MySQL seed (files/mysql/init.sql:11-22) when the tutorial's
+        # football.players source is declared — the topic is auto-named
+        # after the table (README.md:68), keys stringified per the
+        # StringConverter (all.sql:15).
+        whitelist = props.get("table.whitelist", "")
+        if whitelist == "players" and "football" in props.get("connection.url", ""):
+            from ksql_query_tutorial_spark.tutorial import PLAYERS_ROWS
+
+            prefix = props.get("topic.prefix", "")
+            topic = session.topics.setdefault(f"{prefix}{whitelist}", [])
+            if not topic:
+                topic.extend(dict(r, __offset=i) for i, r in enumerate(PLAYERS_ROWS))
         return {name: props}
 
     m = re.match(
@@ -156,16 +169,19 @@ def _refresh_view(session, coll: Collection) -> None:
 
 def _insert_into(session, stmt: str) -> None:
     m = re.match(
-        r"INSERT\s+INTO\s+(\w+)\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$",
+        r"INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\)\s*)?VALUES\s*\((.*)\)\s*$",
         stmt, re.I | re.S,
     )
     if not m:
         raise ValueError(f"cannot parse INSERT: {stmt!r}")
     name = m.group(1).lower()
     coll = session.catalog[name]
-    cols = [c.strip().lower() for c in m.group(2).split(",")]
-    values = _parse_values(m.group(3))
     declared = [c.split(":")[0] for c in coll.properties["columns"].split(",")]
+    # column list omitted (all.sql:53-54): values bind to the declared
+    # columns in DDL order, key column included
+    cols = ([c.strip().lower() for c in m.group(2).split(",")]
+            if m.group(2) else declared)
+    values = _parse_values(m.group(3))
     row = dict.fromkeys(declared)
     row.update(dict(zip(cols, values)))
     topic = session.topics[coll.topic]
@@ -201,6 +217,20 @@ def _parse_values(s: str) -> list[Any]:
 def _create_as_select(session, kind: str, name: str, props: dict[str, str],
                       select: str) -> Collection:
     sql, partition_by = dialect.rewrite_select(select)
+    # A non-aggregated CSAS writes a real topic, so its records carry
+    # their own offsets; downstream LATEST_BY_OFFSET over the derived
+    # stream (all.sql:136-137 reads match_event_player) needs them.
+    # At the reference's PARTITIONS=1 the sink offsets follow source
+    # arrival order — propagate the source's __offset. (Single-relation
+    # CSAS only: with a join the unqualified column would be ambiguous,
+    # and the reference never joins in a CSAS.)
+    if (kind == "STREAM"
+            and not re.search(r"\bGROUP\s+BY\b", sql, re.I)
+            and not re.search(r"\bJOIN\b", sql, re.I)
+            and "__offset" not in sql):
+        sql = re.sub(r"^(\s*SELECT\s+)(.*?)(\s+FROM\s)",
+                     lambda m: m.group(1) + m.group(2) + ", __offset" + m.group(3),
+                     sql, count=1, flags=re.I | re.S)
     df = session.spark.sql(sql)
     df.createOrReplaceTempView(name)
     key_cols: tuple[str, ...]

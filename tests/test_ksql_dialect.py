@@ -176,3 +176,34 @@ def test_admin_surface(eng):
         );
     """)
     assert "players_source" in eng.ksql("SHOW CONNECTORS;")
+
+
+def test_verbatim_all_sql_runs_end_to_end(spark):
+    """The reference's actual script (files/ksqldb-cli/all.sql) verbatim:
+    14 of 15 statements execute (the 15th selects non-aggregated columns
+    grouped only by p.id — ksqlDB 0.15 rejects it too, which is why the
+    CTAS wraps them in LATEST_BY_OFFSET), the connector snapshot seeds
+    players from the reference's MySQL init.sql, and player_stats ends
+    with the correct aggregate state for all.sql's 4-insert sequence."""
+    from ksql_query_tutorial_spark.ksql import dialect, engine
+
+    sess = EngineSession(spark)
+    text = open("/root/reference/files/ksqldb-cli/all.sql").read()
+    ok, failures = 0, []
+    for s in dialect.split_statements(text):
+        try:
+            engine.execute(sess, s)
+            ok += 1
+        except Exception as e:
+            failures.append(str(e))
+    assert ok == 14 and len(failures) == 1
+    assert "MISSING_AGGREGATION" in failures[0]
+
+    got = {
+        r.player_id: (r.player_name, r.goals, r.avg_goals, r.assists)
+        for r in spark.table("player_stats").collect()
+    }
+    assert got == {
+        "1": ("Lionel Messi", 1, 0.5, 2),
+        "2": ("Cristiano Ronaldo", 1, 1.0, 0),
+    }
