@@ -108,3 +108,39 @@ def test_exact_dedup_partitions_the_corpus(spark, texts):
         key = re.sub(r"\s+", " ", t.strip().lower())
         norm.setdefault(key, []).append(i)
     assert sorted(keepers) == sorted(min(v) for v in norm.values())
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.sampled_from(["u", "v", "w"]), st.integers(0, 50)),
+    min_size=1, max_size=12,
+)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.sampled_from(["u", "v", "w"]), st.integers(0, 50)),
+    min_size=0, max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=ASOF_LEFT, right=ASOF_RIGHT)
+def test_asof_join_matches_reference_semantics(spark, left, right):
+    """asof_join == per-row argmax over eligible right rows, for random
+    keys/timestamps including duplicate timestamps on both sides."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)]
+    rrows = [(100 + i, k, base + dt.timedelta(seconds=s))
+             for i, (k, s) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k string, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "rid long, k string, ts timestamp")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(ldf, rdf, "ts", ["k"], order_col="rid").collect()
+    }
+    want = {}
+    for lid, lk, lts in lrows:
+        elig = [(rts, rid) for rid, rk, rts in rrows if rk == lk and rts <= lts]
+        want[lid] = max(elig)[1] if elig else None
+    assert got == want
