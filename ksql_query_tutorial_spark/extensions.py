@@ -58,6 +58,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(d).select("doc_id", "fingerprint", "shingle_fingerprint")
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): distinct sliding-window shingle-
+    hash minima per document."""
+    d = load(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(d, "doc_id", n=3, window=4)
+
+
 # -------------------------------------------------------------------- dedup
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +240,7 @@ EXTENSION_QUERIES = {
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_winnowing": text_winnowing,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -305,6 +313,28 @@ EXTENSION_ORACLES: dict[str, str] = {
                md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
                list_min(list_transform({_SHINGLES}, s -> md5(s))) AS shingle_fingerprint
         FROM t ORDER BY doc_id
+    """,
+    "text_winnowing": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        pos AS (
+          SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+          FROM t WHERE len(toks) >= 3
+        ),
+        sh AS (
+          SELECT doc_id, i AS pos,
+                 md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS h
+          FROM pos
+        ),
+        win AS (
+          SELECT doc_id,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+          FROM sh
+        )
+        SELECT DISTINCT doc_id, fp FROM win WHERE cnt = 4
+        ORDER BY doc_id, fp
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS keeper_id, count(*) AS dup_count

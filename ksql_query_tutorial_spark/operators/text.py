@@ -12,7 +12,7 @@ north-star brief (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker-word profiles for the n-gram/stopword language-ID heuristic.
@@ -129,3 +129,51 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col)))).withColumn(
         "shingle_fingerprint", F.array_min(F.transform(sh, F.md5))
     )
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): the distinct set of per-window
+    minimum shingle hashes, sliding a ``window`` over the doc's n-gram
+    sequence.
+
+    Guarantee: two documents sharing a run of ≥ ``window + n − 1``
+    tokens share at least one fingerprint — a position-robust sketch
+    between one-hash-per-doc (:func:`with_fingerprint`) and the full
+    shingle set (dedup posting).
+
+    Spark-first: posexplode + lead window for shingles (codegen, one
+    shuffle on the doc id), a second frame on the SAME partitioning for
+    the sliding min (no extra exchange). md5 (not xxhash64) so an
+    engine-independent oracle computes identical values.
+
+    Returns: ``(doc_id, fp)`` distinct rows.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par, F.col(id_col))
+    pos_toks = src.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_lead = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("tok", j).over(w_lead).alias(f"t{j}") for j in range(1, n)]
+    sh = (
+        pos_toks.select("doc_id", "pos", "tok", *lead_cols)
+        .filter(F.col(f"t{n-1}").isNotNull())
+        .select(
+            "doc_id", "pos",
+            F.md5(F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, n)])).alias("h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    win = sh.select(
+        "doc_id",
+        F.min("h").over(frame).alias("fp"),
+        F.count(F.lit(1)).over(frame).alias("cnt"),
+    )
+    return win.filter(F.col("cnt") == window).select("doc_id", "fp").distinct()

@@ -381,3 +381,25 @@ def test_text_ops_tolerate_null_and_empty(spark):
     assert len(q) == 3
     lang = {r.doc_id: r.lang_pred for r in T_.with_lang_id(df).collect()}
     assert lang[0] in {"en", "xx"}
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing property (SIGMOD'03): documents sharing a token run of
+    length >= window + n - 1 share at least one fingerprint."""
+    from ksql_query_tutorial_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = 4 + 3 - 1
+    df = spark.createDataFrame(
+        [
+            (0, f"intro words here {shared} tail one"),
+            (1, f"totally different lead {shared} other ending words"),
+            (2, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, "doc_id", n=3, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
