@@ -43,3 +43,25 @@ def test_incrementing_ingest_watermark_protocol(spark, tmp_path, monkeypatch):
     ing2 = IncrementingIngest(spark, "jdbc:fake://x", "players", "id", ckpt)
     assert ing2.watermark() == 3
     assert ing2.poll().count() == 0
+
+
+def test_kafka_adapter_options_and_gating(spark):
+    from ksql_query_tutorial_spark.sources import kafka as K
+
+    opts = K.kafka_options("broker:9092", "players")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "players",
+        "startingOffsets": "earliest",  # SET 'auto.offset.reset' analog
+    }
+    assert K.kafka_options("b", "t", starting_offsets="latest")[
+        "startingOffsets"] == "latest"
+    # no broker/connector in this container: the builder must gate
+    # cleanly rather than fail deep inside .load()
+    if not K.kafka_available(spark):
+        import pytest
+        from pyspark.sql import types as T
+
+        with pytest.raises(NotImplementedError):
+            K.read_stream(spark, "b:9092", "players", "id", "string",
+                          T.StructType([T.StructField("name", T.StringType())]))
