@@ -36,3 +36,17 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_every_query_runs_at_tiniest_sf(spark):
+    """Smoke: every declared query executes at sf0.001 (near-empty
+    inputs — winnowing windows, LSH buckets, CC loops etc. must not
+    crash on degenerate sizes)."""
+    from ksql_query_tutorial_spark.extensions import EXTENSION_QUERIES
+    from ksql_query_tutorial_spark.queries import TUTORIAL_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in {**TUTORIAL_QUERIES, **EXTENSION_QUERIES}.items():
+        df = fn(spark, sf)
+        assert df.count() >= 0, name
+        assert df.columns, name
