@@ -149,4 +149,28 @@ TUTORIAL_ORACLES: dict[str, str] = {
         FROM p FULL JOIN c ON p.user_id = c.user_id
         ORDER BY user_id
     """,
+    "q26_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(MIN(value), 6) AS vmin,
+               ROUND(MAX(value), 6) AS vmax
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q27_pivot": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "q28_cube": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+    """,
 }

@@ -373,6 +373,48 @@ def q25_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(c, "user_id", "full")
 
 
+def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A-ext] Ordered-set aggregates: exact interpolated percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``). At 100 TB swap
+    to approx_percentile (t-digest) — documented tolerance tradeoff."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A-ext] Pivot: per-user event counts, one column per event type.
+    Explicit value list → single pass, no distinct-scan; equivalent to
+    the A3 conditional-sum shape but via the dedicated API."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[A-ext] CUBE grouping sets over (returnflag, linestatus) with
+    grouping_id to disambiguate the null-as-total rows — one shuffle
+    computes all four aggregation levels."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id("l_returnflag", "l_linestatus").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 6).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -403,4 +445,7 @@ TUTORIAL_QUERIES = {
     "q23_revenue_by_region": q23_revenue_by_region,
     "q24_parts_by_supplier_nation": q24_parts_by_supplier_nation,
     "q25_full_outer_join": q25_full_outer_join,
+    "q26_percentiles": q26_percentiles,
+    "q27_pivot": q27_pivot,
+    "q28_cube": q28_cube,
 }
