@@ -144,3 +144,41 @@ def test_asof_join_matches_reference_semantics(spark, left, right):
         elig = [(rts, rid) for rid, rk, rts in rrows if rk == lk and rts <= lts]
         want[lid] = max(elig)[1] if elig else None
     assert got == want
+
+
+RANGE_SIDE = st.lists(
+    st.tuples(st.sampled_from(["u", "v"]), st.integers(0, 40)),
+    min_size=0, max_size=10,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=RANGE_SIDE, right=RANGE_SIDE)
+def test_range_join_matches_reference_semantics(spark, left, right):
+    """Bucketized range join == the naive quadratic reference, for random
+    keys/points and a window that exercises bucket boundaries."""
+    from ksql_query_tutorial_spark.operators.rangejoin import range_join
+
+    lo, hi = -7.0, 3.0
+    lrows = [(i, k, float(p)) for i, (k, p) in enumerate(left)]
+    rrows = [(100 + i, k, float(p)) for i, (k, p) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, k string, p double") \
+        if lrows else spark.createDataFrame([], "lid long, k string, p double")
+    rdf = spark.createDataFrame(rrows, "rid long, k string, rp double") \
+        if rrows else spark.createDataFrame([], "rid long, k string, rp double")
+
+    got = {(r.lid, r.rid)
+           for r in range_join(ldf, rdf, ["k"], "p", "rp", lo, hi).collect()}
+    want = {(lid, rid)
+            for lid, lk, lp in lrows
+            for rid, rk, rp in rrows
+            if rk == lk and lp + lo <= rp <= lp + hi}
+    assert got == want
+
+    got_left = {(r.lid, r.rid)
+                for r in range_join(ldf, rdf, ["k"], "p", "rp", lo, hi,
+                                    how="left").collect()}
+    matched = {lid for lid, _ in want}
+    want_left = want | {(lid, None) for lid, _, _ in lrows if lid not in matched}
+    assert got_left == want_left
