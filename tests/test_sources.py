@@ -65,3 +65,41 @@ def test_kafka_adapter_options_and_gating(spark):
         with pytest.raises(NotImplementedError):
             K.read_stream(spark, "b:9092", "players", "id", "string",
                           T.StructType([T.StructField("name", T.StringType())]))
+
+
+def test_file_roundtrip_all_formats(spark, tmp_path):
+    """documents round-trips through parquet/json/csv with identical
+    typed content; partitioned parquet write prunes at read."""
+    from pyspark.sql import functions as F
+
+    from ksql_query_tutorial_spark.sources.files import read_table, write_table
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang")
+    want = {(r.doc_id, r.text, r.lang) for r in d.collect()}
+    schema = "doc_id long, text string, lang string"
+
+    for fmt in ("parquet", "json", "csv"):
+        path = str(tmp_path / fmt)
+        write_table(d, path, fmt=fmt)
+        back = read_table(spark, path, fmt=fmt,
+                          schema=None if fmt == "parquet" else schema)
+        got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+        assert got == want, fmt
+
+    # schema inference on text formats is refused
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "json"), fmt="json")
+
+    # partitioned write: partition filter prunes to one directory
+    ppath = str(tmp_path / "part")
+    write_table(d, ppath, fmt="parquet", partition_by=["lang"])
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    one = read_table(spark, ppath).filter(F.col("lang") == langs[0])
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+    assert one.count() == d.filter(F.col("lang") == langs[0]).count()
