@@ -207,3 +207,25 @@ def test_verbatim_all_sql_runs_end_to_end(spark):
         "1": ("Lionel Messi", 1, 0.5, 2),
         "2": ("Cristiano Ronaldo", 1, 1.0, 0),
     }
+
+
+def test_cli_runs_scripts(spark, tmp_path, capsys):
+    """The CLI module executes a script, prints SELECT results, and
+    propagates a nonzero exit code for failed statements."""
+    from ksql_query_tutorial_spark.ksql.cli import main
+
+    script = tmp_path / "s.sql"
+    script.write_text(
+        "CREATE STREAM ev (id VARCHAR KEY, v VARCHAR) "
+        "WITH (KAFKA_TOPIC='ev', VALUE_FORMAT='JSON', PARTITIONS=1);\n"
+        "INSERT INTO ev VALUES ('1', 'hello');\n"
+        "SELECT * FROM ev EMIT CHANGES;\n"
+    )
+    rc = main([str(script), "--cpus", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "hello" in out
+
+    bad = tmp_path / "bad.sql"
+    bad.write_text("SELECT definitely_not_a_column FROM nowhere;")
+    assert main([str(bad), "--cpus", "4"]) == 1
