@@ -128,16 +128,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (approximate by construction).
-
-    Plane count scales with corpus size (≈ log2(n/16)) so buckets hold
-    ~16 vectors at any sf — the knob that keeps candidate sets bounded
-    at 100 TB while preserving recall at test scale.
+    """Plane count scales with corpus size (≈ log2(n/16)) so buckets
+    hold ~16 vectors at any sf — the knob that keeps candidate sets
+    bounded at 100 TB while preserving recall at test scale. ``n`` comes
+    from parquet FOOTER statistics, not a count() action: building this
+    query triggers no Spark job (pinned by a unit test).
     """
     import math
 
+    from ksql_query_tutorial_spark.tables import parquet_row_count
+
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
     n_planes = max(2, min(16, int(math.log2(max(n, 32) / 16))))
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(e, queries, k=5, n_planes=n_planes)

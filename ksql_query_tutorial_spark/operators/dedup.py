@@ -262,6 +262,12 @@ def minhash_lsh_pairs(
     subset of :func:`ngram_jaccard_pairs` with the same threshold
     (equal when LSH recall is 1 on the data).
     """
+    if num_hashes % bands != 0:
+        # fail at plan-build time with a usable message, not as a numpy
+        # reshape ValueError deep inside an executor
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows = num_hashes // bands
     # ONE aggregation over the posting (reusing its id-partitioning — no
     # extra shuffle): the per-doc distinct-hash arrays feed BOTH the

@@ -54,7 +54,16 @@ def range_join(
 
     width = float(upper - lower)
     src = left.withColumn("__lid", F.monotonically_increasing_id())
-    r2 = right.withColumn("__rb", F.floor(F.col(right_point) / width))
+    if how == "left":
+        # __lid correlates the pairs branch with the anti-join branch;
+        # materialize it once so a nondeterministic upstream (unordered
+        # shuffle, sample) can't assign different ids per scan
+        src = src.localCheckpoint()
+    # explicit aliases on both sides: self-joins (left and right sharing
+    # lineage) must not lean on Spark's ambiguous-self-join heuristics,
+    # which log "trivially true equals predicate" and can silently turn
+    # into a cartesian-with-filter across versions
+    r2 = right.withColumn("__rb", F.floor(F.col(right_point) / width)).alias("r")
     # the probe window [p+lower, p+upper] spans bucket ids
     # floor((p+lower)/w) .. floor((p+upper)/w) — at most 2 distinct ids
     # since the window width equals the bucket width
@@ -66,20 +75,25 @@ def range_join(
                 F.floor((F.col(left_point) + F.lit(upper)) / width),
             )
         ),
-    )
+    ).alias("l")
     in_range = (
-        (F.col(right_point) >= F.col(left_point) + F.lit(lower))
-        & (F.col(right_point) <= F.col(left_point) + F.lit(upper))
+        (F.col(f"r.{right_point}") >= F.col(f"l.{left_point}") + F.lit(lower))
+        & (F.col(f"r.{right_point}") <= F.col(f"l.{left_point}") + F.lit(upper))
     )
-    cond = l2["__lb"] == r2["__rb"]
+    cond = F.col("l.__lb") == F.col("r.__rb")
     for c in by_cols:
-        cond = cond & (l2[c] == r2[c])
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    right_payload = [c for c in right.columns if c not in by_cols]
     # each right row lives in exactly ONE bucket and the left side
     # probes each bucket id once, so no pair is produced twice —
     # no dedup needed
-    pairs = l2.join(r2, cond).drop(*[r2[c] for c in by_cols]).filter(in_range)
+    pairs = (
+        l2.join(r2, cond)
+        .filter(in_range)
+        .select("l.*", *[F.col(f"r.{c}") for c in right_payload])
+    )
     if how == "inner":
-        return pairs.drop("__lb", "__rb", "__lid")
+        return pairs.drop("__lb", "__lid")
 
     # left: keep left rows with no in-range match (NOT just no bucket
     # match — a bucket hit can still fail the residual range predicate)
@@ -89,7 +103,7 @@ def range_join(
         for f in right.schema.fields if f.name not in by_cols
     ]
     return (
-        pairs.drop("__lb", "__rb")
+        pairs.drop("__lb")
         .unionByName(unmatched.select("*", *null_payload))
         .drop("__lid")
     )

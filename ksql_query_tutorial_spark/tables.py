@@ -49,6 +49,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTER metadata — no Spark job, no
+    data scan (the footer stores per-row-group counts). This is the
+    'file statistics' source for sizing knobs (e.g. LSH plane counts)
+    that must not cost a full count() action at plan-build time.
+    Accepts a single file or a directory of part files.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_all(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
     """Read several fixture tables into a dict."""
     return {n: load(spark, sf_dir, n) for n in names}

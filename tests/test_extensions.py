@@ -87,6 +87,26 @@ def test_ann_structure_and_recall(spark):
     assert hits / total >= 0.2, f"ANN recall {hits}/{total} unexpectedly low"
 
 
+def test_ann_lsh_declaration_runs_no_spark_action(spark, monkeypatch):
+    """Building the ann_lsh_topk plan must not trigger a Spark action:
+    corpus size comes from parquet footer statistics, not count()."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("Spark action during query declaration")
+
+    for m in ("count", "collect", "toPandas", "toLocalIterator"):
+        monkeypatch.setattr(DataFrame, m, _boom)
+    df = ann_lsh_topk(spark, SF_ORACLE)
+    assert df.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+
+
+def test_minhash_bands_must_divide_num_hashes(spark):
+    d = load(spark, SF_ORACLE, "documents")
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_lsh_pairs(d, "doc_id", num_hashes=100, bands=32)
+
+
 def test_mm_features_match_payload_bytes(spark):
     feats = {r.media_id: r for r in mm_features(spark, SF_ORACLE).collect()}
     docs = {
