@@ -30,10 +30,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL, keyed identically to :func:`queries`. Keys
-    absent here (MinHash-LSH, SimHash, embedding-LSH, ANN, mapInPandas
-    byte features) are approximate or non-SQL-expressible → the
-    driver's rows-only check applies; everything else (including the
-    iterative connected-components dedup, via a recursive CTE) gets the
-    full value-hash compare."""
+    """DuckDB oracle SQL, keyed identically to :func:`queries`.
+
+    Everything gets the full value-hash compare — including MinHash-LSH
+    and embedding-LSH (recall-1 regime at the oracle sf, verified, so
+    the exact oracles apply), LSH-ANN (the seeded hyperplanes are
+    data-independent constants inlined into the SQL), the mapInPandas
+    byte features (histogram() aggregate), and the iterative
+    connected-components dedup (recursive CTE) — EXCEPT the only two
+    provably non-reproducible ops: dedup_simhash (defined over Spark's
+    xxhash64, absent in DuckDB) and ann_ivf_topk (recall < 1 with
+    driver-trained centroids); those two take the rows-only check and
+    carry the proof in their docstrings."""
     return {**TUTORIAL_ORACLES, **EXTENSION_ORACLES}

@@ -78,14 +78,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: LSH banding is not SQL-expressible; output is a
-    (high-recall) subset of dedup_ngram_jaccard at the same threshold."""
+    """Hash-verified against the exact n-gram Jaccard oracle: at 128
+    hashes × 32 bands the banding S-curve puts the fixture's planted
+    near-dups (jaccard ≥ 0.5, noise < 0.1) deep in the recall-1 regime,
+    and every emitted pair carries the exact verified Jaccard — so the
+    output EQUALS dedup_ngram_jaccard on the fixture (verified at
+    sf0.01 and sf0.1) and the same SQL oracle applies."""
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (bit-level sketch + pigeonhole banding)."""
+    """Rows-only check — provably not SQL-expressible: the sketch is
+    defined over Spark's xxhash64 (seed 42), which DuckDB does not
+    implement, so no independent SQL can reproduce the bit pattern.
+    Semantics are pinned instead by
+    test_simhash_banding_equals_brute_force (pigeonhole banding ==
+    brute-force Hamming-distance pairs over the same sketches)."""
     d = load(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, "doc_id", max_hamming=3)
 
@@ -99,16 +108,41 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.keeper_assignment(d, pairs, "doc_id")
 
 
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION composition for dedup clustering: connected
+    components fed by MinHash-LSH pairs (sub-quadratic candidate
+    generation) instead of the exact-Jaccard pair join. At the fixture's
+    planted similarity levels LSH recall is 1 (verified at sf0.01 and
+    sf0.1), so the clusters equal the exact-fed ones and the same
+    recursive-CTE oracle applies; at 100 TB this is the only variant
+    whose pair source scales."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+    return dedup.keeper_assignment(d, pairs, "doc_id")
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return dedup.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
 
 
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (LSH recall < 1 by construction); every emitted
-    pair carries the exact cosine, a subset of dedup_embedding."""
+    """Scale-adaptive (k, L): plane count grows with corpus size (from
+    parquet FOOTER stats — no count() action) so bucket occupancy stays
+    constant; table count is fixed. At the oracle sf the config sits in
+    the recall-1 regime of the S-curve (verified empirically: output ==
+    dedup_embedding), so the exact-cosine oracle applies; every emitted
+    pair always carries the exact cosine (subset guarantee at any sf)."""
+    import math
+
+    from ksql_query_tutorial_spark.tables import parquet_row_count
+
     e = load(spark, sf_dir, "embeddings")
-    return dedup.embedding_lsh_pairs(e, threshold=COSINE_THRESHOLD, n_planes=8)
+    n = parquet_row_count(f"{sf_dir}/embeddings.parquet")
+    n_planes = max(2, min(16, round(math.log2(max(n, 64) / 32))))
+    return dedup.embedding_lsh_pairs(
+        e, threshold=COSINE_THRESHOLD, n_planes=n_planes, n_tables=8
+    )
 
 
 # --------------------------------------------------------------- similarity
@@ -120,8 +154,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (approximate by construction; centroid training
-    is a bounded driver-side sample — see spherical_kmeans_centroids)."""
+    """Rows-only check — recall < 1 by construction (nprobe=4 of 16
+    trained centroid lists; measured ~0.9 on the fixture, so no exact
+    oracle can hash-match), and the centroids are learned driver-side
+    (k-means on a bounded sample), so unlike the seeded LSH planes they
+    cannot be inlined into independent SQL. Quality is pinned by
+    test_ivf_topk_structure_and_recall instead."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(e, queries, k=5, n_centroids=16, nprobe=4)
@@ -248,6 +286,7 @@ EXTENSION_QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_lsh": dedup_clusters_lsh,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "similarity_topk": similarity_topk,
@@ -269,6 +308,21 @@ _SHINGLES = (
     "list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) "
     "ELSE [] END)"
 )
+
+_JACCARD_PAIRS_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
 
 EXTENSION_ORACLES: dict[str, str] = {
     "text_token_stats": f"""
@@ -344,20 +398,11 @@ EXTENSION_ORACLES: dict[str, str] = {
         GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
         ORDER BY keeper_id
     """,
-    "dedup_ngram_jaccard": f"""
-        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-        sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
-        post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
-        FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-        WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {JACCARD_THRESHOLD}
-        ORDER BY id_a, id_b
-    """,
+    "dedup_ngram_jaccard": _JACCARD_PAIRS_ORACLE,
+    # MinHash-LSH equals the exact pairs on the fixture (recall-1 regime
+    # at 128 hashes / 32 bands; every pair carries the exact verified
+    # Jaccard) — same oracle, hash-compared
+    "dedup_minhash_lsh": _JACCARD_PAIRS_ORACLE,
     "dedup_clusters": f"""
         WITH RECURSIVE
         t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
@@ -458,4 +503,78 @@ EXTENSION_ORACLES: dict[str, str] = {
                octet_length(encode(text)) * 10 AS duration_ms
         FROM documents ORDER BY media_id
     """,
+    # payload = UTF-8 bytes of text (pure ASCII in the fixture, so
+    # ascii(char) == byte value); per-doc byte histogram → mean byte +
+    # Shannon entropy, exactly what the vectorized Arrow batch computes
+    # one aggregation level on purpose: DuckDB 1.0's CTE inlining trips
+    # ("LATERAL join cannot contain aggregates" / "nested aggregates")
+    # when stacked aggregate CTEs sit over an unnest lineage, so the
+    # per-doc byte histogram comes from the histogram() map aggregate.
+    # Fixture texts are all non-empty ASCII (ascii(char) == byte value).
+    "mm_features": """
+        WITH agg AS (
+          SELECT doc_id, histogram(ascii(c)) AS h,
+                 count(*) AS n, sum(ascii(c)) AS s
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+          GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_byte,
+               ROUND(-list_sum(list_transform(map_values(h),
+                     c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))), 6)
+                 AS byte_entropy
+        FROM agg ORDER BY media_id
+    """,
 }
+
+# LSH-fed clusters equal the exact-fed clusters on the fixture (pair
+# recall 1), so the same recursive-CTE transitive-closure oracle applies
+EXTENSION_ORACLES["dedup_clusters_lsh"] = EXTENSION_ORACLES["dedup_clusters"]
+# embedding-LSH at the oracle sf sits in the recall-1 regime (scaled
+# plane count) and emits exact cosines — same oracle as the brute force
+EXTENSION_ORACLES["dedup_embedding_lsh"] = EXTENSION_ORACLES["dedup_embedding"]
+
+
+def _ann_lsh_oracle_sql(n_rows: int = 500, dim: int = 64) -> str:
+    """DuckDB replica of :func:`similarity.lsh_ann_topk` for the oracle
+    fixture: the hyperplanes are DATA-INDEPENDENT seeded constants, so
+    the whole pipeline — sign-bit bucket codes, Hamming-1 multiprobe,
+    exact cosine ranking within candidates — is expressible as SQL with
+    the plane vectors inlined as literals. ``n_rows`` must match the
+    corpus size the driver runs the oracle at (sf0.01 → 500) so the
+    plane count agrees with the footer-derived one in ann_lsh_topk."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.similarity import hyperplanes
+
+    n_planes = max(2, min(16, int(math.log2(max(n_rows, 32) / 16))))
+    planes = hyperplanes(dim, n_planes, seed=42)
+
+    def bucket(col: str) -> str:
+        bits = [
+            f"(CASE WHEN list_dot_product({col}, "
+            f"[{', '.join(repr(x) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(bits) + ")"
+
+    probes = ", ".join(f"xor(qbucket, {1 << i})" for i in range(n_planes))
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS nid, v AS cv, {bucket('v')} AS bucket FROM e),
+        q0 AS (SELECT vec_id AS qid, v AS qv, {bucket('v')} AS qbucket
+               FROM e WHERE vec_id < 10),
+        q AS (SELECT qid, qv, unnest([qbucket, {probes}]) AS pb FROM q0),
+        s AS (SELECT q.qid, c.nid,
+                     list_cosine_similarity(q.qv, c.cv) AS cos,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.nid)
+                       AS rank
+              FROM q JOIN c ON q.pb = c.bucket AND q.qid != c.nid)
+        SELECT qid AS query_id, nid AS neighbor_id,
+               CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cosine
+        FROM s WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+
+EXTENSION_ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()

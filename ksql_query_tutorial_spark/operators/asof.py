@@ -62,8 +62,16 @@ def asof_join(
     payload = [c for c in right.columns if c not in by_cols and c != time_col]
     left_payload = [c for c in left.columns if c not in by_cols and c != time_col]
 
-    null_of = {f.name: F.lit(None).cast(f.dataType) for f in right.schema.fields}
     lnull_of = {f.name: F.lit(None).cast(f.dataType) for f in left.schema.fields}
+    # the right payload travels as ONE struct so last(ignorenulls) picks
+    # every column from the SAME matched row — per-column fills would
+    # backfill a NULL payload column from an OLDER right row, emitting a
+    # stitched row that never existed on the right
+    from pyspark.sql import types as T
+
+    if not payload:
+        raise ValueError("right side has no payload columns beyond keys/time")
+    payload_t = T.StructType([right.schema[c] for c in payload])
 
     sort_keys = ["__t", "__is_l"] + (["__ord"] if order_col else [])
     l2 = left.select(
@@ -74,7 +82,7 @@ def asof_join(
           if order_col else []),
         *left_payload,
         F.lit(None).cast("timestamp").alias("__rt"),
-        *[null_of[c].alias(c) for c in payload],
+        F.lit(None).cast(payload_t).alias("__rp"),
     )
     r2 = right.select(
         *by_cols,
@@ -83,7 +91,7 @@ def asof_join(
         *([F.col(order_col).alias("__ord")] if order_col else []),
         *[lnull_of[c].alias(c) for c in left_payload],
         F.col(time_col).cast("timestamp").alias("__rt"),
-        *payload,
+        F.struct(*payload).alias("__rp"),
     )
     u = l2.unionByName(r2)
 
@@ -98,7 +106,7 @@ def asof_join(
         "__is_l",
         *left_payload,
         F.last("__rt", ignorenulls=True).over(w).alias("__rt"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
     ).filter(F.col("__is_l") == 1)
 
     if tolerance_seconds is not None:
@@ -107,10 +115,10 @@ def asof_join(
             & (F.unix_timestamp("__t") - F.unix_timestamp("__rt")
                <= F.lit(float(tolerance_seconds)))
         )
-        filled = filled.select(
-            *by_cols, "__t", "__is_l", *left_payload, "__rt",
-            *[F.when(in_tol, F.col(c)).otherwise(F.lit(None)).alias(c) for c in payload],
-        ).withColumn("__rt", F.when(in_tol, F.col("__rt")))
+        filled = (
+            filled.withColumn("__rp", F.when(in_tol, F.col("__rp")))
+            .withColumn("__rt", F.when(in_tol, F.col("__rt")))
+        )
 
     if how == "inner":
         filled = filled.filter(F.col("__rt").isNotNull())
@@ -118,5 +126,8 @@ def asof_join(
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
 
     return filled.select(
-        *by_cols, F.col("__t").alias(time_col), *left_payload, *payload
+        *by_cols,
+        F.col("__t").alias(time_col),
+        *left_payload,
+        *[F.col("__rp").getField(c).alias(c) for c in payload],
     )

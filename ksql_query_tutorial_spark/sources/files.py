@@ -60,15 +60,28 @@ def write_table(
     """Write a table, optionally hive-partitioned by low-cardinality
     columns, with a bounded file count per partition value.
 
-    The repartition on the partition columns routes each partition
-    value's rows to ``files_per_partition`` tasks — without it every
-    upstream task writes a sliver of every partition value (the
-    small-files problem at cluster scale).
+    The repartition routes each partition value's rows to at most
+    ``files_per_partition`` tasks — without it every upstream task
+    writes a sliver of every partition value (the small-files problem
+    at cluster scale). A deterministic row-hash salt is added to the
+    shuffle keys: hashing the partition columns alone would send ALL
+    rows of a value to ONE task (files_per_partition would be a no-op,
+    and a hot partition value becomes a single-task straggler).
     """
     fmt = fmt.lower()
     if partition_by:
-        df = df.repartition(
-            max(files_per_partition * 4, 1), *[F.col(c) for c in partition_by]
+        n_files = max(int(files_per_partition), 1)
+        # row-hash salt, NOT rand(): a nondeterministic shuffle key can
+        # drop/duplicate rows when a task retries
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_files))
+        # explicit numPartitions: a columns-only repartition is subject
+        # to AQE partition coalescing, which can merge every (value,
+        # salt) combo back into one task and defeat the fan-out
+        n_tasks = max(n_files * 8, df.sparkSession.sparkContext.defaultParallelism)
+        df = (
+            df.withColumn("__salt", salt)
+            .repartition(n_tasks, *[F.col(c) for c in partition_by], F.col("__salt"))
+            .drop("__salt")
         )
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":

@@ -240,6 +240,48 @@ def test_embedding_lsh_is_subset_of_brute_force(spark):
     assert recall >= 0.4, f"LSH recall {recall:.2f} below expectation"
 
 
+def test_embedding_block_pairs_match_numpy_brute_force(spark):
+    """The block-partitioned matmul (no driver collect, no full-corpus
+    broadcast) must emit every qualifying pair exactly once — diagonal
+    and off-diagonal block pairs both covered."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in dedup.embedding_cosine_pairs(df, threshold=0.3, n_blocks=5).collect()}
+    m = vecs.astype("float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = m @ m.T
+    want = {(i, j): round(float(s[i, j]), 6)
+            for i in range(40) for j in range(i + 1, 40)
+            if round(float(s[i, j]), 6) >= 0.3}
+    assert got == want
+
+
+def test_asof_join_null_payload_not_stitched(spark):
+    """The matched (latest) right row's NULL payload columns must come
+    through as NULL — not backfilled from an older right row (per-column
+    last(ignorenulls) would stitch together a row that never existed)."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, "u", t(30))], "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("old", 7, "u", t(10)), (None, 9, "u", t(20))],
+        "tag string, val long, k string, ts timestamp",
+    )
+    row = asof_join(left, right, "ts", ["k"], order_col="val").collect()[0]
+    assert row.val == 9
+    assert row.tag is None, "NULL payload column backfilled from an older right row"
+
+
 def test_asof_join_semantics(spark):
     import datetime as dt
 
@@ -300,6 +342,39 @@ def test_range_join_semantics(spark):
     # lid=2 at p=50: bucket-level hit possible but no in-range match ->
     # exactly one null row, not dropped and not duplicated
     assert by_lid == {1: {200, 202}, 2: {None}, 3: {None}}
+
+
+def test_hypertable_rollup_month_correct_despite_week_level(spark):
+    """Weeks straddle month boundaries: month totals must come from the
+    finest partials, not from week partials. Rows sit in the week of
+    2024-01-29..2024-02-04, split across two months."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.rollup import hypertable_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 31, 5), 1.0),
+         ("a", dt.datetime(2024, 2, 1, 7), 10.0),
+         ("a", dt.datetime(2024, 2, 2, 9), 100.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    out = hypertable_rollup(e, "ts", ["event_type"], "value",
+                            granularities=("hour", "day", "week", "month"))
+    months = {r.bucket_start.month: (r.n, r.total_value)
+              for r in out.filter("granularity = 'month'").collect()}
+    assert months == {1: (1, 1.0), 2: (2, 110.0)}
+    weeks = [(r.n, r.total_value) for r in out.filter("granularity = 'week'").collect()]
+    assert weeks == [(3, 111.0)]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="straddle"):
+        hypertable_rollup(e, "ts", ["event_type"], "value",
+                          granularities=("week", "month"))
+    with _pytest.raises(ValueError, match="finest-first"):
+        hypertable_rollup(e, "ts", ["event_type"], "value",
+                          granularities=("day", "hour"))
 
 
 def test_hypertable_rollup_day_equals_hour_sum(spark):

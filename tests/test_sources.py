@@ -103,3 +103,32 @@ def test_file_roundtrip_all_formats(spark, tmp_path):
         one._jdf.queryExecution(), "formatted")
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
     assert one.count() == d.filter(F.col("lang") == langs[0]).count()
+
+
+def test_write_table_files_per_partition_spreads_tasks(spark, tmp_path):
+    """files_per_partition must actually fan each partition value over
+    that many tasks (bounded above by it, spread by the row-hash salt —
+    a partition-column-only repartition routes every value to ONE task)."""
+    import os
+
+    from ksql_query_tutorial_spark.sources.files import write_table
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text", "lang")
+    path = str(tmp_path / "salted")
+    write_table(d, path, fmt="parquet", partition_by=["lang"], files_per_partition=3)
+    per_value = {}
+    for entry in os.listdir(path):
+        if not entry.startswith("lang="):
+            continue
+        files = [f for f in os.listdir(os.path.join(path, entry))
+                 if f.endswith(".parquet")]
+        per_value[entry] = len(files)
+    assert per_value, "no partition directories written"
+    assert all(1 <= n <= 3 for n in per_value.values()), per_value
+    # with hundreds of rows per value, the salt must spread at least one
+    # value over >1 file (P[all rows share a salt] is astronomically small)
+    assert max(per_value.values()) > 1, per_value
+    back = spark.read.parquet(path)
+    assert back.count() == d.count()
