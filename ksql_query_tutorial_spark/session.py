@@ -134,6 +134,54 @@ class EngineSession:
         df = self.spark.table(name)
         return latest_by_key(df, list(coll.key_cols), order_col)
 
+    def get(self, name: str, key, order_col: str = "__offset"):
+        """Pull query: the CURRENT value for one key from a TABLE's
+        materialized upsert state — the KTable point-lookup the
+        reference tutorial lacks (its README shows only push queries,
+        `/root/reference/README.md:115-117`) but every ksqlDB user
+        reaches for next (`SELECT * FROM t WHERE key = ...;` without
+        EMIT CHANGES).
+
+        ``key``: a scalar (single-column key), a tuple in ``key_cols``
+        order, or a ``{col: value}`` dict. Returns the row as a dict,
+        or ``None`` if the key is absent.
+
+        Scale design: the key filter is applied to the CHANGELOG before
+        the latest-per-key aggregation — filtering on grouping columns
+        commutes with the groupBy, so Catalyst pushes the predicate to
+        the scan and the lookup touches one key's records, never a
+        full-table materialization.
+        """
+        from pyspark.sql import functions as F
+
+        from ksql_query_tutorial_spark.operators.upsert import latest_by_key
+
+        coll = self.catalog[name]
+        if coll.kind != "TABLE":
+            raise ValueError(f"pull queries read TABLEs; {name!r} is a {coll.kind}")
+        if not coll.key_cols:
+            raise ValueError(f"TABLE {name!r} has no PRIMARY KEY columns")
+        if isinstance(key, dict):
+            unknown = set(key) - set(coll.key_cols)
+            if unknown or set(key) != set(coll.key_cols):
+                raise ValueError(
+                    f"key columns {sorted(key)} != PRIMARY KEY {list(coll.key_cols)}"
+                )
+            bound = key
+        else:
+            values = key if isinstance(key, (tuple, list)) else (key,)
+            if len(values) != len(coll.key_cols):
+                raise ValueError(
+                    f"need {len(coll.key_cols)} key values for {list(coll.key_cols)}, "
+                    f"got {len(values)}"
+                )
+            bound = dict(zip(coll.key_cols, values))
+        df = self.spark.table(name)
+        for c, v in bound.items():
+            df = df.filter(F.col(c) == F.lit(v))
+        rows = latest_by_key(df, list(coll.key_cols), order_col).take(1)
+        return rows[0].asDict() if rows else None
+
     # ---------------------------------------------------------------- query
     def sql(self, query: str) -> DataFrame:
         """Spark SQL passthrough (the engine's query endpoint)."""
