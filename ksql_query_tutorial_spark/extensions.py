@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ksql_query_tutorial_spark.operators import (
     asof,
+    corpus,
     dedup,
     multimodal,
     rangejoin,
@@ -283,6 +284,62 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width", "height")
 
 
+# ------------------------------------------------------------------ corpus
+# pipeline-planning ops over the documents table: packing /
+# decontamination / boilerplate / repetition / sampling / mixing
+
+PACK_BUDGET = 512
+DECON_MIN_HITS = 2
+BOILERPLATE_MIN_DOCS = 5
+SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5}
+MIX_TOTAL_TOKENS = 100_000
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concatenate-and-chunk packing of the corpus into
+    512-token context windows (hierarchical prefix sum — no
+    single-partition global window; see corpus.pack_sequences)."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.pack_sequences(d, budget=PACK_BUDGET)
+
+
+def decontaminate_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval
+    set; training docs are scored by distinct-shingle overlap with it."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return corpus.decontaminate(train, bench, min_hits=DECON_MIN_HITS)
+
+
+def corpus_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return corpus.boilerplate_stats(d, min_docs=BOILERPLATE_MIN_DOCS)
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return corpus.with_repetition(d)
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (en 0.5, zh 0.25,
+    rest 1.0) — the hash is portable BIGINT arithmetic, so the oracle
+    reproduces the exact sample, not just its size."""
+    d = load(spark, sf_dir, "documents")
+    out = corpus.sample_stratified(d, SAMPLE_RATES)
+    return out.select("doc_id", "lang", "source", "u")
+
+
+def mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: token accounting per source + the sampling
+    fraction realizing a 100k-token budget at weights src0=2.0,
+    src1=0.5, rest 1.0."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.mix_budget(d, MIX_WEIGHTS, MIX_TOTAL_TOKENS)
+
+
 EXTENSION_QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -306,6 +363,12 @@ EXTENSION_QUERIES = {
     "mm_meta": mm_meta,
     "mm_features": mm_features,
     "mm_resize": mm_resize,
+    "pack_sequences": pack_sequences,
+    "decontaminate_bench": decontaminate_bench,
+    "corpus_boilerplate": corpus_boilerplate,
+    "text_repetition": text_repetition,
+    "sample_stratified": sample_stratified,
+    "mix_budget": mix_budget,
 }
 
 # DuckDB shingle expression shared by the jaccard + fingerprint oracles:
@@ -586,3 +649,104 @@ def _ann_lsh_oracle_sql(n_rows: int = 500, dim: int = 64) -> str:
 
 
 EXTENSION_ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql()
+
+
+# ------------------------------------------------------------------ corpus
+# oracles for the pipeline-planning ops; all reuse the _TOKS/_SHINGLES
+# fragments so tokenization is character-identical with the Spark side
+
+EXTENSION_ORACLES["pack_sequences"] = f"""
+    WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS begin_offset
+          FROM t)
+    SELECT doc_id, n_tokens, begin_offset,
+           begin_offset // {PACK_BUDGET} AS pack_id,
+           (begin_offset + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET} AS pack_end,
+           ((begin_offset + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET})
+               > (begin_offset // {PACK_BUDGET}) AS straddles
+    FROM c ORDER BY doc_id
+"""
+
+EXTENSION_ORACLES["decontaminate_bench"] = f"""
+    WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 50 <> 0),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tr),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    bt AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0),
+    bidx AS (SELECT DISTINCT unnest(s) AS shingle
+             FROM (SELECT {_SHINGLES} AS s FROM bt)),
+    hits AS (SELECT p.doc_id, count(*) AS n_hit
+             FROM post p JOIN bidx b ON p.shingle = b.shingle GROUP BY 1)
+    SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                 / GREATEST(len(sh.s), 1), 6) AS contamination_frac,
+           COALESCE(h.n_hit, 0) >= {DECON_MIN_HITS} AS contaminated
+    FROM sh LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+EXTENSION_ORACLES["corpus_boilerplate"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    freq AS (SELECT shingle FROM post GROUP BY 1
+             HAVING count(*) >= {BOILERPLATE_MIN_DOCS}),
+    hits AS (SELECT p.doc_id, count(*) AS n_bp
+             FROM post p JOIN freq f ON p.shingle = f.shingle GROUP BY 1)
+    SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_bp, 0) AS BIGINT) AS n_boilerplate,
+           ROUND(CAST(COALESCE(h.n_bp, 0) AS DOUBLE)
+                 / GREATEST(len(sh.s), 1), 6) AS boilerplate_frac
+    FROM sh LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+EXTENSION_ORACLES["text_repetition"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= 2 THEN
+                      list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END AS b
+           FROM t),
+    pos AS (SELECT doc_id, unnest(b) AS bigram FROM bg),
+    cnt AS (SELECT doc_id, bigram, count(*) AS c FROM pos GROUP BY 1, 2),
+    agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total FROM cnt GROUP BY 1)
+    SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6) AS dup_word_frac,
+           ROUND(CAST(COALESCE(a.top, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(a.total, 0), 1), 6) AS top_bigram_frac
+    FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+EXTENSION_ORACLES["sample_stratified"] = """
+    SELECT doc_id, lang, source,
+           (doc_id % 1048573) * 2654435761 % 1000000 AS u
+    FROM documents
+    WHERE (doc_id % 1048573) * 2654435761 % 1000000
+          < CASE lang WHEN 'en' THEN 500000
+                      WHEN 'zh' THEN 250000
+                      ELSE 1000000 END
+    ORDER BY doc_id
+"""
+
+EXTENSION_ORACLES["mix_budget"] = f"""
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      SUM(CAST(len({_TOKS}) AS BIGINT)) AS n_tokens,
+                      ROUND(CASE source WHEN 'src0' THEN 2.0
+                                        WHEN 'src1' THEN 0.5
+                                        ELSE 1.0 END, 6) AS weight
+               FROM documents GROUP BY 1)
+    SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, weight,
+           CAST(FLOOR({MIX_TOTAL_TOKENS}.0 * weight
+                      / (SELECT SUM(weight) FROM s)) AS BIGINT) AS alloc_tokens,
+           ROUND(LEAST(1.0,
+                 CAST(FLOOR({MIX_TOTAL_TOKENS}.0 * weight
+                            / (SELECT SUM(weight) FROM s)) AS DOUBLE)
+                 / GREATEST(n_tokens, 1)), 6) AS sample_frac
+    FROM s ORDER BY source
+"""

@@ -1,0 +1,355 @@
+"""Corpus-level training-data pipeline operators.
+
+The ops a 100 TB pretraining pipeline runs AFTER per-document scoring
+(operators/text.py) and near-dup removal (operators/dedup.py):
+
+- :func:`pack_sequences` — concatenate-and-chunk token packing into
+  fixed context windows (the GPT-style pretraining layout).
+- :func:`decontaminate` — n-gram overlap of the training corpus
+  against a benchmark/eval set.
+- :func:`boilerplate_stats` — corpus-frequent shingle detection and
+  the per-document boilerplate fraction.
+- :func:`with_repetition` — Gopher-style intra-document repetition
+  signals (duplicate-word fraction, top-bigram fraction).
+- :func:`sample_stratified` — deterministic hash-based per-stratum
+  downsampling.
+- :func:`mix_budget` — per-source token accounting and sampling
+  fractions for a weighted training mixture.
+
+Everything is JVM-side DataFrame ops (no Python UDFs); every shuffle
+key includes the document id or a bounded domain, so nothing here
+concentrates data by an unbounded hot key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ksql_query_tutorial_spark.operators.dedup import shingles
+from ksql_query_tutorial_spark.operators.text import tokens
+
+# documents per prefix-sum block in pack_sequences; a block's subtotal
+# row is ~16 bytes, so even 10^12 docs yield a 160 MB block table —
+# still a groupBy away from broadcastable prefix offsets at 100 TB.
+PACK_BLOCK = 100_000
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay every document's
+    tokens end-to-end in ``id_col`` order and cut the stream into
+    fixed ``budget``-token context windows (documents may straddle a
+    cut — exactly how GPT-style pretraining packs its batches).
+
+    Scale design — the global running token offset is a HIERARCHICAL
+    prefix sum, not one global window (a single-partition
+    ``Window.orderBy`` serializes the whole corpus through one task):
+
+    1. intra-block exclusive cumsum, window partitioned by
+       ``block = id div PACK_BLOCK`` (parallel across blocks);
+    2. per-block totals (groupBy — tiny: corpus_rows / PACK_BLOCK);
+    3. exclusive cumsum OVER BLOCKS (single-partition window over the
+       tiny block table only);
+    4. broadcast the block offsets back.
+
+    Returns one row per document: ``doc_id, n_tokens, begin_offset,
+    pack_id, pack_end, straddles`` where ``pack_id``/``pack_end`` are
+    the first/last context windows the document touches.
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        (F.col(id_col).cast("long") / F.lit(PACK_BLOCK)).cast("long").alias("__blk"),
+    )
+
+    intra_w = (
+        Window.partitionBy("__blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn(
+        "__local", F.coalesce(F.sum("n_tokens").over(intra_w), F.lit(0))
+    )
+
+    blk_w = (
+        Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_offsets = (
+        base.groupBy("__blk")
+        .agg(F.sum("n_tokens").alias("__blk_total"))
+        .withColumn("__blk_off", F.coalesce(F.sum("__blk_total").over(blk_w), F.lit(0)))
+        .select("__blk", "__blk_off")
+    )
+
+    packed = (
+        local.join(F.broadcast(blk_offsets), "__blk")
+        .withColumn("begin_offset", F.col("__blk_off") + F.col("__local"))
+        .withColumn("pack_id", (F.col("begin_offset") / budget).cast("long"))
+        .withColumn(
+            "pack_end",
+            ((F.col("begin_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+             / budget).cast("long"),
+        )
+        .withColumn("straddles", F.col("pack_end") > F.col("pack_id"))
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "begin_offset", "pack_id", "pack_end", "straddles"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, how many
+    of its distinct ``n``-gram shingles also occur ANYWHERE in the
+    benchmark set; ``contaminated`` flags docs with ≥ ``min_hits``.
+
+    Plan shape: both sides explode to distinct (doc, shingle) postings;
+    the benchmark side collapses to its distinct-shingle index (eval
+    sets are tiny next to a training corpus, so Catalyst/AQE broadcasts
+    it); a LEFT join + count keeps zero-hit documents in the output.
+
+    Returns ``doc_id, n_shingles, n_contaminated, contamination_frac,
+    contaminated`` for every training document.
+    """
+    t_post = (
+        train.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias(
+                "shingle"
+            ),
+        )
+    )
+    bench_index = (
+        bench.select(F.explode(F.array_distinct(shingles(F.col(text_col), n)))
+                     .alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per_doc = (
+        t_post.join(F.broadcast(bench_index), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(
+                F.col("n_contaminated").cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") >= min_hits)
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_contaminated", "contamination_frac", "contaminated"
+    )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Corpus-level boilerplate detection: a shingle occurring in
+    ≥ ``min_docs`` DISTINCT documents is boilerplate (headers, nav
+    bars, license blurbs — the cross-document repetition that survives
+    per-document quality filters); report each document's share.
+
+    Two shuffles, both well-keyed: (doc, shingle) postings groupBy
+    shingle for document frequency (shingle keys are long-tailed; the
+    distinct-per-doc explode caps any one doc's contribution at 1 per
+    shingle), then groupBy doc for the per-document rollup.
+
+    Returns ``doc_id, n_shingles, n_boilerplate, boilerplate_frac``.
+    """
+    post = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
+    )
+    freq = (
+        post.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("shingle", F.lit(1).alias("__bp"))
+    )
+    return (
+        post.join(freq, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("shingle").alias("n_shingles"),
+            F.count("__bp").alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.round(
+                F.col("n_boilerplate").cast("double")
+                / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .select("doc_id", "n_shingles", "n_boilerplate", "boilerplate_frac")
+    )
+
+
+def with_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_word_frac`` — 1 − distinct/total tokens (shuffle-free HOF);
+    - ``top_bigram_frac`` — share of all bigram occurrences taken by
+      the single most frequent bigram (explode + two doc-keyed
+      aggregations; every shuffle key contains ``doc_id``, so skew is
+      bounded by document length, not corpus size).
+
+    High values ⇒ degenerate/templated text (Rae et al., Gopher
+    appendix A): cut before tokenization, they are the cheapest
+    quality win after URL filtering.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        shingles(F.col(text_col), 2).alias("__bigrams"),
+    )
+    bg = base.select("doc_id", F.explode_outer("__bigrams").alias("bigram"))
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("__top"),
+        F.sum("c").alias("__total"),
+    )
+    return (
+        base.select("doc_id", "n_tokens", "dup_word_frac")
+        .join(per_doc, "doc_id", "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                / F.greatest(F.col("__total"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .select("doc_id", "n_tokens", "dup_word_frac", "top_bigram_frac")
+    )
+
+
+# multiplier/modulus for the portable sampling hash: doc_id is folded
+# below 2**20 FIRST so the product stays far under 2**63 in any engine
+# (Knuth's 2654435761 times 2**20 < 2**52) — the hash must be
+# reproducible in plain BIGINT SQL, not just in Spark.
+_HASH_FOLD = 1_048_573        # largest prime < 2**20
+_HASH_MULT = 2_654_435_761    # Knuth multiplicative constant
+_HASH_MOD = 1_000_000
+
+
+def sample_hash(col) -> F.Column:
+    """Deterministic uniform-ish hash of an integer id into
+    [0, 1e6) — portable arithmetic (fold, multiply, mod) that any SQL
+    engine reproduces exactly, unlike xxhash64/rand(seed)."""
+    return F.pmod(F.pmod(col.cast("long"), F.lit(_HASH_FOLD)) * _HASH_MULT,
+                  F.lit(_HASH_MOD))
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a row iff
+    ``sample_hash(id) < rate[stratum] * 1e6``. A pure narrow filter —
+    no shuffle, no rand() (re-running the pipeline or re-reading a
+    partition yields the SAME sample, which nondeterministic sampling
+    breaks under task retries at cluster scale).
+
+    Returns the sampled rows with the hash exposed as ``u`` (audit
+    column: u/1e6 is the uniform variate the rate was compared to).
+    """
+    rate_expr = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(rate))
+        ).otherwise(rate_expr)
+    u = sample_hash(F.col(id_col))
+    return (
+        df.withColumn("u", u)
+        .filter(F.col("u") < (rate_expr * _HASH_MOD).cast("long"))
+    )
+
+
+def mix_budget(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Training-mixture planning: given per-source mixture ``weights``
+    and a global ``total_tokens`` budget, compute each source's token
+    allocation and the deterministic sampling fraction that realizes
+    it (capped at 1 — a source cannot contribute more than it has).
+
+    One bounded aggregation (sources are a small domain) + arithmetic;
+    the output feeds :func:`sample_stratified` with
+    ``rates = {source: sample_frac}``.
+
+    Returns ``source, n_docs, n_tokens, weight, alloc_tokens,
+    sample_frac`` ordered by source.
+    """
+    w_expr = F.lit(float(default_weight))
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(w_expr)
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__t"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens"))
+        .withColumn("weight", F.round(w_expr, 6))
+    )
+    total_w = per_source.groupBy().agg(F.sum("weight").alias("__tw"))
+    return (
+        per_source.crossJoin(F.broadcast(total_w))
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.lit(float(total_tokens)) * F.col("weight") / F.col("__tw"))
+            .cast("long"),
+        )
+        .withColumn(
+            "sample_frac",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("alloc_tokens").cast("double")
+                    / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                ),
+                6,
+            ),
+        )
+        .select("source", "n_docs", "n_tokens", "weight", "alloc_tokens", "sample_frac")
+    )

@@ -173,4 +173,36 @@ TUTORIAL_ORACLES: dict[str, str] = {
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY gid, l_returnflag, l_linestatus
     """,
+    # each event belongs to the size/hop = 4 hopping windows whose
+    # epoch-aligned starts cover it: bucket15(ts) - k*15min, k in 0..3
+    "q29_hopping_window": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - (offs.k * INTERVAL '15 minutes') AS window_start,
+               event_type, COUNT(event_id) AS n,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offs(k)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    # gaps-and-islands: a session breaks when the gap to the previous
+    # event is >= 30 min (Spark's per-row window is [ts, ts+gap) with
+    # an EXCLUSIVE end, so a gap of exactly 30 min does NOT merge);
+    # session_end = last ts + gap, matching session_window.end
+    "q30_session_window": """
+        WITH marked AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             < INTERVAL '30 minutes'
+                        THEN 0 ELSE 1 END AS new_s
+            FROM events
+        ), sess AS (
+            SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '30 minutes' AS session_end,
+               user_id, COUNT(event_id) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+    """,
 }

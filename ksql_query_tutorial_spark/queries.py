@@ -415,6 +415,55 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§7.4 windows] HOPPING window aggregate (ksqlDB ``WINDOW HOPPING
+    (SIZE 1 HOUR, ADVANCE BY 15 MINUTES)``): each event lands in
+    size/hop = 4 overlapping windows.
+
+    ``F.window(ts, size, hop)`` expands rows window-side BEFORE the
+    shuffle, so the single groupBy shuffle carries size/hop copies of
+    the grouping columns only — the overlap factor is a constant the
+    plan pays in map output, never a self-join.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def q30_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§7.4 windows] SESSION window aggregate (ksqlDB ``WINDOW SESSION
+    (30 MINUTES)``): per-user activity bursts separated by >=30 min of
+    silence.
+
+    Native ``F.session_window`` — Spark sessionizes inside the
+    aggregation (each row opens [ts, ts+gap), overlapping windows
+    merge), so this is ONE shuffle on the grouping key; no
+    gaps-and-islands window-function cascade, and the same expression
+    sessionizes a stream under a watermark (streaming/windows.py).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -448,4 +497,6 @@ TUTORIAL_QUERIES = {
     "q26_percentiles": q26_percentiles,
     "q27_pivot": q27_pivot,
     "q28_cube": q28_cube,
+    "q29_hopping_window": q29_hopping_window,
+    "q30_session_window": q30_session_window,
 }

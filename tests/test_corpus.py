@@ -1,0 +1,113 @@
+"""Unit tests for the corpus-level pipeline operators
+(ksql_query_tutorial_spark/operators/corpus.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ksql_query_tutorial_spark.operators import corpus
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_pack_sequences_is_exact_prefix_sum(spark):
+    """The hierarchical (block) prefix sum must equal the naive global
+    cumsum: begin_offset[i+1] == begin_offset[i] + n_tokens[i] in
+    doc_id order, pack ids derived from it."""
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    out = corpus.pack_sequences(d, budget=512).orderBy("doc_id").collect()
+    running = 0
+    for r in out:
+        assert r.begin_offset == running
+        assert r.pack_id == running // 512
+        assert r.pack_end == (running + max(r.n_tokens, 1) - 1) // 512
+        assert r.straddles == (r.pack_end > r.pack_id)
+        running += r.n_tokens
+
+
+def test_pack_sequences_crosses_block_boundaries(spark):
+    """Docs in different prefix-sum blocks still get a globally
+    consistent offset (PACK_BLOCK is 100k, so craft ids around it)."""
+    rows = [
+        (1, "a b c", "en", "s"),
+        (corpus.PACK_BLOCK + 1, "d e", "en", "s"),
+        (2 * corpus.PACK_BLOCK + 7, "f", "en", "s"),
+    ]
+    out = {r.doc_id: r for r in corpus.pack_sequences(_docs(spark, rows), budget=4).collect()}
+    assert out[1].begin_offset == 0
+    assert out[corpus.PACK_BLOCK + 1].begin_offset == 3
+    assert out[2 * corpus.PACK_BLOCK + 7].begin_offset == 5
+    assert out[1].straddles is False
+    # doc 2 spans tokens [3, 5) -> packs 0..1
+    assert out[corpus.PACK_BLOCK + 1].pack_id == 0
+    assert out[corpus.PACK_BLOCK + 1].pack_end == 1
+    assert out[corpus.PACK_BLOCK + 1].straddles is True
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon", "en", "s")])
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta zeta", "en", "s"),   # 2 shared shingles
+        (2, "one two three four five six", "en", "s"),   # disjoint
+        (3, "x y", "en", "s"),                           # too short: 0 shingles
+    ])
+    out = {r.doc_id: r for r in corpus.decontaminate(train, bench, min_hits=2).collect()}
+    assert out[1].contaminated and out[1].n_contaminated == 2
+    assert not out[2].contaminated and out[2].n_contaminated == 0
+    assert out[3].n_shingles == 0 and not out[3].contaminated
+    assert len(out) == 3  # zero-shingle docs retained
+
+
+def test_boilerplate_stats_thresholds_on_doc_frequency(spark):
+    rows = [(i, "legal boilerplate notice unique%d tail" % i, "en", "s")
+            for i in range(4)]
+    out = corpus.boilerplate_stats(_docs(spark, rows), min_docs=4).collect()
+    by_id = {r.doc_id: r for r in out}
+    # 'legal boilerplate notice' appears in all 4 docs -> boilerplate;
+    # the unique%d shingles appear once each -> not
+    for r in by_id.values():
+        assert r.n_boilerplate == 1
+        assert r.n_shingles == 3
+
+
+def test_with_repetition_degenerate_doc(spark):
+    rows = [(1, "a a a a", "en", "s"), (2, "w x y z", "en", "s")]
+    out = {r.doc_id: r for r in corpus.with_repetition(_docs(spark, rows)).collect()}
+    assert out[1].dup_word_frac == 0.75
+    assert out[1].top_bigram_frac == 1.0   # every bigram is 'a a'
+    assert out[2].dup_word_frac == 0.0
+    assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-6
+
+
+def test_sample_stratified_deterministic_and_rate_bound(spark):
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    a = corpus.sample_stratified(d, {"en": 0.5}, default_rate=1.0)
+    b = corpus.sample_stratified(d, {"en": 0.5}, default_rate=1.0)
+    ra, rb = a.collect(), b.collect()
+    assert sorted(r.doc_id for r in ra) == sorted(r.doc_id for r in rb)
+    for r in ra:
+        limit = 500_000 if r.lang == "en" else 1_000_000
+        assert r.u < limit
+    # non-en strata are kept wholesale at default_rate=1.0
+    n_non_en = d.filter(F.col("lang") != "en").count()
+    assert sum(1 for r in ra if r.lang != "en") == n_non_en
+
+
+def test_mix_budget_allocation_caps_at_available(spark):
+    rows = [(i, "t " * 10, "en", "src%d" % (i % 2)) for i in range(10)]
+    out = corpus.mix_budget(_docs(spark, rows), {"src0": 3.0}, total_tokens=40,
+                            default_weight=1.0)
+    by_src = {r.source: r for r in out.collect()}
+    assert by_src["src0"].weight == 3.0 and by_src["src1"].weight == 1.0
+    # src0 alloc = 40*3/4 = 30, src1 = 40*1/4 = 10
+    assert by_src["src0"].alloc_tokens == 30
+    assert by_src["src1"].alloc_tokens == 10
+    for r in by_src.values():
+        assert r.sample_frac <= 1.0
