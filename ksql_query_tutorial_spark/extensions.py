@@ -750,3 +750,75 @@ EXTENSION_ORACLES["mix_budget"] = f"""
                  / GREATEST(n_tokens, 1)), 6) AS sample_frac
     FROM s ORDER BY source
 """
+
+
+# ------------------------------------------------- span dedup / vocab / tfidf
+
+SPAN_K = 8
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span stats (shingle approximation of suffix-array
+    substring dedup): per-doc union size of 8-token spans whose text
+    occurred earlier in the corpus."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.span_dedup_stats(d, k=SPAN_K)
+
+
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return corpus.vocab(d)
+
+
+def corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights, smoothed IDF (sklearn
+    convention), N via broadcast cross join — no driver action."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.tf_idf(d)
+
+
+EXTENSION_QUERIES["span_dedup"] = span_dedup
+EXTENSION_QUERIES["corpus_vocab"] = corpus_vocab
+EXTENSION_QUERIES["corpus_tfidf"] = corpus_tfidf
+
+EXTENSION_ORACLES["span_dedup"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - {SPAN_K - 2})) AS i
+            FROM t),
+    occ AS (SELECT doc_id, i - 1 AS pos,
+                   array_to_string(list_slice(toks, i, i + {SPAN_K - 1}), ' ') AS sh
+            FROM idx),
+    ranked AS (SELECT doc_id, pos,
+                      row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+               FROM occ),
+    dup AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    cov AS (SELECT DISTINCT doc_id, p FROM
+            (SELECT doc_id, unnest(range(pos, pos + {SPAN_K})) AS p FROM dup)),
+    agg AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len(toks) - COALESCE(a.dup_tokens, 0) AS BIGINT) AS kept_tokens,
+           ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 6) AS dup_frac
+    FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+"""
+
+EXTENSION_ORACLES["corpus_vocab"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_total FROM tok GROUP BY term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term)
+    SELECT term, tf_total, df FROM tf JOIN dfq USING (term) ORDER BY term
+"""
+
+EXTENSION_ORACLES["corpus_tfidf"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    n AS (SELECT count(*) AS nn FROM documents)
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * (LN((nn + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+    FROM post JOIN dfq USING (term) CROSS JOIN n
+    ORDER BY doc_id, term
+"""

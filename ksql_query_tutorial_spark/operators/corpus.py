@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ksql_query_tutorial_spark.operators.dedup import shingles
+from ksql_query_tutorial_spark.operators.dedup import shingles_of
 from ksql_query_tutorial_spark.operators.text import tokens
 
 # documents per prefix-sum block in pack_sequences; a block's subtotal
@@ -126,14 +126,20 @@ def decontaminate(
     t_post = (
         train.select(
             F.col(id_col).alias("doc_id"),
-            F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias(
-                "shingle"
-            ),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(shingles_of(F.col("__toks"), n))
+            ).alias("shingle"),
         )
     )
     bench_index = (
-        bench.select(F.explode(F.array_distinct(shingles(F.col(text_col), n)))
-                     .alias("shingle"))
+        bench.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(F.array_distinct(shingles_of(F.col("__toks"), n))).alias("shingle")
+        )
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -180,7 +186,12 @@ def boilerplate_stats(
     """
     post = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.explode_outer(F.array_distinct(shingles_of(F.col("__toks"), n))).alias(
+            "shingle"
+        ),
     )
     freq = (
         post.groupBy("shingle")
@@ -222,17 +233,19 @@ def with_repetition(
     appendix A): cut before tokenization, they are the cheapest
     quality win after URL filtering.
     """
-    toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
         F.round(
             F.lit(1.0)
-            - F.size(F.array_distinct(toks)).cast("double")
-            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            - F.size(F.array_distinct("__toks")).cast("double")
+            / F.greatest(F.size("__toks"), F.lit(1)).cast("double"),
             6,
         ).alias("dup_word_frac"),
-        shingles(F.col(text_col), 2).alias("__bigrams"),
+        shingles_of(F.col("__toks"), 2).alias("__bigrams"),
     )
     bg = base.select("doc_id", F.explode_outer("__bigrams").alias("bigram"))
     counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
@@ -352,4 +365,169 @@ def mix_budget(
             ),
         )
         .select("source", "n_docs", "n_tokens", "weight", "alloc_tokens", "sample_frac")
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Duplicate-SPAN detection (the shingle approximation of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): any ``k``-token span
+    whose text occurred earlier in the corpus (earlier doc, or earlier
+    position in the same doc) marks its tokens as duplicated; the
+    covered-token count per document is the union of those (possibly
+    overlapping) spans.
+
+    Plan shape — two shuffles, both scale-safe:
+
+    1. spans explode to ``(doc_id, pos, xxhash64(span))``; first
+       occurrence per span hash is a groupBy-min (map-side combine
+       absorbs hot boilerplate spans BEFORE the shuffle), then an
+       equi-join back on the hash (AQE splits any residual hot
+       partition — no window-over-hot-key single task);
+    2. interval union per document is a gaps-and-islands running max
+       over ``Window.partitionBy(doc_id)`` — parallel across docs,
+       ordered only within one document's duplicate spans.
+
+    Returns one row per input document: ``doc_id, n_tokens,
+    dup_tokens, kept_tokens, dup_frac`` (dup_tokens = size of the
+    union of duplicated spans; kept = tokens surviving span removal).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("int").alias("n_tokens"),
+    )
+    occ = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.posexplode(shingles_of(F.col("__toks"), k)).alias("pos", "__sh"),
+        )
+        .select("doc_id", "pos", F.xxhash64("__sh").alias("__h"))
+    )
+    firsts = occ.groupBy("__h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("__first")
+    )
+    dup = occ.join(firsts, "__h").filter(
+        (F.col("doc_id") != F.col("__first.doc_id"))
+        | (F.col("pos") != F.col("__first.pos"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = dup.select(
+        "doc_id",
+        F.greatest(
+            F.lit(0),
+            (F.col("pos") + k) - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+        ).alias("__new"),
+    ).groupBy("doc_id").agg(F.sum("__new").cast("long").alias("dup_tokens"))
+    return (
+        docs.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (F.col("n_tokens").cast("long")
+             - F.coalesce(F.col("dup_tokens"), F.lit(0))).alias("kept_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: one row per distinct token with collection
+    frequency (``tf_total``) and document frequency (``df``).
+
+    One shuffle, keyed by term; both aggregates get map-side partial
+    aggregation (the per-doc ``array_distinct`` bounds any single
+    document's df contribution at 1). Hot stopword terms are absorbed
+    by the partial agg before the exchange — this is the word-count
+    plan, it survives any corpus size.
+
+    Returns ``term, tf_total, df`` filtered to ``df >= min_df``.
+    """
+    per_doc = df.select(
+        F.explode(tokens(F.col(text_col))).alias("term"),
+        F.lit(1).alias("__one"),
+    )
+    tf = per_doc.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("tf_total"))
+    dfreq = (
+        df.select(F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") >= min_df)
+        .select("term", "tf_total", "df")
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document TF-IDF term weights with smoothed IDF
+    ``ln((N+1)/(df+1)) + 1`` (scikit-learn's convention).
+
+    Term/document frequencies are exact-integer aggregations; the
+    corpus size ``N`` rides in via a broadcast 1-row cross join (NO
+    driver-side ``count()`` action — the plan stays lazy end-to-end).
+    The doc-frequency table joins back to the postings on the term
+    key; partial aggregation bounds the hot-term skew exactly as in
+    :func:`vocab`.
+
+    Returns ``doc_id, term, tf, df, tfidf`` (tfidf rounded to 6
+    decimals), one row per (document, distinct term).
+    """
+    postings = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("__n").cast("double") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
     )

@@ -45,20 +45,47 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 31) - 1
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """n-token shingles of a text column (JVM-side).
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """n-token shingles from an ALREADY-MATERIALIZED tokens array
+    attribute; shingle i = tokens[i..i+n-1] joined by a single space.
+    Arrays with < n tokens get an empty shingle array.
 
-    tokens = whitespace split of lower(trim(text)); shingle i =
-    tokens[i..i+n-1] joined by a single space. Docs with < n tokens get
-    an empty array.
+    Pass a projected attribute (``df.select(tokens(...).alias("__toks"))``
+    then ``shingles_of(F.col("__toks"))``), NOT an inline tokenizer
+    expression: Catalyst inlines an inline expression into every
+    element access inside the transform lambda, re-running the regex
+    split O(n·shingles) times per row — measured 17× slower at sf0.1.
+    CollapseProject will not merge the projections because the alias
+    is non-cheap and multiply-referenced, so the attribute form
+    evaluates the tokenizer exactly once per row.
     """
-    toks = F.split(F.lower(F.trim(col)), r"\s+")
     body = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
     )
     # sequence(0, negative) would produce a DESCENDING range, so guard
     # short docs explicitly with an empty shingle set.
+    return F.when(F.size(toks) >= n, body).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """n-token shingles of a text column (JVM-side).
+
+    tokens = whitespace split of lower(trim(text)); shingle i =
+    tokens[i..i+n-1] joined by a single space. Docs with < n tokens get
+    an empty array.
+
+    Convenience form for one-shot use on a raw text column; slice-based
+    so the inlined tokenizer is evaluated once per element, not n times.
+    Hot paths that explode the shingle array should materialize the
+    tokens attribute and use :func:`shingles_of` instead (2× cheaper
+    again — the split runs once per ROW there).
+    """
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    body = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
     return F.when(F.size(toks) >= n, body).otherwise(F.array().cast("array<string>"))
 
 

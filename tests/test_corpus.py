@@ -111,3 +111,76 @@ def test_mix_budget_allocation_caps_at_available(spark):
     assert by_src["src1"].alloc_tokens == 10
     for r in by_src.values():
         assert r.sample_frac <= 1.0
+
+
+def test_span_dedup_marks_repeated_spans_only(spark):
+    """An 8-token span repeated in a later doc marks exactly its union
+    of positions there; the first occurrence stays clean; intra-doc
+    repetition of a span also counts."""
+    span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (1, f"{span} tail1 tail2", "en", "s"),          # first occurrence: clean
+        (2, f"head1 head2 {span}", "en", "s"),          # 8 dup tokens
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s"),   # unique: clean
+        (4, f"{span} {span}", "en", "s"),               # intra+cross: all 16 dup
+    ]
+    out = {r.doc_id: r for r in
+           corpus.span_dedup_stats(_docs(spark, rows), k=8).collect()}
+    assert out[1].dup_tokens == 0 and out[1].kept_tokens == 10
+    assert out[2].dup_tokens == 8 and out[2].kept_tokens == 2
+    assert out[3].dup_tokens == 0
+    assert out[4].dup_tokens == 16 and out[4].kept_tokens == 0
+    assert out[4].dup_frac == 1.0
+
+
+def test_span_dedup_overlapping_spans_union_not_sum(spark):
+    """9 consecutive repeated tokens = two overlapping dup 8-spans;
+    the union is 9 tokens, not 16."""
+    nine = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    rows = [
+        (1, nine, "en", "s"),
+        (2, f"{nine} x1 x2", "en", "s"),
+    ]
+    out = {r.doc_id: r for r in
+           corpus.span_dedup_stats(_docs(spark, rows), k=8).collect()}
+    assert out[2].dup_tokens == 9 and out[2].kept_tokens == 2
+
+
+def test_span_dedup_short_docs_have_no_spans(spark):
+    rows = [(1, "a b c", "en", "s"), (2, "a b c", "en", "s")]
+    out = {r.doc_id: r for r in
+           corpus.span_dedup_stats(_docs(spark, rows), k=8).collect()}
+    assert out[1].dup_tokens == 0 and out[2].dup_tokens == 0
+    assert out[1].n_tokens == 3
+
+
+def test_vocab_tf_and_df(spark):
+    rows = [
+        (1, "a a b", "en", "s"),
+        (2, "a c", "en", "s"),
+    ]
+    out = {r.term: r for r in corpus.vocab(_docs(spark, rows)).collect()}
+    assert out["a"].tf_total == 3 and out["a"].df == 2
+    assert out["b"].tf_total == 1 and out["b"].df == 1
+    assert out["c"].df == 1
+    filtered = corpus.vocab(_docs(spark, rows), min_df=2).collect()
+    assert [r.term for r in filtered] == ["a"]
+
+
+def test_tf_idf_matches_sklearn_convention(spark):
+    import math
+
+    rows = [
+        (1, "a a b", "en", "s"),
+        (2, "a c", "en", "s"),
+        (3, "c c c", "en", "s"),
+    ]
+    out = {(r.doc_id, r.term): r for r in corpus.tf_idf(_docs(spark, rows)).collect()}
+    # N=3; term 'a': df=2 -> idf = ln(4/3)+1; doc1 tf=2
+    exp = round(2 * (math.log(4.0 / 3.0) + 1.0), 6)
+    assert abs(out[(1, "a")].tfidf - exp) < 1e-9
+    assert out[(1, "a")].tf == 2 and out[(1, "a")].df == 2
+    # term 'b' df=1 -> idf = ln(2)+1
+    assert abs(out[(1, "b")].tfidf - round(math.log(2.0) + 1.0, 6)) < 1e-9
+    # every (doc, distinct term) pair appears
+    assert len(out) == 5
