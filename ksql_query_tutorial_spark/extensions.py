@@ -2,7 +2,7 @@
 (dedup / similarity / text analysis / multimodal) as declared queries
 over the driver fixtures, with DuckDB oracles where the semantics are
 SQL-expressible (otherwise the driver's rows-only check applies:
-MinHash-LSH, SimHash, ANN, mapInPandas features).
+IVF-ANN with learned centroids, mapInPandas features).
 
 Thresholds are calibrated to the fixtures: document near-dups are
 planted with shingle-Jaccard ≥ 0.5 (noise pairs < 0.1), embedding
@@ -90,14 +90,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check — provably not SQL-expressible: the sketch is
-    defined over Spark's xxhash64 (seed 42), which DuckDB does not
-    implement, so no independent SQL can reproduce the bit pattern.
-    Semantics are pinned instead by
-    test_simhash_banding_equals_brute_force (pigeonhole banding ==
-    brute-force Hamming-distance pairs over the same sketches)."""
+    """SimHash near-dup pairs over the PORTABLE token hash (Mersenne-31
+    char folds — reproducible in plain SQL), so the DuckDB oracle
+    recomputes the identical sketches and verifies the banding against
+    a brute-force Hamming join. The xxhash64 production path has the
+    same plan shape and is pinned by
+    test_simhash_banding_equals_brute_force."""
     d = load(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, "doc_id", max_hamming=3)
+    return dedup.simhash_pairs(d, "doc_id", max_hamming=3, portable=True)
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,4 +821,34 @@ EXTENSION_ORACLES["corpus_tfidf"] = f"""
            ROUND(tf * (LN((nn + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
     FROM post JOIN dfq USING (term) CROSS JOIN n
     ORDER BY doc_id, term
+"""
+
+# SimHash oracle: recompute the exact sketch from the portable
+# Mersenne-31 token hash, then verify the Spark pigeonhole banding
+# against an independent brute-force O(n^2) Hamming join.
+_PTH = (
+    "list_reduce(list_prepend(CAST(7 AS BIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 131 + b) % 2147483647) "
+    "+ 2147483648 * list_reduce(list_prepend(CAST(11 AS BIGINT), "
+    "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 137 + b) % 2147483647)"
+)
+
+EXTENSION_ORACLES["dedup_simhash"] = f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    hs AS (SELECT DISTINCT doc_id, {_PTH} AS h FROM tok),
+    bits AS (SELECT doc_id, r.b,
+                    CASE WHEN 2 * SUM((h >> r.b) & 1) > COUNT(*) THEN 1 ELSE 0 END
+                        AS bit
+             FROM hs, (SELECT unnest(range(62)) AS b) r
+             GROUP BY doc_id, r.b),
+    sim AS (SELECT doc_id,
+                   SUM(bit * (CAST(1 AS BIGINT) << b)) AS simhash
+            FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
 """

@@ -357,7 +357,33 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "jaccard")
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+def portable_token_hash(tok: Column) -> Column:
+    """62-bit token hash from TWO Mersenne-31 rolling char folds
+    (multipliers 131/137, inits 7/11): ``h0 + h1·2^31``.
+
+    Portable by construction — plain BIGINT fold/mod arithmetic over
+    char codes that ANY SQL engine reproduces exactly (DuckDB:
+    ``list_reduce(list_prepend(init, codes), (a,b) -> (a·m+b) % M31)``),
+    unlike xxhash64. Every intermediate stays < 2^39, far from signed-64
+    overflow (Spark ANSI mode throws on wrap). Cost: an interpreted
+    char-fold per token — use for oracle-matched queries; xxhash64
+    remains the hot-path default.
+    """
+    chars = F.split(tok, "")
+
+    def fold(mult: int, init: int) -> Column:
+        return F.aggregate(
+            chars,
+            F.lit(init).cast("long"),
+            lambda acc, c: F.pmod(acc * mult + F.ascii(c), F.lit(_MERSENNE)),
+        )
+
+    return fold(131, 7) + fold(137, 11) * F.lit(1 << 31)
+
+
+def simhash64(
+    df: DataFrame, id_col: str, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """64-bit SimHash per document with one shuffle.
 
     Token posting (distinct token hashes per doc) → gather per-doc hash
@@ -368,6 +394,10 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     generated codegen class costs seconds of JIT per session.) Weighted
     variant would weight by token frequency; this uses distinct-token
     presence (unweighted) for determinism.
+
+    ``portable=True`` swaps xxhash64 for :func:`portable_token_hash`
+    (62 informative bits, top 2 sketch bits 0) so an independent SQL
+    engine can recompute the identical sketch — the DuckDB oracle path.
 
     Returns: ``id``, ``simhash`` (signed 64-bit long).
     """
@@ -386,13 +416,31 @@ def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
             out[i] = (majority.astype(np.uint64) << bit_idx).sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
 
-    post = shingle_hash_posting(df, id_col, text_col, n=1)
+    if portable:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        post = (
+            df.repartition(par, F.col(id_col))
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                    "tok"
+                ),
+            )
+            .select("id", portable_token_hash(F.col("tok")).alias("h"))
+            .dropDuplicates(["id", "h"])
+        )
+    else:
+        post = shingle_hash_posting(df, id_col, text_col, n=1)
     gathered = post.groupBy("id").agg(F.collect_list("h").alias("hs"))
     return gathered.select("id", _sim("hs").alias("simhash"))
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -408,7 +456,7 @@ def simhash_pairs(
     # persist the sketch (two longs per doc): the banding self-join
     # reads it twice, and without the persist the whole posting +
     # gather + UDF pipeline executes once per side.
-    sim = simhash64(df, id_col, text_col).persist()
+    sim = simhash64(df, id_col, text_col, portable=portable).persist()
     chunks = sim.select(
         "id",
         "simhash",

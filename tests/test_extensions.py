@@ -498,3 +498,29 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
     assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+
+
+def test_portable_token_hash_matches_duckdb_fold(spark):
+    """The portable hash must be bit-identical to the DuckDB
+    list_reduce fold the dedup_simhash oracle uses — cross-engine
+    sketch parity is the whole point of the portable path."""
+    import duckdb
+
+    words = ["alpha", "beta", "x", "customer", "12345", "a-b.c"]
+    df = spark.createDataFrame([(w,) for w in words], "tok string")
+    got = {
+        r.tok: r.h
+        for r in df.select("tok", dedup.portable_token_hash(F.col("tok")).alias("h")).collect()
+    }
+    fold = (
+        "list_reduce(list_prepend(CAST({i} AS BIGINT), "
+        "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(a, b) -> (a * {m} + b) % 2147483647)"
+    )
+    expr = f"{fold.format(i=7, m=131)} + 2147483648 * {fold.format(i=11, m=137)}"
+    exp = dict(
+        duckdb.sql(
+            f"SELECT tok, {expr} AS h FROM (SELECT unnest({words!r}) AS tok)"
+        ).fetchall()
+    )
+    assert got == exp
