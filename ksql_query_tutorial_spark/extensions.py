@@ -852,3 +852,49 @@ EXTENSION_ORACLES["dedup_simhash"] = f"""
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     ORDER BY id_a, id_b
 """
+
+
+# ------------------------------------------------------- incremental dedup
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: docs with doc_id % 10 == 7 play the incoming
+    batch, the rest the existing corpus index. LSH candidates verified
+    with exact Jaccard; at the fixture's planted similarity levels LSH
+    recall is 1, so the exact-Jaccard oracle applies."""
+    d = load(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 7)
+    corpus_side = d.filter(F.col("doc_id") % 10 != 7)
+    return dedup.incremental_minhash_dedup(
+        new, corpus_side, "doc_id", threshold=JACCARD_THRESHOLD
+    )
+
+
+EXTENSION_QUERIES["dedup_incremental"] = dedup_incremental
+
+EXTENSION_ORACLES["dedup_incremental"] = f"""
+    WITH nd AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 10 = 7),
+    od AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+           WHERE doc_id % 10 <> 7),
+    shn AS (SELECT doc_id, {_SHINGLES} AS s FROM nd),
+    sho AS (SELECT doc_id, {_SHINGLES} AS s FROM od),
+    pn AS (SELECT doc_id, unnest(s) AS sh FROM shn),
+    po AS (SELECT doc_id, unnest(s) AS sh FROM sho),
+    inter AS (SELECT n.doc_id AS nid, o.doc_id AS cid, count(*) AS i
+              FROM pn n JOIN po o ON n.sh = o.sh GROUP BY 1, 2),
+    j AS (SELECT nid, cid,
+                 CAST(i AS DOUBLE) / (sn.n + so.n - i) AS jac
+          FROM inter
+          JOIN (SELECT doc_id, len(s) AS n FROM shn) sn ON nid = sn.doc_id
+          JOIN (SELECT doc_id, len(s) AS n FROM sho) so ON cid = so.doc_id
+          WHERE CAST(i AS DOUBLE) / (sn.n + so.n - i) >= {JACCARD_THRESHOLD}),
+    best AS (SELECT nid, min(cid) AS dup_of FROM j GROUP BY nid)
+    SELECT d.doc_id,
+           b.dup_of,
+           ROUND(j.jac, 6) AS jaccard,
+           b.dup_of IS NOT NULL AS is_dup
+    FROM nd d
+    LEFT JOIN best b ON d.doc_id = b.nid
+    LEFT JOIN j ON j.nid = b.nid AND j.cid = b.dup_of
+    ORDER BY d.doc_id
+"""

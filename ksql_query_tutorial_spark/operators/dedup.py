@@ -270,6 +270,39 @@ def _signatures_from_posting(post: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _band_bucket_udf(num_hashes: int, bands: int):
+    """Arrow UDF: per-doc distinct shingle hashes → one 64-bit bucket
+    key per band. Mersenne fold, permutation mins, and the band mix in
+    one vectorized pass; bucket = multiplicative mix of the band's
+    ``rows`` mins seeded with the band index (collision-safe enough
+    that exact verification absorbs any stray candidate). Joining on a
+    long beats 32 md5-string columns: smaller shuffle rows and none of
+    the wide-projection codegen compile cost. Deterministic — the same
+    (num_hashes, bands) always yields the same buckets, so an index
+    built yesterday stays joinable against a batch sketched today.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = num_hashes // bands
+    a_vec = np.arange(num_hashes, dtype=np.int64) * 2 + 1
+    b_vec = (np.arange(num_hashes, dtype=np.int64) ** 2 + 1) % _MERSENNE
+
+    @pandas_udf("array<long>")
+    def _band_buckets(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64) % _MERSENNE  # == pmod: _MERSENNE > 0
+            mins = ((a_vec[None, :] * hv[:, None] + b_vec[None, :]) % _MERSENNE).min(axis=0)
+            m = mins.astype(np.uint64).reshape(bands, rows)
+            acc = np.arange(bands, dtype=np.uint64)
+            for r in range(rows):
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + m[:, r]
+            out.append(acc.astype(np.int64))
+        return pd.Series(out)
+
+    return _band_buckets
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -303,29 +336,7 @@ def minhash_lsh_pairs(
     post = shingle_hash_posting(df, id_col, text_col, n)
     sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
 
-    from pyspark.sql.functions import pandas_udf
-
-    a_vec = np.arange(num_hashes, dtype=np.int64) * 2 + 1
-    b_vec = (np.arange(num_hashes, dtype=np.int64) ** 2 + 1) % _MERSENNE
-
-    # Mersenne fold, permutation mins, AND the per-band bucket keys in
-    # one vectorized pass per doc: bucket = 64-bit multiplicative mix of
-    # the band's ``rows`` mins seeded with the band index (collision-
-    # safe enough that the exact-Jaccard verification absorbs any stray
-    # candidate). Joining on a long beats 32 md5-string columns: smaller
-    # shuffle rows and none of the wide-projection codegen compile cost.
-    @pandas_udf("array<long>")
-    def _band_buckets(hs: pd.Series) -> pd.Series:
-        out = []
-        for h in hs:
-            hv = np.asarray(h, dtype=np.int64) % _MERSENNE  # == pmod: _MERSENNE > 0
-            mins = ((a_vec[None, :] * hv[:, None] + b_vec[None, :]) % _MERSENNE).min(axis=0)
-            m = mins.astype(np.uint64).reshape(bands, rows)
-            acc = np.arange(bands, dtype=np.uint64)
-            for r in range(rows):
-                acc = acc * np.uint64(0x9E3779B97F4A7C15) + m[:, r]
-            out.append(acc.astype(np.int64))
-        return pd.Series(out)
+    _band_buckets = _band_bucket_udf(num_hashes, bands)
 
     # persist the (id, bucket) rows — two longs each: the banding
     # self-join reads both branches, and without the persist the Arrow
@@ -355,6 +366,109 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "jaccard")
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-side MinHash-LSH index: ``(buckets, shingle_sets)``.
+
+    ``buckets`` is ``(id, bucket)`` — one row per (doc, band);
+    ``shingle_sets`` is ``(id, sh)`` with the per-doc distinct shingle
+    hash array for exact verification. Both are plain DataFrames: at
+    cluster scale you ``write_table`` them partitioned/bucketed by
+    their join keys once and re-read them for every incoming batch —
+    the sketch parameters are deterministic, so an index built in one
+    job joins correctly against batches sketched in another.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    sh_sets = (
+        shingle_hash_posting(df, id_col, text_col, n)
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("sh"))
+    )
+    buckets = sh_sets.select(
+        "id", F.explode(_band_bucket_udf(num_hashes, bands)("sh")).alias("bucket")
+    )
+    return buckets, sh_sets
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Ingest-time dedup: flag each NEW document that is a near-dup of
+    the EXISTING corpus — the asymmetric join every incremental
+    pipeline runs per batch, instead of re-deduplicating 100 TB from
+    scratch.
+
+    Candidates come from the band-bucket equi-join of the (small)
+    batch side against the corpus index; survivors are verified with
+    exact Jaccard over the shingle sets, so a flagged doc is a TRUE
+    ≥-threshold near-dup of its ``dup_of``. The batch side's buckets
+    are tiny (broadcastable); the corpus side is the pre-built index —
+    nothing here scans corpus text again. ``dup_of`` is the smallest
+    matching corpus id (deterministic under ties by construction).
+
+    Returns one row per NEW document: ``doc_id, dup_of, jaccard,
+    is_dup`` (``dup_of``/``jaccard`` null for fresh content).
+    """
+    idx_buckets, idx_sh = minhash_index(
+        corpus_df, id_col, text_col, n, num_hashes, bands
+    )
+    new_buckets, new_sh = minhash_index(
+        new_df, id_col, text_col, n, num_hashes, bands
+    )
+    new_buckets = new_buckets.persist()
+    new_sh = new_sh.persist()
+    candidates = (
+        new_buckets.alias("n")
+        .join(idx_buckets.alias("c"), F.col("n.bucket") == F.col("c.bucket"))
+        .select(F.col("n.id").alias("nid"), F.col("c.id").alias("cid"))
+        .distinct()
+    )
+    verified = (
+        candidates.join(new_sh.withColumnRenamed("id", "nid").withColumnRenamed("sh", "sh_n"), "nid")
+        .join(idx_sh.withColumnRenamed("id", "cid").withColumnRenamed("sh", "sh_c"), "cid")
+        .withColumn("inter", F.size(F.array_intersect("sh_n", "sh_c")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.size("sh_n") + F.size("sh_c") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("nid").agg(
+        F.min("cid").alias("dup_of"),
+        F.min_by("jaccard", "cid").alias("jaccard"),
+    )
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnRenamed("nid", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
 
 
 def portable_token_hash(tok: Column) -> Column:

@@ -524,3 +524,31 @@ def test_portable_token_hash_matches_duckdb_fold(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+def test_incremental_dedup_flags_only_true_near_dups(spark):
+    corpus_side = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+            (11, "completely different words entirely novel content here now"),
+            (12, "one two three four five six seven eight"),        # exact dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.incremental_minhash_dedup(
+            new, corpus_side, "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert out[10].is_dup and out[10].dup_of == 1
+    assert not out[11].is_dup and out[11].dup_of is None
+    assert out[12].is_dup and out[12].dup_of == 2 and out[12].jaccard == 1.0
+    assert len(out) == 3
