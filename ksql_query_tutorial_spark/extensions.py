@@ -898,3 +898,61 @@ EXTENSION_ORACLES["dedup_incremental"] = f"""
     LEFT JOIN j ON j.nid = b.nid AND j.cid = b.dup_of
     ORDER BY d.doc_id
 """
+
+
+# ----------------------------------------------------------- heavy hitters
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 terms per source (deterministic tie-break on term)."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.heavy_hitters(d, k=5)
+
+
+EXTENSION_QUERIES["corpus_heavy_hitters"] = corpus_heavy_hitters
+
+EXTENSION_ORACLES["corpus_heavy_hitters"] = f"""
+    WITH tok AS (SELECT source AS "group", unnest({_TOKS}) AS term FROM documents),
+    cnt AS (SELECT "group", term, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY 1, 2),
+    ranked AS (SELECT "group", term, cnt,
+                      CAST(row_number() OVER (PARTITION BY "group"
+                          ORDER BY cnt DESC, term ASC) AS INT) AS rank
+               FROM cnt)
+    SELECT "group", term, cnt, rank FROM ranked WHERE rank <= 5
+    ORDER BY "group", rank
+"""
+
+
+# ------------------------------------------------------------ PII redaction
+
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents (regex families chosen for RE2/Java
+    parity). The fixture corpus is word-soup, so counts are zero here —
+    the planted-PII behavior is pinned by test_pii_redaction; this
+    declared query pins the cross-engine regex semantics."""
+    d = load(spark, sf_dir, "documents")
+    return text.with_pii_redaction(d).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "has_pii", "redacted"
+    )
+
+
+EXTENSION_QUERIES["text_pii"] = text_pii
+
+EXTENSION_ORACLES["text_pii"] = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+           (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+            + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+            + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')))
+               > 0 AS has_pii,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted
+    FROM documents ORDER BY doc_id
+"""

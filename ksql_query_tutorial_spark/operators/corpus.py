@@ -531,3 +531,41 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-``k`` most frequent terms per group (tie-break:
+    lexicographically smaller term wins) — per-source vocabulary
+    skew is the first diagnostic for a contaminated or templated
+    slice of a training mixture.
+
+    Plan: one groupBy on (group, term) — partial aggregation absorbs
+    hot terms map-side — then a per-group top-k window. The window
+    partitions by the GROUP key only, but its input is one row per
+    (group, distinct term), already aggregated: bounded by vocabulary
+    size, not corpus size, so the sort-per-group stays small at any
+    scale. (For unbounded vocabularies swap the window for a
+    count-min + per-partition top-k union; exactness is the point
+    here.)
+
+    Returns ``group, term, cnt, rank`` with rank 1..k.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("group").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("group", "term", "cnt", "rank")
+    )

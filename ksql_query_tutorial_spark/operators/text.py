@@ -177,3 +177,44 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).over(frame).alias("cnt"),
     )
     return win.filter(F.col("cnt") == window).select("doc_id", "fp").distinct()
+
+
+# PII patterns chosen for CROSS-ENGINE regex parity: no lookarounds, no
+# backrefs, no \w-class ambiguity — the same pattern string compiles to
+# the same language under java.util.regex (Spark) and RE2 (DuckDB,
+# which rejects lookarounds outright). Order matters and is fixed:
+# email first (an address can embed digit runs), then phone, then IPv4.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-category match counts and the
+    text with every match replaced by its placeholder — the scrub every
+    training corpus runs before anything else sees the data.
+
+    Pure JVM ``regexp_extract_all`` / ``regexp_replace`` projections —
+    no shuffle, no Python, whole-stage codegen; at 100 TB this runs at
+    scan speed. Counts are taken on the ORIGINAL text per category
+    (order-independent); the redaction applies the categories in the
+    fixed ``PII_PATTERNS`` order so overlapping matches resolve
+    deterministically and identically in any engine.
+
+    Adds ``n_email, n_phone, n_ipv4, has_pii, redacted``.
+    """
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("int"),
+        )
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(
+        "has_pii",
+        sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0,
+    ).withColumn("redacted", red)
