@@ -938,21 +938,25 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_QUERIES["text_pii"] = text_pii
 
-EXTENSION_ORACLES["text_pii"] = """
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_email,
-           CAST(len(regexp_extract_all(text,
-               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT) AS n_phone,
-           CAST(len(regexp_extract_all(text,
-               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
-           (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
-            + len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
-            + len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')))
-               > 0 AS has_pii,
-           regexp_replace(regexp_replace(regexp_replace(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
-               '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g'),
-               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS redacted
-    FROM documents ORDER BY doc_id
-"""
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of text.with_pii_redaction, generated from the SAME
+    PII_PATTERNS tuple so the two engines cannot drift. The patterns
+    contain no single quotes, and DuckDB standard string literals pass
+    backslashes through untouched, so the raw pattern embeds directly."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for _, pat, _ in text.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {counts}, ({total}) > 0 AS has_pii, "
+        f"{red} AS redacted FROM documents ORDER BY doc_id"
+    )
+
+
+EXTENSION_ORACLES["text_pii"] = _pii_oracle_sql()

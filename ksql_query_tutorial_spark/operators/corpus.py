@@ -247,7 +247,10 @@ def with_repetition(
         ).alias("dup_word_frac"),
         shingles_of(F.col("__toks"), 2).alias("__bigrams"),
     )
-    bg = base.select("doc_id", F.explode_outer("__bigrams").alias("bigram"))
+    # Non-outer explode: a doc with <2 tokens emits NO bigram rows (an
+    # outer explode's null row would count as a phantom bigram and push
+    # top_bigram_frac to 1.0); the left join below retains those docs.
+    bg = base.select("doc_id", F.explode("__bigrams").alias("bigram"))
     counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy("doc_id").agg(
         F.max("c").alias("__top"),
@@ -307,9 +310,12 @@ def sample_stratified(
             F.col(stratum_col) == stratum, F.lit(float(rate))
         ).otherwise(rate_expr)
     u = sample_hash(F.col(id_col))
+    # round, don't truncate: rate * 1e6 for e.g. rate=0.29 is
+    # 289999.99999... in binary floating point; a bare cast('long')
+    # floors it and silently undershoots the requested rate.
     return (
         df.withColumn("u", u)
-        .filter(F.col("u") < (rate_expr * _HASH_MOD).cast("long"))
+        .filter(F.col("u") < F.round(rate_expr * _HASH_MOD).cast("long"))
     )
 
 

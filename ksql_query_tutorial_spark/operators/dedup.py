@@ -424,6 +424,15 @@ def incremental_minhash_dedup(
     nothing here scans corpus text again. ``dup_of`` is the smallest
     matching corpus id (deterministic under ties by construction).
 
+    Recall calibration (matters for the exact-Jaccard oracle): with the
+    default (128 hashes, 32 bands × 4 rows), a pair at Jaccard j
+    collides in some band with probability 1−(1−j⁴)³², which is ~0.87
+    at the j=0.5 threshold but >0.9998 at j≥0.70. The declared
+    ``dedup_incremental`` query therefore only hash-matches an exact
+    all-pairs oracle when the fixture plants no cross-side pair in the
+    risky band [threshold, 0.70) —
+    ``test_incremental_dedup_fixture_recall_margin`` pins that margin.
+
     Returns one row per NEW document: ``doc_id, dup_of, jaccard,
     is_dup`` (``dup_of``/``jaccard`` null for fresh content).
     """

@@ -184,10 +184,13 @@ def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
 # the same language under java.util.regex (Spark) and RE2 (DuckDB,
 # which rejects lookarounds outright). Order matters and is fixed:
 # email first (an address can embed digit runs), then phone, then IPv4.
+# The IPv4 octet alternation rejects values > 255, so dotted quads like
+# "1.2.3.999" (version strings, malformed addresses) are NOT redacted.
+_OCTET = r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ipv4", rf"\b{_OCTET}\.{_OCTET}\.{_OCTET}\.{_OCTET}\b", "[IP]"),
 )
 
 

@@ -84,6 +84,30 @@ def test_with_repetition_degenerate_doc(spark):
     assert abs(out[2].top_bigram_frac - 1 / 3) < 1e-6
 
 
+def test_with_repetition_short_docs_have_no_bigrams(spark):
+    """ADVICE r2: a doc with < 2 tokens has NO bigrams — the phantom
+    null row from an outer explode must not count as one (it used to
+    yield top_bigram_frac = 1.0; the DuckDB oracle says 0.0)."""
+    rows = [(1, "solo", "en", "s"), (2, "two tokens", "en", "s")]
+    out = {r.doc_id: r for r in corpus.with_repetition(_docs(spark, rows)).collect()}
+    assert out[1].n_tokens == 1
+    assert out[1].top_bigram_frac == 0.0
+    assert out[2].top_bigram_frac == 1.0  # its single real bigram
+
+
+def test_sample_stratified_rounds_rate_threshold(spark):
+    """ADVICE r2: rate * 1e6 must ROUND, not truncate — 0.29 * 1e6 is
+    289999.9999... in binary; a floor silently undershoots the rate."""
+    rows = [(i, "t", "en", "s") for i in range(50)]
+    out = corpus.sample_stratified(
+        _docs(spark, rows), {"en": 0.29}, default_rate=1.0
+    )
+    kept = {r.doc_id for r in out.collect()}
+    want = {i for i in range(50)
+            if (i % 1_048_573) * 2_654_435_761 % 1_000_000 < 290_000}
+    assert kept == want
+
+
 def test_sample_stratified_deterministic_and_rate_bound(spark):
     from ksql_query_tutorial_spark.tables import load
 

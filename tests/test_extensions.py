@@ -552,3 +552,90 @@ def test_incremental_dedup_flags_only_true_near_dups(spark):
     assert not out[11].is_dup and out[11].dup_of is None
     assert out[12].is_dup and out[12].dup_of == 2 and out[12].jaccard == 1.0
     assert len(out) == 3
+
+
+def test_pii_redaction(spark):
+    """Planted PII: counts, replacement order, and octet-range rejection
+    must agree between Spark and the generated DuckDB oracle — and match
+    hand-computed expectations (ADVICE r2: this behavior was previously
+    unexercised because the fixture corpus contains no PII)."""
+    import duckdb
+    import pandas as pd
+
+    from ksql_query_tutorial_spark.extensions import EXTENSION_ORACLES
+    from ksql_query_tutorial_spark.operators import text as text_ops
+
+    rows = [
+        (1, "contact bob.smith+spam@example.co.uk or call 555-123-4567 now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, not 256.1.2.3 or 1.2.3.999"),
+        (3, "emails a@b.io c@d.org; phone 123.456.7890; version 10.20.30.40"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text_ops.with_pii_redaction(df).collect()}
+
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 1, 0)
+    assert got[1].redacted == "contact [EMAIL] or call [PHONE] now"
+    # octets > 255 are NOT addresses: 256.1.2.3 and 1.2.3.999 survive
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 0, 2)
+    assert got[2].redacted == "server at [IP] and [IP], not 256.1.2.3 or 1.2.3.999"
+    # dotted-phone matches the phone family, not IP; an in-range quad is
+    # an IP even when it is "really" a version string (documented)
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ipv4) == (2, 1, 1)
+    assert got[3].redacted == "emails [EMAIL] [EMAIL]; phone [PHONE]; version [IP]"
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ipv4) == (0, 0, 0)
+    assert not got[4].has_pii and got[4].redacted == rows[3][1]
+
+    # cross-engine parity on the same planted rows
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = con.execute(EXTENSION_ORACLES["text_pii"]).df()
+    for _, w in want.iterrows():
+        g = got[w.doc_id]
+        assert (g.n_email, g.n_phone, g.n_ipv4, g.has_pii, g.redacted) == (
+            w.n_email, w.n_phone, w.n_ipv4, w.has_pii, w.redacted
+        ), f"doc {w.doc_id}"
+
+
+def test_incremental_dedup_fixture_recall_margin():
+    """ADVICE r2: the dedup_incremental oracle hash-match relies on the
+    banded MinHash surfacing EVERY true >=0.5-Jaccard pair on the
+    fixture. At (128 hashes, 32 bands x 4 rows) a pair at exactly
+    j=0.5 is only ~87% likely to collide under random permutations, so
+    the oracle would be one fixture tweak away from flaky. Assert the
+    fixture keeps a margin: every cross-side true pair has j >= 0.70,
+    where the collision probability is 1-(1-0.7^4)^32 > 0.9998 (and the
+    seeded permutations are deterministic, so today's recall-1 outcome
+    is pinned by test_oracle's exact hash match)."""
+    import duckdb
+
+    from ksql_query_tutorial_spark.extensions import _SHINGLES, _TOKS
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    risky = con.execute(f"""
+        WITH nd AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                    WHERE doc_id % 10 = 7),
+        od AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+               WHERE doc_id % 10 <> 7),
+        shn AS (SELECT doc_id, {_SHINGLES} AS s FROM nd),
+        sho AS (SELECT doc_id, {_SHINGLES} AS s FROM od),
+        pn AS (SELECT doc_id, unnest(s) AS sh FROM shn),
+        po AS (SELECT doc_id, unnest(s) AS sh FROM sho),
+        inter AS (SELECT n.doc_id AS nid, o.doc_id AS cid, count(*) AS i
+                  FROM pn n JOIN po o ON n.sh = o.sh GROUP BY 1, 2),
+        j AS (SELECT nid, cid,
+                     CAST(i AS DOUBLE) / (sn.n + so.n - i) AS jac
+              FROM inter
+              JOIN (SELECT doc_id, len(s) AS n FROM shn) sn ON nid = sn.doc_id
+              JOIN (SELECT doc_id, len(s) AS n FROM sho) so ON cid = so.doc_id)
+        SELECT nid, cid, jac FROM j WHERE jac >= 0.5 AND jac < 0.70
+        ORDER BY jac
+    """).fetchall()
+    assert risky == [], (
+        "fixture plants cross-side pairs in the LSH risky band "
+        f"[0.5, 0.70) — oracle recall no longer guaranteed: {risky[:5]}"
+    )
