@@ -960,3 +960,200 @@ def _pii_oracle_sql() -> str:
 
 
 EXTENSION_ORACLES["text_pii"] = _pii_oracle_sql()
+
+
+# ------------------------------------------- bloom decontamination (scale)
+
+def _portable_hash_sql(col: str) -> str:
+    """DuckDB twin of dedup.portable_token_hash over an arbitrary
+    string expression: two Mersenne-31 char folds, h0 + h1·2^31."""
+    def fold(mult: int, init: int) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST({init} AS BIGINT), "
+            f"list_transform(string_split({col}, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            f"(a, b) -> (a * {mult} + b) % 2147483647)"
+        )
+
+    return f"({fold(131, 7)} + 2147483648 * {fold(137, 11)})"
+
+
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 4
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination (the constant-size-
+    broadcast scale path of decontaminate_bench: the eval set compresses
+    to <= m_bits of filter state no matter how large it grows). Same
+    fixture split; the oracle recomputes the identical filter positions,
+    so Bloom false positives — part of the operator's contract — are
+    verified, not worked around."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return corpus.bloom_decontaminate(
+        train, bench, m_bits=BLOOM_M_BITS, k_hashes=BLOOM_K,
+        min_hits=DECON_MIN_HITS, portable=True,
+    )
+
+
+EXTENSION_QUERIES["decontaminate_bloom"] = decontaminate_bloom
+
+_PSH = _portable_hash_sql("sh")
+_BPOS = " , ".join(
+    f"(h % 2147483647) * {2 * i + 1} + {i * i + 1}" for i in range(BLOOM_K)
+)
+
+EXTENSION_ORACLES["decontaminate_bloom"] = f"""
+    WITH tr AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 50 <> 0),
+    be AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0),
+    trh AS (SELECT doc_id, {_PSH} AS h FROM
+            (SELECT doc_id, unnest(s) AS sh
+             FROM (SELECT doc_id, {_SHINGLES} AS s FROM tr))),
+    beh AS (SELECT DISTINCT {_PSH} AS h FROM
+            (SELECT unnest(s) AS sh
+             FROM (SELECT {_SHINGLES} AS s FROM be))),
+    iq AS (SELECT unnest(range({BLOOM_K})) AS i),
+    setpos AS (SELECT DISTINCT
+                   ((h % 2147483647) * (2*i+1) + (i*i+1))
+                       % 2147483647 % {BLOOM_M_BITS} AS pos
+               FROM beh, iq),
+    probe AS (SELECT doc_id, h,
+                  ((h % 2147483647) * (2*i+1) + (i*i+1))
+                      % 2147483647 % {BLOOM_M_BITS} AS pos
+              FROM (SELECT DISTINCT doc_id, h FROM trh), iq),
+    persh AS (SELECT doc_id, h, count(sp.pos) = {BLOOM_K} AS flag
+              FROM probe LEFT JOIN setpos sp USING (pos)
+              GROUP BY doc_id, h),
+    agg AS (SELECT doc_id, count(*) AS n_sh,
+                   sum(CASE WHEN flag THEN 1 ELSE 0 END) AS n_fl
+            FROM persh GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(COALESCE(a.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(a.n_fl, 0) AS BIGINT) AS n_flagged,
+           ROUND(CAST(COALESCE(a.n_fl, 0) AS DOUBLE)
+                 / GREATEST(COALESCE(a.n_sh, 0), 1), 6) AS flag_frac,
+           COALESCE(a.n_fl, 0) >= {DECON_MIN_HITS} AS contaminated
+    FROM tr t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# --------------------------------------------------- KMV distinct sketch
+
+KMV_K = 256
+
+
+def corpus_kmv_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token estimate via a KMV sketch — the
+    oracle-verifiable approximate-distinct op (HLL estimates can't be
+    reproduced across engines; the k-minimum-values estimator over the
+    portable hash can)."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.kmv_distinct_estimate(d, k=KMV_K, portable=True)
+
+
+EXTENSION_QUERIES["corpus_kmv_vocab"] = corpus_kmv_vocab
+
+_PTOK = _portable_hash_sql("tok")
+# the KMV finishing mix (corpus._kmv_mix): scatter the affine char-fold
+# progressions with multiply-mod bijections on the Mersenne ring
+_KMV_MIXED = (
+    f"((h0 % 2147483648) * {corpus._KMV_MIX1}) % 2147483647"
+    f" + (((h0 // 2147483648) * {corpus._KMV_MIX2}) % 2147483647) * 2147483648"
+)
+
+EXTENSION_ORACLES["corpus_kmv_vocab"] = f"""
+    WITH tok AS (SELECT source AS "group", unnest(list_distinct({_TOKS})) AS tok
+                 FROM documents),
+    h0s AS (SELECT "group", {_PTOK} AS h0 FROM tok),
+    hs AS (SELECT DISTINCT "group", {_KMV_MIXED} AS h FROM h0s),
+    r AS (SELECT "group", h,
+                 row_number() OVER (PARTITION BY "group" ORDER BY h) AS rn
+          FROM hs),
+    g AS (SELECT "group", count(*) AS n_exact,
+                 max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+          FROM r GROUP BY 1),
+    est AS (SELECT "group", n_exact, kth,
+                   ROUND(CASE WHEN kth IS NOT NULL
+                         THEN {KMV_K - 1}.0 * 4611686018427387904.0 / kth
+                         ELSE CAST(n_exact AS DOUBLE) END, 6) AS est_distinct
+            FROM g)
+    SELECT "group", CAST(n_exact AS BIGINT) AS n_distinct_exact,
+           kth AS kth_min, est_distinct,
+           ROUND((est_distinct - n_exact) / GREATEST(n_exact, 1), 6) AS rel_err
+    FROM est ORDER BY "group"
+"""
+
+
+# ------------------------------------------------- int8 quantized search
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embeddings table
+    (id, codes, scale) — the 4x-smaller storage tier for ANN at scale.
+    The declared query serializes the code array to a CSV string: the
+    driver's value-hash compares sorted scalar CSV, and engines
+    disagree on array-literal formatting ("[1 2]" vs "[1, 2]")."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e).select(
+        "id", F.concat_ws(",", "qvec").alias("qcsv"), "scale"
+    )
+
+
+EXTENSION_QUERIES["embedding_quantize"] = embedding_quantize
+
+_QUANT = """
+    v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-30) AS mx
+          FROM v),
+    q AS (SELECT vec_id,
+                 list_transform(v, x -> CAST(FLOOR(x * 127.0 / mx + 0.5) AS INT)) AS qvec,
+                 ROUND(mx / 127.0, 9) AS scale
+          FROM m)
+"""
+
+EXTENSION_ORACLES["embedding_quantize"] = f"""
+    WITH {_QUANT}
+    SELECT vec_id AS id, array_to_string(qvec, ',') AS qcsv, scale
+    FROM q ORDER BY id
+"""
+
+SIM_Q8_K = 5
+
+
+def similarity_topk_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the int8-quantized codes: exact
+    integer dots + a fixed-shape double expression make ranks AND
+    scores bit-reproducible in any engine — an oracle-checkable search
+    over an approximate representation."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.quantized_topk(e, queries, k=SIM_Q8_K)
+
+
+EXTENSION_QUERIES["similarity_topk_q8"] = similarity_topk_q8
+
+EXTENSION_ORACLES["similarity_topk_q8"] = f"""
+    WITH {_QUANT},
+    n AS (SELECT vec_id, qvec,
+                 CAST(list_sum(list_transform(qvec, x -> CAST(x * x AS BIGINT)))
+                      AS BIGINT) AS nsq
+          FROM q),
+    qs AS (SELECT * FROM n WHERE vec_id < 10),
+    sc AS (SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CAST(list_sum(list_transform(range(1, len(c.qvec) + 1),
+                       i -> CAST(c.qvec[i] * qs.qvec[i] AS BIGINT))) AS DOUBLE)
+                  / (sqrt(CAST(GREATEST(c.nsq, 1) AS DOUBLE))
+                     * sqrt(CAST(GREATEST(qs.nsq, 1) AS DOUBLE))) AS qcosine
+           FROM n c, qs WHERE c.vec_id <> qs.vec_id),
+    r AS (SELECT query_id, neighbor_id, qcosine,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY qcosine DESC, neighbor_id) AS rank
+          FROM sc)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(qcosine, 6) AS qcosine
+    FROM r WHERE rank <= {SIM_Q8_K} ORDER BY query_id, rank
+"""

@@ -455,6 +455,224 @@ def span_dedup_stats(
     )
 
 
+# bloom position-hash constants: fold the (≤62-bit) shingle hash into
+# the Mersenne-31 domain first so (2i+1)·h + i²+1 stays < 2^36, far
+# from signed-64 overflow (Spark ANSI mode throws on wrap), and the
+# same arithmetic reproduces in any BIGINT SQL engine.
+_BLOOM_M31 = (1 << 31) - 1
+
+
+def _bloom_positions(h: F.Column, k_hashes: int, m_bits: int) -> list[F.Column]:
+    h31 = F.pmod(h, F.lit(_BLOOM_M31))
+    return [
+        F.pmod(F.pmod(h31 * (2 * i + 1) + (i * i + 1), F.lit(_BLOOM_M31)),
+               F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    min_hits: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Bloom-filter decontamination — the constant-size-broadcast scale
+    path for :func:`decontaminate`: the benchmark set is compressed to
+    the SET OF SET BIT POSITIONS of a Bloom filter (``k_hashes``
+    positions per distinct benchmark shingle, folded into ``m_bits``);
+    a training shingle is flagged iff ALL its ``k_hashes`` positions
+    are set. Classic Bloom semantics: no false negatives (every truly
+    contaminated shingle flags), false positives at the standard
+    ``(1-e^{-kn/m})^k`` rate — deterministic and reproduced exactly by
+    the oracle, which computes the same positions.
+
+    Plan shape: the bench side collapses to ≤ ``min(k·|shingles|,
+    m_bits)`` distinct positions — bounded by ``m_bits`` (128 KiB of
+    bit-packed state at 2^20) REGARDLESS of benchmark size, which is
+    what a 100 TB pipeline broadcasts where :func:`decontaminate` would
+    broadcast the full shingle index. The train side explodes each
+    shingle to ``k_hashes`` position probes, broadcast-left-joins the
+    position set (no shuffle of the corpus), and two doc-keyed
+    aggregations roll up to per-document counts. (Here the broadcast
+    is the position set itself; a production variant would bit-pack it
+    into ``m/8`` bytes — the probe plan is identical.)
+
+    ``portable=True`` swaps xxhash64 for the Mersenne-31 char fold so
+    an independent SQL engine recomputes identical positions (the
+    DuckDB oracle path); xxhash64 is the production default.
+
+    Returns ``doc_id, n_shingles, n_flagged, flag_frac, contaminated``
+    for every training document.
+    """
+    from ksql_query_tutorial_spark.operators.dedup import (
+        portable_token_hash,
+        shingles_of,
+    )
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        ).select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(shingles_of(F.col("__toks"), n))
+            ).alias("sh"),
+        )
+        h = portable_token_hash(F.col("sh")) if portable else F.xxhash64("sh")
+        return sh.select(
+            "doc_id", F.when(F.col("sh").isNotNull(), h).alias("h")
+        )
+
+    set_positions = (
+        shingle_hashes(bench)
+        .filter(F.col("h").isNotNull())
+        .select(F.explode(F.array(*_bloom_positions(F.col("h"), k_hashes, m_bits))).alias("pos"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    # a null h (shingle-less doc) yields null positions: the probe rows
+    # miss the join and the doc rolls up to 0/0/false below
+    probed = shingle_hashes(train).select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(*_bloom_positions(F.col("h"), k_hashes, m_bits))
+        ).alias("pos"),
+    )
+    per_shingle = (
+        probed.join(F.broadcast(set_positions), "pos", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.count("__set") == k_hashes).alias("__flag"))
+    )
+    per_doc = (
+        per_shingle.groupBy("doc_id")
+        .agg(
+            F.count("h").alias("n_shingles"),
+            F.count(F.when(F.col("__flag"), F.lit(1))).alias("n_flagged"),
+        )
+        .withColumn(
+            "flag_frac",
+            F.round(F.col("n_flagged").cast("double")
+                    / F.greatest(F.col("n_shingles"), F.lit(1)).cast("double"), 6),
+        )
+        .withColumn("contaminated", F.col("n_flagged") >= min_hits)
+    )
+    return per_doc.select(
+        "doc_id", "n_shingles", "n_flagged", "flag_frac", "contaminated"
+    )
+
+
+# KMV estimate numerator: the mixed portable hash is uniform-ish on
+# [0, 2^62) (two finished 31-bit folds), so E[kth min / 2^62] = k/(D+1).
+_KMV_DOMAIN = float(1 << 62)
+# Finishing multipliers (xxhash primes): the raw char fold is AFFINE in
+# the char codes, so sequential vocabularies ("tok1".."tok999") produce
+# arithmetic-progression hash values whose order statistics are wildly
+# non-uniform — measured 2.7x overestimate at k=128 on a sequential
+# vocabulary. A multiply-mod by a large constant is a bijection on the
+# Mersenne ring that scatters those progressions; rel_err drops into
+# the 1/sqrt(k) band. Both multipliers < 2^32 keep fold·mult < 2^63
+# (ANSI long arithmetic, and plain BIGINT in the oracle engine).
+_KMV_MIX1 = 2_654_435_761
+_KMV_MIX2 = 2_246_822_519
+
+
+def _kmv_mix(h: F.Column) -> F.Column:
+    # decompose with bit ops, NOT `/` (Spark's / is a double divide,
+    # which loses exactness above 2^53 — h ranges up to 2^62)
+    h0 = h.bitwiseAND(F.lit((1 << 31) - 1))
+    h1 = F.shiftright(h, 31)
+    return (
+        F.pmod(h0 * _KMV_MIX1, F.lit(_BLOOM_M31))
+        + F.pmod(h1 * _KMV_MIX2, F.lit(_BLOOM_M31)) * F.lit(1 << 31)
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 256,
+    portable: bool = True,
+) -> DataFrame:
+    """Approximate distinct-token count per group via a KMV (k minimum
+    values) sketch — the mergeable bounded-state sketch a 100 TB
+    pipeline uses where exact ``COUNT(DISTINCT)`` would shuffle the
+    full vocabulary: state is the k smallest hash values per group
+    (relative error ~ 1/sqrt(k-2), ~6% at k=256).
+
+    Unlike HLL (``approx_count_distinct``), every step here is plain
+    integer/double arithmetic over a deterministic hash, so an
+    independent SQL engine reproduces the ESTIMATE bit-for-bit — an
+    oracle-verifiable approximate sketch. ``exact_distinct`` and
+    ``rel_err`` ride along as the accuracy diagnostic (a production
+    run at scale would drop them; the sketch itself never touches
+    full-vocabulary state).
+
+    Plan shape: distinct (group, hash) — one shuffle with map-side
+    partial dedup — then a per-group k-smallest window whose input is
+    already vocabulary-bounded, exactly the :func:`heavy_hitters`
+    argument. Estimator: ``(k-1) · 2^62 / kth_min`` when the group has
+    ≥ k distinct hashes, else the exact count (the sketch holds the
+    whole set).
+
+    Returns ``group, n_distinct_exact, kth_min, est_distinct,
+    rel_err`` ordered by group.
+    """
+    from ksql_query_tutorial_spark.operators.dedup import portable_token_hash
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = (
+        _kmv_mix(portable_token_hash(F.col("tok")))
+        if portable
+        # xxhash64 is already well-mixed; fold into the same 2^62 domain
+        else F.pmod(F.xxhash64("tok"), F.lit(1 << 62))
+    )
+    hashes = tok.select("group", h.alias("h")).distinct()
+    w = Window.partitionBy("group").orderBy("h")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    per_group = (
+        ranked.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_exact"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+        )
+        .withColumn(
+            "est_distinct",
+            F.round(
+                F.when(
+                    F.col("kth_min").isNotNull(),
+                    F.lit(float(k - 1)) * F.lit(_KMV_DOMAIN) / F.col("kth_min").cast("double"),
+                ).otherwise(F.col("n_distinct_exact").cast("double")),
+                6,
+            ),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                (F.col("est_distinct") - F.col("n_distinct_exact").cast("double"))
+                / F.greatest(F.col("n_distinct_exact"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+    )
+    return per_group.select(
+        "group", "n_distinct_exact", "kth_min", "est_distinct", "rel_err"
+    )
+
+
 def vocab(
     df: DataFrame,
     text_col: str = "text",

@@ -545,9 +545,12 @@ def simhash64(
             df.repartition(par, F.col(id_col))
             .select(
                 F.col(id_col).alias("id"),
-                F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-                    "tok"
-                ),
+                # dedup BEFORE hashing: the portable char fold is an
+                # interpreted HOF, so run it once per distinct (doc,
+                # token), not once per occurrence
+                F.explode(
+                    F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+                ).alias("tok"),
             )
             .select("id", portable_token_hash(F.col("tok")).alias("h"))
             .dropDuplicates(["id", "h"])
@@ -747,7 +750,10 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     # materialize the pair pipeline ONCE before symmetrizing: a union of
     # two branches over the raw pairs plan would execute the (expensive)
-    # candidate-generation subtree once per branch
+    # candidate-generation subtree once per branch. EAGER here is load-
+    # bearing: a lazy checkpoint referenced at several points of one
+    # downstream job recomputes its subtree per reference (measured
+    # +60% on the whole operator when edges/seed were made lazy).
     directed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).localCheckpoint()
@@ -757,7 +763,8 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     # seed each node with min(id, min neighbor) — the first propagation
     # round folded into initialization (every node appears as src in the
-    # symmetrized edge set, so this groupBy covers all of them)
+    # symmetrized edge set, so this groupBy covers all of them); eager,
+    # because iteration 1 references it twice in a single job
     labels = (
         edges.groupBy("src").agg(F.min("dst").alias("mn"))
         .select(F.col("src").alias("id"), F.least("src", "mn").alias("label"))
@@ -768,8 +775,11 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src").agg(F.min("label").alias("nl"))
         )
-        # carry the convergence flag through the checkpoint so the
-        # early-stop check is a scan of materialized rows, not a join
+        # the step checkpoint is LAZY: the convergence count below is
+        # the action that materializes it (one job per iteration, not
+        # two), and the next iteration's double reference then reads
+        # materialized blocks. The carried `changed` flag makes that
+        # count a scan, not a join.
         stepped = (
             labels.join(neigh_min, labels.id == neigh_min.src, "left")
             .select(
@@ -777,7 +787,7 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
                 (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = stepped.select("id", "label")
         if stepped.filter("changed").count() == 0:

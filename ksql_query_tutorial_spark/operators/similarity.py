@@ -214,6 +214,130 @@ def lsh_ann_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the faiss-SQ8
+    layout): ``q_i = floor(v_i·127/max_abs(v) + 0.5)``, scale =
+    ``max_abs/127`` — 4× less corpus memory/shuffle than float32, and
+    the first storage tier every billion-vector ANN index reaches for.
+
+    A pure narrow projection (no shuffle); the arithmetic is plain
+    floor/abs/max over doubles, so any SQL engine reproduces the exact
+    codes — round-half-up is spelled ``floor(x+0.5)`` because engines
+    disagree on ``round()`` tie-breaking (Java half-up vs C half-even).
+
+    Returns ``id, qvec (array<int>), scale`` — ``dequantized_i ≈
+    qvec_i · scale``.
+    """
+    src = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("__mx", mx_over("v"))
+    return src.select(
+        "id",
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 127.0 / F.col("__mx") + 0.5).cast("int"),
+        ).alias("qvec"),
+        F.round(F.col("__mx") / 127.0, 9).alias("scale"),
+    )
+
+
+def mx_over(v_name: str) -> Column:
+    """max |x| of an array column, floored away from zero so an
+    all-zero vector quantizes to zeros instead of dividing by zero."""
+    return F.greatest(
+        F.array_max(F.transform(F.col(v_name), lambda x: F.abs(x))),
+        F.lit(1e-30),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-over-int8 cosine top-k: :func:`brute_force_topk` run on
+    the quantized codes. Per-vector symmetric scales cancel in cosine,
+    so the score is ``dot(qa,qb)/(|qa|·|qb|)`` over integer codes —
+    int8 dots up to d·127² stay exactly representable in float64, so
+    the BLAS path and any integer-SQL oracle agree bit-for-bit (ranks
+    AND scores are deterministic; ties break by neighbor id, and int
+    scores tie far more often than floats — that determinism is what
+    makes an approximate-representation search oracle-checkable).
+
+    Corpus-side flow is identical to the float path: broadcast query
+    code matrix, one BLAS matmul per block, local top-k, one window —
+    but the UDF emits the EXACT integer dot and norm² (int64 matmul;
+    d·127² ≪ 2^63), keeping a small safety margin past k, and the
+    final score is one fixed JVM expression ``qdot/(sqrt(nsq_c)·
+    sqrt(nsq_q))`` — the identical IEEE op sequence any SQL engine
+    runs, so ranks and scores reproduce bit-for-bit (the float-BLAS
+    score is used only to preselect, never to rank).
+
+    Returns ``query_id, neighbor_id, rank, qcosine``.
+    """
+    qc = quantize_embeddings(corpus, id_col, vec_col)
+    qq = quantize_embeddings(queries, id_col, vec_col)
+    spark = corpus.sparkSession
+    qpdf = qq.select("id", "qvec").toPandas()
+    q_ids = qpdf["id"].to_numpy(dtype="int64")
+    q_mat = np.stack(qpdf["qvec"].to_numpy()).astype("int64")
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+    margin = 8
+
+    def local_topk(batches):
+        b_qids, b_qmat = bc.value
+        q_nsq = (b_qmat * b_qmat).sum(axis=1)
+        for batch in batches:
+            if batch.empty:
+                continue
+            n_ids = batch["id"].to_numpy(dtype="int64")
+            mat = np.stack(batch["qvec"].to_numpy()).astype("int64")
+            dots = mat @ b_qmat.T                        # exact int64
+            nsq = (mat * mat).sum(axis=1)
+            approx = dots / np.sqrt(np.maximum(nsq, 1))[:, None]
+            frames = []
+            for j, qid in enumerate(b_qids):
+                valid = n_ids != qid
+                order = np.lexsort((n_ids[valid], -approx[valid, j]))[: k + margin]
+                frames.append(pd.DataFrame({
+                    "query_id": qid,
+                    "neighbor_id": n_ids[valid][order],
+                    "qdot": dots[valid, j][order],
+                    "nsq_c": nsq[valid][order],
+                    "nsq_q": q_nsq[j],
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
+    scored = qc.select("id", "qvec").repartition(par).mapInPandas(
+        local_topk,
+        schema="query_id long, neighbor_id long, qdot long, nsq_c long, nsq_q long",
+    )
+    # the SAME expression shape the oracle uses: sqrt over greatest-
+    # guarded doubles, then one division — bit-identical across engines
+    qcos = F.col("qdot").cast("double") / (
+        F.sqrt(F.greatest(F.col("nsq_c"), F.lit(1)).cast("double"))
+        * F.sqrt(F.greatest(F.col("nsq_q"), F.lit(1)).cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("qcosine", qcos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("qcosine", 6).alias("qcosine"))
+    )
+
+
 def spherical_kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,

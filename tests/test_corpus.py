@@ -208,3 +208,61 @@ def test_tf_idf_matches_sklearn_convention(spark):
     assert abs(out[(1, "b")].tfidf - round(math.log(2.0) + 1.0, 6)) < 1e-9
     # every (doc, distinct term) pair appears
     assert len(out) == 5
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom flags are a SUPERSET of exact decontamination hits (no
+    false negatives — the Bloom contract); with 2^20 bits and a tiny
+    planted bench set, false positives are ~0 here so counts match the
+    exact operator on planted overlap."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", "s")])
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon eta theta", "en", "s"),  # overlaps
+        (2, "one two three four five six seven eight", "en", "s"),   # clean
+        (3, "solo", "en", "s"),                                      # no shingles
+    ])
+    exact = {r.doc_id: r for r in corpus.decontaminate(train, bench).collect()}
+    bloom = {r.doc_id: r for r in corpus.bloom_decontaminate(train, bench).collect()}
+    assert set(bloom) == {1, 2, 3}
+    for did in exact:
+        assert bloom[did].n_flagged >= exact[did].n_contaminated, did
+    assert bloom[1].contaminated
+    # shared shingles: 'alpha beta gamma', 'beta gamma delta',
+    # 'gamma delta epsilon'
+    assert bloom[1].n_flagged == exact[1].n_contaminated == 3
+    assert bloom[2].n_flagged == 0 and not bloom[2].contaminated
+    assert bloom[3].n_shingles == 0 and not bloom[3].contaminated
+
+
+def test_bloom_positions_portable_and_production_agree_on_flags(spark):
+    """The xxhash64 production path and the portable-hash oracle path
+    must agree on which documents are contaminated (positions differ,
+    the membership semantics must not)."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", "s")])
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon eta", "en", "s"),
+        (2, "unrelated words entirely different content here", "en", "s"),
+    ])
+    a = {r.doc_id: r.contaminated
+         for r in corpus.bloom_decontaminate(train, bench, portable=False).collect()}
+    b = {r.doc_id: r.contaminated
+         for r in corpus.bloom_decontaminate(train, bench, portable=True).collect()}
+    assert a == b == {1: True, 2: False}
+
+
+def test_kmv_estimate_accuracy_and_exact_branch(spark):
+    """Groups under k distinct tokens report exactly; groups over k
+    estimate within the ~1/sqrt(k-2) KMV error band."""
+    import math
+
+    # group 'big': 2000 distinct tokens across docs; 'small': 10
+    rows = [(i, " ".join(f"tok{j}" for j in range(i * 100, (i + 1) * 100)),
+             "en", "big") for i in range(20)]
+    rows += [(100, "a b c d e f g h i j", "en", "small")]
+    out = {r.group: r for r in
+           corpus.kmv_distinct_estimate(_docs(spark, rows), k=128).collect()}
+    assert out["small"].n_distinct_exact == 10
+    assert out["small"].est_distinct == 10.0 and out["small"].kth_min is None
+    big = out["big"]
+    assert big.n_distinct_exact == 2000
+    assert abs(big.rel_err) < 3.0 / math.sqrt(128 - 2)  # 3 sigma

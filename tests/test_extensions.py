@@ -639,3 +639,41 @@ def test_incremental_dedup_fixture_recall_margin():
         "fixture plants cross-side pairs in the LSH risky band "
         f"[0.5, 0.70) — oracle recall no longer guaranteed: {risky[:5]}"
     )
+
+
+def test_quantize_embeddings_codes_and_scale(spark):
+    rows = [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from ksql_query_tutorial_spark.operators import similarity as sim
+
+    out = {r.id: r for r in sim.quantize_embeddings(df).collect()}
+    # max_abs=1.0: codes = round-half-up(v*127)
+    assert list(out[1].qvec) == [127, -63, 32, 0]   # -63.5 -> floor(-63.0)=-63
+    assert abs(out[1].scale - 1.0 / 127) < 1e-9
+    # zero vector quantizes to zeros, no div-by-zero
+    assert list(out[2].qvec) == [0, 0, 0, 0]
+
+
+def test_quantized_topk_close_to_float_topk(spark):
+    """int8 ranks track float ranks: over the fixture, each query's
+    quantized top-5 overlaps the exact float top-5 in >= 3 of 5 (int8
+    on d=64 random vectors loses a little resolution, not the
+    neighborhood), and output shape/determinism hold."""
+    from ksql_query_tutorial_spark.operators import similarity as sim
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = sim.brute_force_topk(e, q, k=5).collect()
+    quant = sim.quantized_topk(e, q, k=5).collect()
+    by_q_exact, by_q_quant = {}, {}
+    for r in exact:
+        by_q_exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in quant:
+        by_q_quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q_quant) == set(by_q_exact)
+    for qid in by_q_exact:
+        assert len(by_q_quant[qid]) == 5
+        assert len(by_q_quant[qid] & by_q_exact[qid]) >= 3, qid
+    # determinism: a second run returns identical rows
+    again = sim.quantized_topk(e, q, k=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, quant))
