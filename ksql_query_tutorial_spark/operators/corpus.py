@@ -516,6 +516,8 @@ def bloom_decontaminate(
     )
     from ksql_query_tutorial_spark.operators.text import tokens
 
+    from pyspark.sql.functions import pandas_udf
+
     def shingle_hashes(df: DataFrame) -> DataFrame:
         sh = df.select(
             F.col(id_col).alias("doc_id"),
@@ -526,34 +528,64 @@ def bloom_decontaminate(
                 F.array_distinct(shingles_of(F.col("__toks"), n))
             ).alias("sh"),
         )
-        h = portable_token_hash(F.col("sh")) if portable else F.xxhash64("sh")
+        h = (
+            portable_token_hash_vec(F.col("sh"))
+            if portable
+            else F.xxhash64("sh")
+        )
         return sh.select(
             "doc_id", F.when(F.col("sh").isNotNull(), h).alias("h")
         )
 
-    set_positions = (
+    # Bench side → ONE bit-packed filter row (array<long>, m_bits/64
+    # entries — 16 KiB at 2^20 bits): all positions funnel through a
+    # single-group applyInPandas, which is bounded by construction
+    # (≤ min(k·|bench shingles|, m_bits) distinct positions). This IS
+    # the artifact a 100 TB job broadcasts.
+    n_words = (m_bits + 63) // 64
+
+    def build_bits(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        return pd.DataFrame({"bits": [bits.astype(np.int64)]})
+
+    bitset = (
         shingle_hashes(bench)
         .filter(F.col("h").isNotNull())
         .select(F.explode(F.array(*_bloom_positions(F.col("h"), k_hashes, m_bits))).alias("pos"))
         .distinct()
-        .withColumn("__set", F.lit(1))
+        .withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda _key, pdf: build_bits(pdf), schema="bits array<long>")
     )
-    # a null h (shingle-less doc) yields null positions: the probe rows
-    # miss the join and the doc rolls up to 0/0/false below
-    probed = shingle_hashes(train).select(
+
+    # Train side: project the k positions, cross-join the broadcast
+    # filter row, and test bits with pure codegen arithmetic — no
+    # explode, no probe join, no per-shingle aggregation; the ONLY
+    # shuffle left is the final doc-keyed rollup. A null h (shingle-
+    # less doc) gives null positions → null flag → counted as 0 below.
+    probes = shingle_hashes(train).select(
         "doc_id",
         "h",
-        F.explode(
-            F.array(*_bloom_positions(F.col("h"), k_hashes, m_bits))
-        ).alias("pos"),
-    )
-    per_shingle = (
-        probed.join(F.broadcast(set_positions), "pos", "left")
-        .groupBy("doc_id", "h")
-        .agg((F.count("__set") == k_hashes).alias("__flag"))
-    )
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(_bloom_positions(F.col("h"), k_hashes, m_bits))
+        ],
+    ).crossJoin(F.broadcast(bitset))
+    flag = None
+    for i in range(k_hashes):
+        # element_at is 1-indexed; shift amounts must be expressions,
+        # which the SQL form allows (the python wrapper takes only
+        # literals)
+        bit_i = F.expr(
+            f"(shiftrightunsigned(element_at(bits, CAST(p{i} DIV 64 AS INT) + 1), "
+            f"CAST(p{i} % 64 AS INT)) & 1) = 1"
+        )
+        flag = bit_i if flag is None else (flag & bit_i)
     per_doc = (
-        per_shingle.groupBy("doc_id")
+        probes.withColumn("__flag", flag)
+        .groupBy("doc_id")
         .agg(
             F.count("h").alias("n_shingles"),
             F.count(F.when(F.col("__flag"), F.lit(1))).alias("n_flagged"),

@@ -68,6 +68,33 @@ def main(dst: str) -> None:
                 )
         shifted.drop("__r").write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         print(f"{name}: written", flush=True)
+
+    # documents: shift ids; append a per-replica token so copies are
+    # NEAR-dups (replica structure stays realistic for shingle ops
+    # without collapsing to exact duplicates)
+    d = load(spark, SRC, "documents")
+    doc_base = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
+    dd = (
+        d.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "__r"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(doc_base))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" rtag"), F.col("__r")))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("__r")
+    )
+    dd.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+    print("documents: written", flush=True)
+
+    # embeddings: shift ids, keep vectors (timing-faithful; planted
+    # neighbor structure replicates per copy)
+    e = load(spark, SRC, "embeddings")
+    vec_base = int(e.agg(F.max("vec_id")).collect()[0][0]) + 1
+    ee = (
+        e.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "__r"))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__r") * F.lit(vec_base))
+        .drop("__r")
+    )
+    ee.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    print("embeddings: written", flush=True)
     spark.stop()
 
 
