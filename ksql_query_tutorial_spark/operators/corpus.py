@@ -23,6 +23,8 @@ concentrates data by an unbounded hot key.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -471,6 +473,82 @@ def _bloom_positions(h: F.Column, k_hashes: int, m_bits: int) -> list[F.Column]:
     ]
 
 
+def _bloom_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, portable: bool
+) -> DataFrame:
+    """``doc_id, h`` — one hash per distinct n-shingle per document
+    (null h for shingle-less docs, kept so every doc survives to the
+    rollup)."""
+    from ksql_query_tutorial_spark.operators.dedup import (
+        portable_token_hash,
+        shingles_of,
+    )
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(shingles_of(F.col("__toks"), n))
+        ).alias("sh"),
+    )
+    h = portable_token_hash(F.col("sh")) if portable else F.xxhash64("sh")
+    return sh.select("doc_id", F.when(F.col("sh").isNotNull(), h).alias("h"))
+
+
+def _bloom_bitset_for_test(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """The broadcastable filter artifact alone — exactly ONE row of
+    bit-packed ``array<long>`` (``m_bits/64`` words), zero-filled when
+    the benchmark is empty. Split out so tests can pin the payload
+    shape without running the train-side probe plan."""
+    n_words = (m_bits + 63) // 64
+
+    def build_bits(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_words, dtype=np.uint64)
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(
+            bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63))
+        )
+        return pd.DataFrame({"bits": [bits.astype(np.int64)]})
+
+    return (
+        _bloom_shingle_hashes(bench, id_col, text_col, n, portable)
+        .filter(F.col("h").isNotNull())
+        .select(
+            F.explode(
+                F.array(*_bloom_positions(F.col("h"), k_hashes, m_bits))
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(lambda _key, pdf: build_bits(pdf), schema="bits array<long>")
+        # An empty benchmark produces ZERO groups above (no filter row),
+        # and a crossJoin against an empty side would drop every training
+        # document. A global agg always emits exactly one row: OR-fold the
+        # <=1 packed rows into a zero-filled array<long> init, so the
+        # empty-bench case degrades to an all-zero filter (n_flagged=0
+        # everywhere), matching decontaminate() and the oracle.
+        .agg(
+            F.aggregate(
+                F.collect_list("bits"),
+                F.array_repeat(F.lit(0).cast("long"), n_words),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a.bitwiseOR(b)),
+            ).alias("bits")
+        )
+    )
+
+
 def bloom_decontaminate(
     train: DataFrame,
     bench: DataFrame,
@@ -510,54 +588,13 @@ def bloom_decontaminate(
     Returns ``doc_id, n_shingles, n_flagged, flag_frac, contaminated``
     for every training document.
     """
-    from ksql_query_tutorial_spark.operators.dedup import (
-        portable_token_hash,
-        shingles_of,
-    )
-    from ksql_query_tutorial_spark.operators.text import tokens
-
-    from pyspark.sql.functions import pandas_udf
-
-    def shingle_hashes(df: DataFrame) -> DataFrame:
-        sh = df.select(
-            F.col(id_col).alias("doc_id"),
-            tokens(F.col(text_col)).alias("__toks"),
-        ).select(
-            "doc_id",
-            F.explode_outer(
-                F.array_distinct(shingles_of(F.col("__toks"), n))
-            ).alias("sh"),
-        )
-        h = (
-            portable_token_hash_vec(F.col("sh"))
-            if portable
-            else F.xxhash64("sh")
-        )
-        return sh.select(
-            "doc_id", F.when(F.col("sh").isNotNull(), h).alias("h")
-        )
-
     # Bench side → ONE bit-packed filter row (array<long>, m_bits/64
     # entries — 16 KiB at 2^20 bits): all positions funnel through a
     # single-group applyInPandas, which is bounded by construction
     # (≤ min(k·|bench shingles|, m_bits) distinct positions). This IS
     # the artifact a 100 TB job broadcasts.
-    n_words = (m_bits + 63) // 64
-
-    def build_bits(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(n_words, dtype=np.uint64)
-        pos = pdf["pos"].to_numpy(dtype=np.int64)
-        np.bitwise_or.at(bits, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
-        return pd.DataFrame({"bits": [bits.astype(np.int64)]})
-
-    bitset = (
-        shingle_hashes(bench)
-        .filter(F.col("h").isNotNull())
-        .select(F.explode(F.array(*_bloom_positions(F.col("h"), k_hashes, m_bits))).alias("pos"))
-        .distinct()
-        .withColumn("__g", F.lit(0))
-        .groupBy("__g")
-        .applyInPandas(lambda _key, pdf: build_bits(pdf), schema="bits array<long>")
+    bitset = _bloom_bitset_for_test(
+        bench, id_col, text_col, n, m_bits, k_hashes, portable
     )
 
     # Train side: project the k positions, cross-join the broadcast
@@ -565,7 +602,7 @@ def bloom_decontaminate(
     # explode, no probe join, no per-shingle aggregation; the ONLY
     # shuffle left is the final doc-keyed rollup. A null h (shingle-
     # less doc) gives null positions → null flag → counted as 0 below.
-    probes = shingle_hashes(train).select(
+    probes = _bloom_shingle_hashes(train, id_col, text_col, n, portable).select(
         "doc_id",
         "h",
         *[

@@ -67,6 +67,30 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack(series.to_numpy()).astype("float64")
 
 
+# Hard ceiling on the query side of broadcast-matrix searches. The
+# design contract is "bounded query set broadcast against an unbounded
+# corpus"; 65,536 × d float64 is a few tens of MB — comfortably
+# broadcastable — while an unguarded toPandas() of a corpus-sized query
+# set would OOM the driver silently at 100 TB.
+MAX_QUERY_ROWS = 65_536
+
+
+def _bounded_query_pdf(queries: DataFrame, what: str) -> pd.DataFrame:
+    """Driver-side collect of the query set, guarded by MAX_QUERY_ROWS:
+    reads at most MAX_QUERY_ROWS+1 rows (the limit is pushed into the
+    scan, so an oversized set costs one extra row, not a full collect)
+    and raises instead of silently OOMing."""
+    pdf = queries.limit(MAX_QUERY_ROWS + 1).toPandas()
+    if len(pdf) > MAX_QUERY_ROWS:
+        raise ValueError(
+            f"{what}: query set exceeds MAX_QUERY_ROWS={MAX_QUERY_ROWS}; "
+            "the broadcast-matrix design needs a bounded query side — "
+            "split the query set, or use the LSH/IVF bucketed path for "
+            "corpus-vs-corpus search."
+        )
+    return pdf
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     np.maximum(norms, np.finfo("float64").tiny, out=norms)

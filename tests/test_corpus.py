@@ -250,6 +250,41 @@ def test_bloom_positions_portable_and_production_agree_on_flags(spark):
     assert a == b == {1: True, 2: False}
 
 
+def test_bloom_decontaminate_empty_bench_keeps_all_docs(spark):
+    """An empty benchmark set must degrade to an all-zero filter — every
+    training document comes back with n_flagged=0, exactly like the
+    exact operator and the LEFT JOIN + COALESCE oracle (a missing filter
+    row must NOT let the crossJoin drop the corpus)."""
+    bench = _docs(spark, []).filter(F.lit(False))
+    train = _docs(spark, [
+        (1, "alpha beta gamma delta", "en", "s"),
+        (2, "solo", "en", "s"),
+    ])
+    out = {r.doc_id: r for r in corpus.bloom_decontaminate(train, bench).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_flagged == 0 and not out[1].contaminated
+    assert out[2].n_shingles == 0 and not out[2].contaminated
+
+
+def test_bloom_broadcast_payload_is_bitpacked_array(spark):
+    """The broadcast artifact must be the bit-packed filter — ONE row of
+    array<long> with exactly m_bits/64 words (16 KiB at 2^20) — never the
+    unpacked position set; and both hash paths must set the advertised
+    number of bits (k positions per distinct shingle, minus collisions)."""
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", "s")])
+    for m_bits in (1 << 16, 1 << 20):
+        for portable in (False, True):
+            rows = corpus._bloom_bitset_for_test(
+                bench, n=3, m_bits=m_bits, k_hashes=4, portable=portable
+            ).collect()
+            assert len(rows) == 1
+            bits = rows[0].bits
+            assert len(bits) == m_bits // 64
+            popcount = sum(bin(w & ((1 << 64) - 1)).count("1") for w in bits)
+            # 4 distinct 3-shingles x 4 hashes = 16 positions max
+            assert 4 <= popcount <= 16
+
+
 def test_kmv_estimate_accuracy_and_exact_branch(spark):
     """Groups under k distinct tokens report exactly; groups over k
     estimate within the ~1/sqrt(k-2) KMV error band."""
