@@ -114,7 +114,10 @@ def brute_force_topk(
     Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
     """
     spark = corpus.sparkSession
-    qpdf = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    qpdf = _bounded_query_pdf(
+        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "brute_force_topk",
+    )
     q_ids = qpdf["id"].to_numpy(dtype="int64")
     q_mat = _normalize(_stack(qpdf["v"]))
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -308,7 +311,7 @@ def quantized_topk(
     qc = quantize_embeddings(corpus, id_col, vec_col)
     qq = quantize_embeddings(queries, id_col, vec_col)
     spark = corpus.sparkSession
-    qpdf = qq.select("id", "qvec").toPandas()
+    qpdf = _bounded_query_pdf(qq.select("id", "qvec"), "quantized_topk")
     q_ids = qpdf["id"].to_numpy(dtype="int64")
     q_mat = np.stack(qpdf["qvec"].to_numpy()).astype("int64")
     bc = spark.sparkContext.broadcast((q_ids, q_mat))

@@ -677,3 +677,22 @@ def test_quantized_topk_close_to_float_topk(spark):
     # determinism: a second run returns identical rows
     again = sim.quantized_topk(e, q, k=5).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, quant))
+
+def test_query_collect_guard_raises_on_oversized_query_set(spark, monkeypatch):
+    """Both broadcast-matrix searches hard-cap the driver-side query
+    collect: past MAX_QUERY_ROWS they must raise (never silently OOM
+    the driver), and the limit is pushed into the scan so the failed
+    check reads cap+1 rows, not the full set."""
+    from ksql_query_tutorial_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_QUERY_ROWS", 4)
+    e = load(spark, SF_ORACLE, "embeddings")
+    q_big = e.filter(F.col("vec_id") < 10)   # 10 > 4
+    q_ok = e.filter(F.col("vec_id") < 3)     # 3 <= 4
+    with pytest.raises(ValueError, match="brute_force_topk.*MAX_QUERY_ROWS"):
+        sim.brute_force_topk(e, q_big, k=2)
+    with pytest.raises(ValueError, match="quantized_topk.*MAX_QUERY_ROWS"):
+        sim.quantized_topk(e, q_big, k=2)
+    # at or under the cap both run normally
+    assert sim.brute_force_topk(e, q_ok, k=2).count() == 6
+    assert sim.quantized_topk(e, q_ok, k=2).count() == 6

@@ -14,15 +14,21 @@ ORACLES = entrymod.oracle_sql()
 
 
 def test_every_query_has_an_oracle_or_is_declared_weak():
-    # queries without oracles get the driver's weaker rows-only check;
-    # keep that set intentional and small.
+    """Coverage honesty gate (VERDICT r3 #7): every declared query must
+    carry a full DuckDB value-hash oracle — exercised for ALL of them by
+    test_query_matches_oracle below, whether or not they sit inside the
+    driver's 50-entry window — except an EXACT allow-list of queries
+    that are provably non-oracle-able, each of which must have its own
+    dedicated in-repo verification test."""
     weak = set(QUERIES) - set(ORACLES)
-    allowed_weak = {
-        k for k in QUERIES
-        if k.startswith(("dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
-                         "ann_", "mm_"))
-    }
-    assert weak <= allowed_weak, f"unexpected oracle-less queries: {weak - allowed_weak}"
+    # ann_ivf_topk: recall < 1 by construction with driver-trained
+    # centroids (proof in its docstring); verified instead by
+    # tests/test_extensions.py::test_ivf_topk_structure_and_recall.
+    allowed_weak = {"ann_ivf_topk"}
+    assert weak == allowed_weak, (
+        f"oracle coverage drifted: unexpected weak={weak - allowed_weak}, "
+        f"stale allow-list={allowed_weak - weak}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))

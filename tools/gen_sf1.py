@@ -71,13 +71,21 @@ def main(dst: str) -> None:
 
     # documents: shift ids; append a per-replica token so copies are
     # NEAR-dups (replica structure stays realistic for shingle ops
-    # without collapsing to exact duplicates)
+    # without collapsing to exact duplicates). Replica 0 is left
+    # UNTOUCHED so the sf1 corpus is a strict superset of the base
+    # corpus — any parity comparison anchored to base document text
+    # stays valid (ADVICE r3: the old version rtagged replica 0 too).
     d = load(spark, SRC, "documents")
     doc_base = int(d.agg(F.max("doc_id")).collect()[0][0]) + 1
     dd = (
         d.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "__r"))
         .withColumn("doc_id", F.col("doc_id") + F.col("__r") * F.lit(doc_base))
-        .withColumn("text", F.concat(F.col("text"), F.lit(" rtag"), F.col("__r")))
+        .withColumn(
+            "text",
+            F.when(F.col("__r") == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" rtag"), F.col("__r"))
+            ),
+        )
         .withColumn("n_chars", F.length("text").cast("long"))
         .drop("__r")
     )
