@@ -1,0 +1,101 @@
+"""sf1 scaling check for the EXTENSION families (VERDICT r3 #6):
+dedup (MinHash-LSH, SimHash, embedding-LSH, LSH-fed clusters),
+quantized similarity search, Bloom decontamination, and the KMV
+sketch, timed at sf0.1 vs the 10x-replicated sf1 fixture — plus a
+recall re-verification of the MinHash-LSH recall-1 claim at sf1.
+
+The recall check exploits the fixture construction (tools/gen_sf1.py):
+replica 0 is the base corpus VERBATIM (ids and text unchanged), so the
+exact near-dup pairs of the base corpus are a subset of sf1's true pair
+set, and LSH-at-sf1 restricted to base-id pairs must equal the exact
+all-pairs Jaccard result on the base corpus. Usage:
+    python tools/gen_sf1.py .stress/sf1   # once
+    python tools/stress_sf1_ext.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ksql_query_tutorial_spark.session import get_spark  # noqa: E402
+from tools.stress_sf1 import SF01, SF1, time_queries  # noqa: E402
+
+# The verdict-listed ops plus their family siblings; text_token_stats
+# rides along as the pure-scan anchor (its ratio ~ the raw IO ratio).
+EXT_NAMES = [
+    "text_token_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_clusters_lsh",
+    "similarity_topk_q8",
+    "decontaminate_bloom",
+    "corpus_kmv_vocab",
+]
+
+
+def main() -> None:
+    spark = get_spark("stress-sf1-ext")
+    from pyspark.sql import functions as F
+
+    from ksql_query_tutorial_spark.extensions import EXTENSION_QUERIES
+    from ksql_query_tutorial_spark.tables import load
+
+    qs = {n: EXTENSION_QUERIES[n] for n in EXT_NAMES}
+
+    # warm footers + codegen + Arrow workers at the smallest sf
+    for t in ("documents", "embeddings", "events"):
+        load(spark, SF1, t).count()
+    for name in sorted(qs):
+        qs[name](spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
+
+    t01 = time_queries(spark, qs, SF01)
+    t1 = time_queries(spark, qs, SF1)
+
+    print(f"\n{'query':32s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s}")
+    worst = 0.0
+    for name in EXT_NAMES:
+        ratio = t1[name] / max(t01[name], 1e-9)
+        worst = max(worst, ratio)
+        print(f"{name:32s} {t01[name]:8.3f} {t1[name]:8.3f} {ratio:7.2f}")
+    tot01, tot1 = sum(t01.values()), sum(t1.values())
+    print(f"{'TOTAL':32s} {tot01:8.3f} {tot1:8.3f} {tot1 / tot01:7.2f}")
+    print(f"worst per-query ratio: {worst:.2f} (linear = 10)")
+
+    # ---- MinHash-LSH recall-1 re-verification at sf1 ----------------
+    # Base-id pairs found by LSH on the FULL sf1 corpus must equal the
+    # exact all-pairs Jaccard result on the base corpus: replica 0 is
+    # byte-identical to base, so any base pair LSH misses at sf1 is a
+    # recall loss, and any extra base pair is a verification bug (the
+    # operator exact-verifies candidates, so precision is 1 by
+    # construction — this checks recall survives the 10x corpus).
+    doc_base = (
+        load(spark, SF01, "documents").agg(F.max("doc_id")).collect()[0][0] + 1
+    )
+    lsh_sf1 = {
+        (r.id_a, r.id_b)
+        for r in EXTENSION_QUERIES["dedup_minhash_lsh"](spark, SF1)
+        .filter((F.col("id_a") < doc_base) & (F.col("id_b") < doc_base))
+        .collect()
+    }
+    exact_base = {
+        (r.id_a, r.id_b)
+        for r in EXTENSION_QUERIES["dedup_ngram_jaccard"](spark, SF01).collect()
+    }
+    missed = exact_base - lsh_sf1
+    extra = lsh_sf1 - exact_base
+    assert not missed, f"LSH @ sf1 lost recall on base pairs: {sorted(missed)[:10]}"
+    assert not extra, f"LSH @ sf1 emitted non-pairs among base ids: {sorted(extra)[:10]}"
+    print(
+        f"recall check: LSH@sf1 base-id pairs == exact base pairs "
+        f"({len(exact_base)} pairs, recall 1.0)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
