@@ -686,12 +686,23 @@ def kmv_distinct_estimate(
     run at scale would drop them; the sketch itself never touches
     full-vocabulary state).
 
-    Plan shape: distinct (group, hash) — one shuffle with map-side
-    partial dedup — then a per-group k-smallest window whose input is
-    already vocabulary-bounded, exactly the :func:`heavy_hitters`
-    argument. Estimator: ``(k-1) · 2^62 / kth_min`` when the group has
-    ≥ k distinct hashes, else the exact count (the sketch holds the
-    whole set).
+    Plan shape (VERDICT r4 #4 — no per-group vocabulary sort, no
+    Python stage): distinct (group, hash) — one shuffle with map-side
+    partial dedup — then a TWO-LEVEL k-smallest merge. Level 1 keys on
+    ``(group, spark_partition_id())``: every globally k-smallest hash
+    is among its partition's k smallest, so each cell keeps only
+    ``slice(sort_array, 1, k)`` plus its row count, and the sort is a
+    partition-local cell (vocab/P rows), parallel across P·G evenly
+    distributed keys — never one task sorting a whole group's
+    vocabulary (the old ``row_number`` window concentrated each
+    group's full distinct set on one reducer). Level 2 merges the
+    k-lists per group: ``k·P`` longs per group (k=256 at P=10^4
+    AQE-coalesced partitions is ~20 MB — bounded; at extreme partition
+    counts insert one intermediate merge keyed ``(group, pid % 256)``,
+    the same hierarchical-merge move :func:`pack_sequences` documents
+    for its block table). Estimator: ``(k-1) · 2^62 / kth_min`` when
+    the group has ≥ k distinct hashes, else the exact count (the
+    sketch holds the whole set; the level-2 ``F.get`` yields NULL).
 
     Returns ``group, n_distinct_exact, kth_min, est_distinct,
     rel_err`` ordered by group.
@@ -710,13 +721,27 @@ def kmv_distinct_estimate(
         else F.pmod(F.xxhash64("tok"), F.lit(1 << 62))
     )
     hashes = tok.select("group", h.alias("h")).distinct()
-    w = Window.partitionBy("group").orderBy("h")
-    ranked = hashes.withColumn("rn", F.row_number().over(w))
-    per_group = (
-        ranked.groupBy("group")
+
+    # level 1: per-(group, partition) k smallest + cell count. The
+    # cells tile the distinct set, so counts sum to the exact total,
+    # and the union of cell minima contains the global k-th min.
+    lvl1 = (
+        hashes.withColumn("__pid", F.spark_partition_id())
+        .groupBy("group", "__pid")
         .agg(
-            F.count(F.lit(1)).alias("n_distinct_exact"),
-            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_min"),
+            F.slice(F.sort_array(F.collect_list("h")), 1, k).alias("__ks"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+    )
+    # level 2: merge ≤ k·P candidates per group; F.get is NULL when
+    # the group holds fewer than k distinct hashes (exact branch)
+    per_group = (
+        lvl1.groupBy("group")
+        .agg(
+            F.sum("__cnt").alias("n_distinct_exact"),
+            F.get(F.sort_array(F.flatten(F.collect_list("__ks"))), k - 1).alias(
+                "kth_min"
+            ),
         )
         .withColumn(
             "est_distinct",

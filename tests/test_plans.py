@@ -123,6 +123,20 @@ def test_ivf_assignment_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan, plan
 
 
+def test_kmv_has_no_window_sort(spark):
+    """KMV sketch: the k-smallest must come from the two-level
+    (group, partition) JVM merge, never a per-group row_number window
+    (which sorts the full distinct vocabulary per group on a single
+    reducer — VERDICT r4 #4). Pure JVM: no Python stage either."""
+    from ksql_query_tutorial_spark.extensions import corpus_kmv_vocab
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(corpus_kmv_vocab(spark, SF_ORACLE))
+    assert "Window" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
 def test_multiway_join_broadcasts_bounded_dims(spark):
     """q23: nation/region must be broadcast (map-side), never shuffled."""
     from ksql_query_tutorial_spark.plans.checks import formatted_plan

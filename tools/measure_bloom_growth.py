@@ -27,17 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ksql_query_tutorial_spark.session import get_spark  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALES = [1, 10, 100]
+SCALES = [1, 10, 100, 1000]
 M_BITS = 1 << 20
 K_HASHES = 4
 
 
-def bench_at(spark, base_bench, scale: int):
+def bench_at(spark, base_bench, scale: int, doc_base: int):
+    """Replicate the bench split `scale`x. `doc_base` must come from the
+    FULL documents table max (not the bench split max) so replica ids
+    never collide with train-side doc_ids (ADVICE r4)."""
     from pyspark.sql import functions as F
 
     if scale == 1:
         return base_bench
-    doc_base = base_bench.agg(F.max("doc_id")).collect()[0][0] + 1
     return (
         base_bench.crossJoin(
             spark.range(scale).withColumnRenamed("id", "__r")
@@ -74,12 +76,13 @@ def main() -> None:
     d = load(spark, SF, "documents")
     train = d.filter(F.col("doc_id") % 50 != 0)
     base_bench = d.filter(F.col("doc_id") % 50 == 0)
+    doc_base = d.agg(F.max("doc_id")).collect()[0][0] + 1
     train.count()  # warm footers
 
     print(f"{'bench':>8s} {'shingles':>10s} {'exact idx':>10s} {'bloom bc':>9s} "
           f"{'exact s':>8s} {'bloom s':>8s}")
     for scale in SCALES:
-        b = bench_at(spark, base_bench, scale).persist()
+        b = bench_at(spark, base_bench, scale, doc_base).persist()
         n_bench = b.count()
         n_shingles = (
             b.select(

@@ -21,6 +21,8 @@ from ksql_query_tutorial_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("STRESS_SF1_DIR", ".stress/sf1")
+# smallest fixture, used only to warm codegen/Arrow workers before timing
+SF_WARM = os.environ.get("STRESS_WARM_DIR", "/root/testdata/sf0.001")
 
 
 def time_queries(spark, qs, sf_dir: str, passes: int = 2) -> dict[str, float]:
@@ -47,7 +49,7 @@ def main() -> None:
             continue  # not part of the tutorial-query fixture
         load(spark, SF1, t).count()
     for name in sorted(qs):
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        qs[name](spark, SF_WARM).count()
     spark.catalog.clearCache()
 
     t01 = time_queries(spark, qs, SF01)

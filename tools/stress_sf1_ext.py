@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ksql_query_tutorial_spark.session import get_spark  # noqa: E402
-from tools.stress_sf1 import SF01, SF1, time_queries  # noqa: E402
+from tools.stress_sf1 import SF01, SF1, SF_WARM, time_queries  # noqa: E402
 
 # The verdict-listed ops plus their family siblings; text_token_stats
 # rides along as the pure-scan anchor (its ratio ~ the raw IO ratio).
@@ -50,7 +50,7 @@ def main() -> None:
     for t in ("documents", "embeddings", "events"):
         load(spark, SF1, t).count()
     for name in sorted(qs):
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        qs[name](spark, SF_WARM).count()
     spark.catalog.clearCache()
 
     t01 = time_queries(spark, qs, SF01)
