@@ -214,6 +214,35 @@ def ngram_jaccard_pairs(
     return pair.select("id_a", "id_b", "jaccard")
 
 
+def _cap_bucket_width(
+    buckets: DataFrame, max_bucket: int | None, *cols: str
+) -> DataFrame:
+    """Mega-bucket relief valve for the banded equality joins (VERDICT
+    r4 #6): drop every row of a bucket wider than ``max_bucket`` rows.
+
+    A pathological corpus (boilerplate-heavy, constant fields) can put
+    an unbounded fraction of documents into one band bucket, turning a
+    single join task quadratic. The cap bounds any bucket's join
+    contribution at ``max_bucket²`` pairs — the same frequency-cut move
+    as ``max_posting`` in :func:`ngram_jaccard_pairs`. Recall note: a
+    dropped bucket loses only THAT band's candidates; true near-dup
+    pairs still surface through their other bands/tables unless those
+    are equally degenerate. ``None`` (the default) is exact mode —
+    behavior unchanged.
+
+    The width count is a window over the bucket key — O(width) rows
+    through one task, never the O(width²) the join would do.
+    """
+    if max_bucket is None:
+        return buckets
+    w = Window.partitionBy(*cols)
+    return (
+        buckets.withColumn("__bw", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bw") <= max_bucket)
+        .drop("__bw")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -311,12 +340,16 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, verified with exact Jaccard.
 
     bands=32 × rows=4 over 128 hashes: detection prob at j=0.5 is
     1−(1−0.5⁴)³² ≈ 0.87, at j=0.7 ≈ 0.9998 — the standard S-curve for
     a 0.5 threshold with exact verification discarding false positives.
+
+    ``max_bucket`` (default None = exact) drops band buckets wider
+    than the cap before the self-join — see :func:`_cap_bucket_width`.
 
     Returns: ``id_a``, ``id_b``, ``jaccard`` (exact, rounded 6) — a
     subset of :func:`ngram_jaccard_pairs` with the same threshold
@@ -345,7 +378,8 @@ def minhash_lsh_pairs(
     buckets = sh_sets.select(
         "id", F.explode(_band_buckets("sh")).alias("bucket")
     ).persist()
-    l, r = buckets.alias("l"), buckets.alias("r")
+    capped = _cap_bucket_width(buckets, max_bucket, "bucket")
+    l, r = capped.alias("l"), capped.alias("r")
     candidates = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
@@ -567,6 +601,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -574,6 +609,10 @@ def simhash_pairs(
     chunks; any pair within the distance bound agrees exactly on ≥1
     chunk, so equality joins on (chunk_index, chunk_value) generate all
     candidates; verify with ``bit_count(xor) ≤ d``.
+
+    ``max_bucket`` (default None = exact) drops (chunk, value) buckets
+    wider than the cap before the self-join — see
+    :func:`_cap_bucket_width`.
 
     Returns: ``id_a``, ``id_b``, ``hamming``.
     """
@@ -597,6 +636,7 @@ def simhash_pairs(
             ])
         ).alias("c"),
     ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    chunks = _cap_bucket_width(chunks, max_bucket, "ci", "cv")
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
         l.join(
@@ -827,6 +867,7 @@ def embedding_lsh_pairs(
     dim: int = 64,
     multiprobe: bool = True,
     verify: str = "bucket",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane LSH —
     the sub-quadratic scale path for :func:`embedding_cosine_pairs`.
@@ -863,6 +904,11 @@ def embedding_lsh_pairs(
     ~n/2**n_planes members plus ~n_planes× that in Hamming-1 arrivals,
     so n_planes must track log2(n) — occupancy-targeted sizing keeps
     group memory flat as the corpus grows.
+
+    ``max_bucket`` (default None = exact, join mode only) drops
+    (table, code) buckets wider than the cap on each side of the
+    equality join — see :func:`_cap_bucket_width`. Bucket mode's
+    degenerate-bucket control is the occupancy sizing above.
 
     Returns: ``id_a``, ``id_b``, ``cosine`` (rounded 6).
     """
@@ -952,7 +998,8 @@ def embedding_lsh_pairs(
             "id", F.explode(F.array(*entries)).alias("k")
         ).select("id", F.col("k.t").alias("t"), F.col("k.code").alias("code"))
 
-    l, r = keyed(side_probe=True).alias("l"), keyed(side_probe=False).alias("r")
+    l = _cap_bucket_width(keyed(side_probe=True), max_bucket, "t", "code").alias("l")
+    r = _cap_bucket_width(keyed(side_probe=False), max_bucket, "t", "code").alias("r")
     # distinct FIRST: a pair colliding in several tables/probes is
     # verified once, and the dedup shuffle moves two longs per row
     cand = (

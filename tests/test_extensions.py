@@ -461,6 +461,42 @@ def test_dedup_family_tolerates_null_and_empty_text(spark):
     assert (0, 1) in {(r.id_a, r.id_b) for r in sim}
 
 
+def test_lsh_mega_bucket_cap(spark):
+    """max_bucket drops degenerate band buckets (VERDICT r4 #6): a
+    planted mega-cluster of identical docs lands every member in the
+    same bucket of EVERY band, so with a cap below the cluster size no
+    candidates survive; default (None) behavior is unchanged and still
+    emits all cluster pairs."""
+    mega = 30
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(mega)]
+    rows += [(100 + i, f"entirely unrelated document number {i} with its own words {i}")
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    expect_pairs = mega * (mega - 1) // 2
+
+    assert dedup.minhash_lsh_pairs(df, "doc_id").count() == expect_pairs
+    assert dedup.minhash_lsh_pairs(df, "doc_id", max_bucket=10).count() == 0
+
+    assert dedup.simhash_pairs(df, "doc_id").count() == expect_pairs
+    assert dedup.simhash_pairs(df, "doc_id", max_bucket=10).count() == 0
+
+    # embedding variant: identical vectors share every table's code
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8).tolist()
+    vrows = [(i, base) for i in range(mega)]
+    vrows += [(100 + i, rng.normal(size=8).tolist()) for i in range(5)]
+    vdf = spark.createDataFrame(vrows, "vec_id long, embedding array<double>")
+    full = dedup.embedding_lsh_pairs(
+        vdf, dim=8, threshold=0.99, verify="join"
+    ).count()
+    assert full >= expect_pairs
+    capped = dedup.embedding_lsh_pairs(
+        vdf, dim=8, threshold=0.99, verify="join", max_bucket=10
+    ).count()
+    assert capped < full and capped == 0
+
+
 def test_text_ops_tolerate_null_and_empty(spark):
     from ksql_query_tutorial_spark.operators import text as T_
 
