@@ -42,13 +42,16 @@ _GATE_PRIORITY = [
     "similarity_topk", "ann_lsh_topk",
     "asof_purchase_click", "range_orders_90d", "rollup_events",
     "mm_meta",
-    # r4 rotation: the four ops added in r3 take a driver-window slot
-    # for at least one round (ADVICE r3). Evicted to make room —
-    # text_winnowing, text_repetition, dedup_ngram_jaccard,
-    # mm_features — are all two-rounds driver-hash-green (r2+r3) and
-    # stay fully hash-verified in-repo via tests/test_oracle.py.
-    "decontaminate_bloom", "corpus_kmv_vocab",
-    "embedding_quantize", "similarity_topk_q8",
+    # r5 rotation (VERDICT r4 #5): the four r3 ops rotated in for r4
+    # (decontaminate_bloom, corpus_kmv_vocab, embedding_quantize,
+    # similarity_topk_q8) are now driver-hash-green and rotate back
+    # out; these four take their FIRST driver-window round, picked
+    # from the never-driver-verified set with every family still
+    # represented (text, dedup-CC, corpus packing, corpus vocab
+    # stats). Everything outside the window stays hash-verified
+    # in-repo via tests/test_oracle.py every pytest run.
+    "text_fingerprint", "dedup_clusters",
+    "pack_sequences", "corpus_tfidf",
 ]
 
 
