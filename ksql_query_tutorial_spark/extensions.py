@@ -1157,3 +1157,82 @@ EXTENSION_ORACLES["similarity_topk_q8"] = f"""
            ROUND(qcosine, 6) AS qcosine
     FROM r WHERE rank <= {SIM_Q8_K} ORDER BY query_id, rank
 """
+
+
+# ------------------------------------------------- split / shuffle / scoring
+
+SPLIT_TRAIN_FRAC = 0.9
+SPLIT_VALID_FRAC = 0.05
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment: split is a pure
+    function of doc_id (portable-hash thresholds), stable under
+    re-runs, retries, and corpus growth."""
+    d = load(spark, sf_dir, "documents")
+    out = corpus.split_assign(
+        d, train_frac=SPLIT_TRAIN_FRAC, valid_frac=SPLIT_VALID_FRAC
+    )
+    return out.select("doc_id", "lang", "u", "split")
+
+
+EXTENSION_QUERIES["corpus_split"] = corpus_split
+
+EXTENSION_ORACLES["corpus_split"] = """
+    WITH u AS (SELECT doc_id, lang,
+                      (doc_id % 1048573) * 2654435761 % 1000000 AS u
+               FROM documents)
+    SELECT doc_id, lang, u,
+           CASE WHEN u < 900000 THEN 'train'
+                WHEN u < 950000 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM u ORDER BY doc_id
+"""
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle rank: each document's exact 0-based
+    position in hash order, computed with a hierarchical two-level rank
+    (bucket offsets + per-bucket windows) — no single-partition global
+    window anywhere in the plan."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.shuffle_positions(d)
+
+
+EXTENSION_QUERIES["corpus_shuffle"] = corpus_shuffle
+
+EXTENSION_ORACLES["corpus_shuffle"] = """
+    WITH u AS (SELECT doc_id,
+                      (doc_id % 1048573) * 2654435761 % 1000000 AS u
+               FROM documents)
+    SELECT doc_id, u,
+           row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos
+    FROM u ORDER BY doc_id
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scoring (fastText-shaped): the
+    portable-hash variant so the oracle recomputes identical integer
+    sums; the xxhash64 hot path shares the plan."""
+    d = load(spark, sf_dir, "documents")
+    return text.with_quality_score(d, portable=True)
+
+
+EXTENSION_QUERIES["text_quality_score"] = text_quality_score
+
+EXTENSION_ORACLES["text_quality_score"] = f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    w AS (SELECT doc_id,
+                 ({_PTH}) % 4096 * 2654435761 % 2001 - 1000 AS w
+          FROM tok),
+    per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_distinct_tokens,
+                   CAST(COALESCE(sum(w), 0) AS BIGINT) AS qs_raw
+            FROM w GROUP BY doc_id)
+    SELECT doc_id, n_distinct_tokens, qs_raw,
+           ROUND(CAST(qs_raw AS DOUBLE)
+                 / (1000.0 * CAST(GREATEST(n_distinct_tokens, 1) AS DOUBLE)),
+                 6) AS quality_score,
+           qs_raw > 0 AS qs_pass
+    FROM per ORDER BY doc_id
+"""

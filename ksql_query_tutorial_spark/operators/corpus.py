@@ -887,3 +887,91 @@ def heavy_hitters(
         .filter(F.col("rank") <= k)
         .select("group", "term", "cnt", "rank")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    train_frac: float = 0.9,
+    valid_frac: float = 0.05,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/valid/test split: a document's split is a
+    pure function of its id (``sample_hash`` thresholds), so the
+    assignment is stable under re-runs, task retries, partial
+    re-ingestion, and corpus growth — adding documents never moves an
+    existing document between splits, which ``rand()``/``randomSplit``
+    cannot guarantee. A narrow shuffle-free projection: at 100 TB this
+    is a pure map over the scan, and a downstream
+    ``partitionBy("split")`` write needs no extra exchange beyond the
+    writer's own.
+
+    Returns the input plus ``u`` (the hash variate, audit column) and
+    ``split`` ('train' | 'valid' | 'test').
+    """
+    u = sample_hash(F.col(id_col))
+    t_cut = F.round(F.lit(float(train_frac)) * _HASH_MOD).cast("long")
+    v_cut = F.round(F.lit(float(train_frac + valid_frac)) * _HASH_MOD).cast("long")
+    return (
+        df.withColumn("u", u)
+        .withColumn(
+            "split",
+            F.when(F.col("u") < t_cut, F.lit("train"))
+            .when(F.col("u") < v_cut, F.lit("valid"))
+            .otherwise(F.lit("test")),
+        )
+    )
+
+
+# range-bucket count for shuffle_positions' hierarchical rank; must
+# divide _HASH_MOD exactly so bucket = u DIV width is integer-exact.
+SHUFFLE_BUCKETS = 1_000
+
+
+def shuffle_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_buckets: int = SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    row gets its exact 0-based position in the corpus ordered by
+    ``(sample_hash(id), id)`` — the reproducible analog of "shuffle the
+    dataset once before training".
+
+    A naive ``row_number() OVER (ORDER BY u)`` collapses to ONE
+    partition (the whole corpus through a single task). This is the
+    hierarchical two-level rank instead (same trick as
+    :func:`pack_sequences`):
+
+    1. range-bucket each row by ``u DIV (mod/n_buckets)`` — buckets
+       partition the sort domain, so bucket order == global order;
+    2. per-bucket counts (one tiny groupBy on a bounded domain) →
+       running offsets via a window over ``n_buckets`` rows, broadcast
+       back;
+    3. position = bucket offset + (row_number within bucket) - 1;
+       the per-bucket window sees ~N/n_buckets rows per task.
+
+    ``n_buckets`` must divide ``_HASH_MOD``; size it ~10× parallelism
+    at scale (hash keys distribute uniformly, so buckets are balanced
+    by construction). Returns ``id, u, shuffle_pos``.
+    """
+    if _HASH_MOD % n_buckets != 0:
+        raise ValueError(f"n_buckets must divide {_HASH_MOD}")
+    width = _HASH_MOD // n_buckets
+    keyed = df.select(
+        F.col(id_col),
+        sample_hash(F.col(id_col)).alias("u"),
+    ).withColumn("__b", (F.col("u") - F.pmod(F.col("u"), width)) / width)
+    keyed = keyed.withColumn("__b", F.col("__b").cast("int"))
+    counts = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    woff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(woff), F.lit(0))
+    ).select("__b", "__off")
+    win = Window.partitionBy("__b").orderBy(F.col("u").asc(), F.col(id_col).asc())
+    return (
+        keyed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "shuffle_pos", (F.col("__off") + F.row_number().over(win) - 1).cast("long")
+        )
+        .select(id_col, "u", "shuffle_pos")
+    )

@@ -221,3 +221,69 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
         "has_pii",
         sum(F.col(f"n_{name}") for name, _, _ in PII_PATTERNS) > 0,
     ).withColumn("redacted", red)
+
+
+# hashed-feature linear scorer: feature dim, weight modulus (weights
+# land in [-1000, 1000]), and the Knuth multiplicative mixer. All
+# arithmetic stays far below 2^63 (bucket < 2^12, mixer < 2^32).
+QS_DIM = 4096
+QS_WMOD = 2001
+QS_MULT = 2_654_435_761
+
+
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = QS_DIM,
+    portable: bool = False,
+) -> DataFrame:
+    """fastText-shaped quality scoring: distinct tokens → hashed feature
+    buckets → a linear layer of deterministic pseudo-weights →
+    per-document mean. The real-world twin swaps the pseudo-weight
+    formula for a broadcast learned weight vector — the PLAN is
+    identical (hash, map through a dim-bounded table, doc-keyed sum),
+    which is what matters at 100 TB: one explode + one doc-keyed
+    rollup shuffle, weights never leave the executors, no model server
+    in the loop.
+
+    Weights are integers in [-1000, 1000] (``(bucket · Knuth) mod 2001
+    - 1000``), so the per-doc sum is EXACT integer arithmetic —
+    bit-reproducible by any SQL engine; only the final normalized score
+    divides (rounded to 6 dp, the repo-wide oracle convention).
+
+    ``portable=True`` hashes tokens with the Mersenne-31 char fold
+    (oracle-matched, interpreted); the default xxhash64 path is the
+    whole-stage-codegen hot path.
+
+    Returns ``id_col, n_distinct_tokens, qs_raw, quality_score,
+    qs_pass`` (pass ⇔ positive raw score).
+    """
+    from ksql_query_tutorial_spark.operators.dedup import portable_token_hash
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par, F.col(id_col)).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    )
+    h = portable_token_hash(F.col("tok")) if portable else F.xxhash64("tok")
+    weight = F.pmod(F.pmod(h, F.lit(dim)) * QS_MULT, F.lit(QS_WMOD)) - 1000
+    per_doc = (
+        toks.withColumn("__w", weight)
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").cast("int").alias("n_distinct_tokens"),
+            F.coalesce(F.sum("__w"), F.lit(0)).cast("long").alias("qs_raw"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "quality_score",
+            F.round(
+                F.col("qs_raw").cast("double")
+                / (1000.0 * F.greatest(F.col("n_distinct_tokens"), F.lit(1)).cast("double")),
+                6,
+            ),
+        )
+        .withColumn("qs_pass", F.col("qs_raw") > 0)
+    )

@@ -301,3 +301,47 @@ def test_kmv_estimate_accuracy_and_exact_branch(spark):
     big = out["big"]
     assert big.n_distinct_exact == 2000
     assert abs(big.rel_err) < 3.0 / math.sqrt(128 - 2)  # 3 sigma
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    """A document's split depends only on its id: assignment on a
+    subset equals assignment on the full corpus (rand()/randomSplit
+    break this), and the three splits partition the corpus at roughly
+    the requested fractions."""
+    full = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    sub = full.filter(F.col("doc_id") % 3 == 0)
+    a = {r["doc_id"]: r["split"] for r in corpus.split_assign(full).collect()}
+    b = {r["doc_id"]: r["split"] for r in corpus.split_assign(sub).collect()}
+    assert all(a[k] == v for k, v in b.items())
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n
+            for s in ("train", "valid", "test")}
+    assert abs(frac["train"] - 0.9) < 0.05
+    assert abs(frac["valid"] - 0.05) < 0.03
+    assert abs(frac["test"] - 0.05) < 0.03
+    assert set(a.values()) == {"train", "valid", "test"}
+
+
+def test_shuffle_positions_exact_permutation_of_hash_order(spark):
+    """shuffle_pos must be the exact 0-based rank under (u, id) — a
+    permutation of [0, n) — and must not depend on the bucket count
+    (the hierarchical rank is an implementation detail)."""
+    df = spark.range(0, 1500).withColumnRenamed("id", "doc_id")
+    out = corpus.shuffle_positions(df).collect()
+    n = len(out)
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(n))
+    by_order = sorted(out, key=lambda r: (r["u"], r["doc_id"]))
+    assert [r["shuffle_pos"] for r in by_order] == list(range(n))
+    few = {r["doc_id"]: r["shuffle_pos"]
+           for r in corpus.shuffle_positions(df, n_buckets=10).collect()}
+    assert all(few[r["doc_id"]] == r["shuffle_pos"] for r in out)
+
+
+def test_shuffle_positions_rejects_non_divisor_buckets(spark):
+    df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    try:
+        corpus.shuffle_positions(df, n_buckets=7)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("n_buckets=7 must be rejected")
