@@ -1236,3 +1236,67 @@ EXTENSION_ORACLES["text_quality_score"] = f"""
            qs_raw > 0 AS qs_pass
     FROM per ORDER BY doc_id
 """
+
+
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation pipeline: lang ID + quality heuristics + exact
+    dedup keepers + benchmark decontamination + deterministic sampling
+    composed into one auditable plan (per-stage verdict flags). Bench
+    split: every 50th doc (the decontaminate_bench convention)."""
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return corpus.curate(train, bench, min_hits=DECON_MIN_HITS)
+
+
+EXTENSION_QUERIES["corpus_curate"] = corpus_curate
+
+EXTENSION_ORACLES["corpus_curate"] = f"""
+    WITH tr AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents
+                WHERE doc_id % 50 <> 0),
+    lang AS (SELECT doc_id,
+        CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS INT) AS score_de,
+        CAST(len(list_filter(toks, t -> t IN ('the','a','and','is','of','to','in'))) AS INT) AS score_en,
+        CAST(len(list_filter(toks, t -> t IN ('el','la','los','y','es','de','un'))) AS INT) AS score_es,
+        CAST(len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une'))) AS INT) AS score_fr
+      FROM tr),
+    pred AS (SELECT doc_id,
+        CASE
+          WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+          WHEN score_en >= score_es AND score_en >= score_fr AND score_en > 0 THEN 'en'
+          WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+          WHEN score_fr > 0 THEN 'fr'
+          ELSE 'xx'
+        END AS lang_pred
+      FROM lang),
+    qual AS (SELECT doc_id,
+        len(toks) >= 10 AND
+        100 * len(list_filter(toks, t -> t IN
+          ('the','a','and','is','of','to','in','that','it'))) >= 3 * len(toks)
+          AS pass_quality
+      FROM tr),
+    keep AS (SELECT min(doc_id) AS keeper FROM tr
+             GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM tr),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    bt AS (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0),
+    bidx AS (SELECT DISTINCT unnest(s) AS shingle
+             FROM (SELECT {_SHINGLES} AS s FROM bt)),
+    hits AS (SELECT p.doc_id, count(*) AS n_hit
+             FROM post p JOIN bidx b ON p.shingle = b.shingle GROUP BY 1),
+    fl AS (SELECT tr.doc_id,
+        pred.lang_pred,
+        pred.lang_pred = 'en' AS pass_lang,
+        qual.pass_quality,
+        tr.doc_id IN (SELECT keeper FROM keep) AS is_keeper,
+        COALESCE(h.n_hit, 0) < {DECON_MIN_HITS} AS not_contaminated,
+        (tr.doc_id % 1048573) * 2654435761 % 1000000 < 800000 AS sampled
+      FROM tr
+      JOIN pred USING (doc_id) JOIN qual USING (doc_id)
+      LEFT JOIN hits h USING (doc_id))
+    SELECT doc_id, lang_pred, pass_lang, pass_quality, is_keeper,
+           not_contaminated, sampled,
+           pass_lang AND pass_quality AND is_keeper AND not_contaminated
+             AND sampled AS kept
+    FROM fl ORDER BY doc_id
+"""

@@ -975,3 +975,89 @@ def shuffle_positions(
         )
         .select(id_col, "u", "shuffle_pos")
     )
+
+
+# curate() stage thresholds — integer arithmetic only, so every flag is
+# bit-reproducible in any SQL engine (no float threshold boundaries).
+CURATE_MIN_TOKENS = 10
+CURATE_STOPWORD_PCT = 3      # stopwords must be >= 3% of tokens
+CURATE_SAMPLE_CUT = 800_000  # keep u < 0.8e6 (80% deterministic sample)
+
+
+def curate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 2,
+) -> DataFrame:
+    """The end-to-end curation pipeline a pretraining corpus goes
+    through, composed from this repo's per-stage operators into ONE
+    DataFrame plan — language filter, heuristic quality filter, exact
+    dedup keeper selection, benchmark decontamination, deterministic
+    sampling — emitting every stage's verdict per document (flags, not
+    a destructive filter, so the pipeline is auditable: each stage's
+    yield is one groupBy away).
+
+    Stage flags (all integer/string comparisons — no float thresholds):
+
+    - ``pass_lang``   — marker-word language ID predicts 'en';
+    - ``pass_quality``— ≥ ``CURATE_MIN_TOKENS`` tokens and stopwords ≥
+      ``CURATE_STOPWORD_PCT``% of tokens (``100·stop ≥ pct·n`` exact);
+    - ``is_keeper``   — min-id representative of its exact-content
+      group (md5 of whitespace-normalized text);
+    - ``not_contaminated`` — < ``min_hits`` distinct shingles shared
+      with the benchmark set (:func:`decontaminate`);
+    - ``sampled``     — portable hash < ``CURATE_SAMPLE_CUT``;
+    - ``kept``        — conjunction of all five.
+
+    Plan shape at 100 TB: the lang/quality/sample flags are narrow
+    projections fused into the scan; dedup adds one shuffle on the
+    content hash; decontamination adds the broadcast bench index plus
+    its doc-keyed rollup; the final assembly joins on ``id`` (both
+    sides already id-partitioned). No driver actions, no unbounded
+    windows.
+    """
+    from ksql_query_tutorial_spark.operators.text import (
+        STOPWORDS,
+        _count_in,
+        normalized,
+        tokens,
+        with_lang_id,
+    )
+
+    t = tokens(F.col(text_col))
+    flags = with_lang_id(train, text_col).select(
+        F.col(id_col),
+        F.col("lang_pred"),
+        (F.col("lang_pred") == "en").alias("pass_lang"),
+        (
+            (F.size(t) >= CURATE_MIN_TOKENS)
+            & (_count_in(t, STOPWORDS) * 100 >= CURATE_STOPWORD_PCT * F.size(t))
+        ).alias("pass_quality"),
+        (sample_hash(F.col(id_col)) < CURATE_SAMPLE_CUT).alias("sampled"),
+        F.md5(normalized(F.col(text_col))).alias("__h"),
+    )
+    keepers = (
+        flags.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
+    )
+    decon = decontaminate(
+        train, bench, id_col=id_col, text_col=text_col, min_hits=min_hits
+    ).select(F.col("doc_id").alias(id_col), (~F.col("contaminated")).alias("not_contaminated"))
+    out = (
+        flags.join(keepers, "__h")
+        .withColumn("is_keeper", F.col(id_col) == F.col("__keeper"))
+        .join(decon, id_col)
+        .withColumn(
+            "kept",
+            F.col("pass_lang")
+            & F.col("pass_quality")
+            & F.col("is_keeper")
+            & F.col("not_contaminated")
+            & F.col("sampled"),
+        )
+    )
+    return out.select(
+        id_col, "lang_pred", "pass_lang", "pass_quality", "is_keeper",
+        "not_contaminated", "sampled", "kept",
+    )

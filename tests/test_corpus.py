@@ -345,3 +345,32 @@ def test_shuffle_positions_rejects_non_divisor_buckets(spark):
         pass
     else:
         raise AssertionError("n_buckets=7 must be rejected")
+
+
+def test_curate_stage_flags_on_planted_docs(spark):
+    """One planted document per failure mode; the conjunction keeps
+    exactly the clean one."""
+    en = ("the cat and the dog is of to in that it sat on the mat "
+          "with the hat and the bat near the flat")  # 10+ toks, stopwordy
+    train_rows = [
+        (1, en, "en", "s"),                        # clean -> kept
+        (2, "der hund und die katze ist nicht ein der die das und", "de", "s"),
+        (3, "alpha beta gamma", "en", "s"),        # too short + no stopwords
+        (4, en, "en", "s"),                        # exact dup of 1 -> not keeper
+        (14, "bench overlap shingle one two three four five six seven eight nine "
+             "the a and is of to in that it", "en", "s"),  # contaminated
+    ]
+    bench_rows = [(50, "bench overlap shingle one two three four five six seven", "en", "s")]
+    train = _docs(spark, train_rows)
+    bench = _docs(spark, bench_rows)
+    out = {r["doc_id"]: r for r in corpus.curate(train, bench).collect()}
+    assert set(out) == {1, 2, 3, 4, 14}
+    assert out[1]["kept"] and out[1]["is_keeper"]
+    assert not out[2]["pass_lang"] and out[2]["lang_pred"] == "de"
+    assert not out[3]["pass_quality"]
+    assert out[4]["pass_lang"] and not out[4]["is_keeper"] and not out[4]["kept"]
+    assert not out[14]["not_contaminated"] and not out[14]["kept"]
+    # every planted id hashes under the 80% sample cut except none —
+    # assert the flag is computed (deterministic), not assumed
+    for r in out.values():
+        assert r["sampled"] == (((r["doc_id"] % 1048573) * 2654435761) % 1000000 < 800000)
