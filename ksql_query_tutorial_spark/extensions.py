@@ -1300,3 +1300,18 @@ EXTENSION_ORACLES["corpus_curate"] = f"""
              AND sampled AS kept
     FROM fl ORDER BY doc_id
 """
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus compressed to m=8 one-byte
+    codes per vector (32x smaller than float32), asymmetric
+    lookup-table scoring, local top-k per partition. Approximate by
+    construction (codes quantize the corpus side) — rows-only driver
+    check; recall vs the exact brute force is pinned by
+    tests/test_extensions.py::test_pq_topk_structure_and_recall."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    return similarity.pq_topk(e, queries, k=5)
+
+
+EXTENSION_QUERIES["ann_pq_topk"] = ann_pq_topk

@@ -478,3 +478,187 @@ def ivf_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 8,
+    sample: int = 65536,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train product-quantization codebooks: split the (normalized)
+    vector into ``m`` subspaces and run Euclidean k-means with ``ksub``
+    centroids in each, on a bounded driver-side sample (same 100 TB
+    contract as :func:`spherical_kmeans_centroids` — training cost is
+    capped by ``sample``, not corpus size).
+
+    Returns a ``(m, ksub, d/m)`` float64 codebook tensor.
+    """
+    pdf = corpus.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
+    x = _normalize(_stack(pdf["v"]))
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        k = min(ksub, n)
+        cent = xs[rng.choice(n, size=k, replace=False)]
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, xs)
+            counts = np.bincount(assign, minlength=k)
+            nonempty = counts > 0
+            cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if k < ksub:  # degenerate tiny corpus: pad with repeats
+            cent = np.vstack([cent, np.repeat(cent[:1], ksub - k, axis=0)])
+        books[j] = cent
+    return books
+
+
+def pq_encode(df: DataFrame, books: np.ndarray,
+              vec_col: str = "cv", out_col: str = "codes") -> DataFrame:
+    """Encode each (normalized) vector as ``m`` centroid indices — the
+    ``d/m``-bytes-per-vector representation that makes billion-scale
+    rerank RAM-resident. One broadcast of the codebook tensor; argmin
+    over each subspace is a vectorized ``(batch, ksub)`` distance
+    computation per Arrow batch."""
+    bc = df.sparkSession.sparkContext.broadcast(books)
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="object")
+        x = _normalize(_stack(v))
+        books_ = bc.value
+        m, ksub, dsub = books_.shape
+        codes = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+            d2 = -2.0 * (xs @ books_[j].T) + (books_[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    rerank: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN top-k: PQ codes PRUNE, exact cosine
+    RERANKS — the standard two-stage shape (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"). Stage 1 scores every
+    corpus code against each query with one table lookup per subspace
+    (``approx_cos(q, x) = Σ_j lut[q, j, code_j]``) and keeps the top
+    ``rerank·k`` candidates per query; stage 2 fetches only those
+    candidates' real vectors (an equi-join on id, candidate-bounded)
+    and ranks them by exact cosine.
+
+    100 TB shape: the scan side of stage 1 is ``m`` ints per vector (8
+    bytes at m=8 — 32× smaller than float32), the broadcast is
+    ``queries × m × ksub`` doubles (query side bounded by
+    MAX_QUERY_ROWS), per-partition local top-R keeps shuffle volume at
+    ``partitions × queries × R`` rows, and stage 2 touches ``queries ×
+    R`` full vectors total — the expensive float reads never scale
+    with corpus size. Recall < 1 by construction (a true neighbor can
+    be pruned in stage 1), so this is NOT oracle-reproducible:
+    verified by the recall test against the exact brute force.
+    """
+    books = pq_codebooks(corpus, m=m, ksub=ksub, vec_col=vec_col)
+    qpdf = _bounded_query_pdf(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "pq_topk",
+    )
+    qids = qpdf["qid"].to_numpy()
+    qmat = _normalize(_stack(qpdf["qv"]))
+    mm, ksub_, dsub = books.shape
+    lut = np.empty((len(qids), mm, ksub_))
+    for j in range(mm):
+        lut[:, j, :] = qmat[:, j * dsub:(j + 1) * dsub] @ books[j].T
+
+    spark = corpus.sparkSession
+    n_cand = rerank * k
+    bc = spark.sparkContext.broadcast((qids, lut, n_cand))
+    coded = pq_encode(
+        corpus.select(F.col(id_col).alias("nid"),
+                      as_double(F.col(vec_col)).alias("cv")),
+        books, "cv", "codes",
+    ).select("nid", "codes")
+
+    def local_topr(batches):
+        qids_, lut_, r_ = bc.value
+        nq = len(qids_)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())           # (b, m)
+            # gather: scores[q, i] = sum_j lut[q, j, codes[i, j]]
+            scores = lut_[:, np.arange(codes.shape[1])[None, :], codes].sum(axis=2)
+            nids = pdf["nid"].to_numpy()
+            keep = min(r_ + 1, scores.shape[1])
+            top = np.argpartition(-scores, keep - 1, axis=1)[:, :keep]
+            frames = []
+            for qi in range(nq):
+                frames.append(pd.DataFrame({
+                    "query_id": qids_[qi],
+                    "neighbor_id": nids[top[qi]],
+                    "pq_score": scores[qi, top[qi]],
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    par = spark.sparkContext.defaultParallelism
+    scored = coded.repartition(par).mapInPandas(
+        local_topr, schema="query_id long, neighbor_id long, pq_score double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        scored.withColumn("prank", F.row_number().over(wq))
+        .filter(F.col("prank") <= n_cand)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact rerank over the bounded candidate list — fetch the
+    # candidates' real vectors (equi-join on id) and the broadcast query
+    # vectors, score with the brute-force cosine expression
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         as_double(F.col(vec_col)).alias("cv"))
+    qvec = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in
+         zip(qpdf["qid"], qpdf["qv"])],
+        schema="query_id long, qv array<double>",
+    )
+    exact = (
+        cand.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .withColumn(
+            "cosine",
+            rowwise_dot(F.col("qv"), F.col("cv"))
+            / (F.greatest(l2_norm(F.col("qv")), F.lit(1e-30))
+               * F.greatest(l2_norm(F.col("cv")), F.lit(1e-30))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round("cosine", 6).alias("cosine"))
+    )

@@ -732,3 +732,45 @@ def test_query_collect_guard_raises_on_oversized_query_set(spark, monkeypatch):
     # at or under the cap both run normally
     assert sim.brute_force_topk(e, q_ok, k=2).count() == 6
     assert sim.quantized_topk(e, q_ok, k=2).count() == 6
+
+
+def test_pq_topk_structure_and_recall(spark):
+    from ksql_query_tutorial_spark.extensions import ann_pq_topk, similarity_topk
+
+    pq = ann_pq_topk(spark, SF_ORACLE).collect()
+    exact = similarity_topk(spark, SF_ORACLE).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in sorted(pq, key=lambda r: (r.query_id, r.rank)):
+        per_q[r.query_id].append(r)
+    assert set(per_q) == {r.query_id for r in exact}
+    for q, rs in per_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.cosine for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    ap = {(r.query_id, r.neighbor_id) for r in pq}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, f"PQ recall {recall:.2f} suspiciously low"
+
+
+def test_pq_codes_are_m_ints_in_ksub_range(spark):
+    from ksql_query_tutorial_spark.operators import similarity
+    from ksql_query_tutorial_spark.operators.similarity import as_double
+
+    e = load(spark, SF_ORACLE, "embeddings")
+    books = similarity.pq_codebooks(e, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    coded = similarity.pq_encode(
+        e.selectExpr("vec_id as nid").withColumn(
+            "cv", as_double(load(spark, SF_ORACLE, "embeddings").limit(0)["embedding"])
+        ) if False else
+        e.select(F.col("vec_id").alias("nid"), as_double(F.col("embedding")).alias("cv")),
+        books,
+    )
+    rows = coded.select("codes").limit(50).collect()
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
