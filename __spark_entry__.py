@@ -34,24 +34,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # verification in-repo: tests/test_oracle.py runs the full set against
 # the same DuckDB oracles every pytest run.
 _GATE_PRIORITY = [
-    "text_token_stats", "text_quality", "text_lang_id",
-    "text_pii",
-    "dedup_exact", "dedup_minhash_lsh",
+    "text_token_stats", "text_lang_id", "text_pii",
+    "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_lsh",
     "dedup_incremental",
     "similarity_topk", "ann_lsh_topk",
-    "asof_purchase_click", "range_orders_90d", "rollup_events",
-    "mm_meta",
-    # r5 rotation (VERDICT r4 #5): the four r3 ops rotated in for r4
-    # (decontaminate_bloom, corpus_kmv_vocab, embedding_quantize,
-    # similarity_topk_q8) are now driver-hash-green and rotate back
-    # out; these four take their FIRST driver-window round, picked
-    # from the never-driver-verified set with every family still
-    # represented (text, dedup-CC, corpus packing, corpus vocab
-    # stats). Everything outside the window stays hash-verified
-    # in-repo via tests/test_oracle.py every pytest run.
+    "range_orders_90d", "mm_meta",
+    # r5 rotation (VERDICT r4 #5): the four ops below take their FIRST
+    # driver-window round (rotated in during the r5 prelude), followed
+    # by the four ops NEW in r5 (deterministic split/shuffle, hashed
+    # linear quality scoring, the end-to-end curate pipeline). To make
+    # room, four multi-round driver-green ops rotated out
+    # (text_quality, dedup_exact, asof_purchase_click, rollup_events —
+    # each hash-green in r2-r4). Everything outside the window stays
+    # hash-verified in-repo via tests/test_oracle.py every pytest run.
     "text_fingerprint", "dedup_clusters",
     "pack_sequences", "corpus_tfidf",
+    "corpus_split", "corpus_shuffle",
+    "text_quality_score", "corpus_curate",
 ]
 
 

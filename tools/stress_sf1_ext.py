@@ -34,6 +34,14 @@ EXT_NAMES = [
     "similarity_topk_q8",
     "decontaminate_bloom",
     "corpus_kmv_vocab",
+    # r5 additions: deterministic split/shuffle, hashed linear scoring,
+    # the end-to-end curate pipeline, and PQ ANN with exact rerank.
+    # (corpus_split is a pure narrow map — a second scan-bound anchor.)
+    "corpus_split",
+    "corpus_shuffle",
+    "text_quality_score",
+    "corpus_curate",
+    "ann_pq_topk",
 ]
 
 
