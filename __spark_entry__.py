@@ -38,20 +38,22 @@ _GATE_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_lsh",
     "dedup_incremental",
-    "similarity_topk", "ann_lsh_topk",
-    "range_orders_90d", "mm_meta",
+    "similarity_topk",
+    "range_orders_90d",
     # r5 rotation (VERDICT r4 #5): the four ops below take their FIRST
     # driver-window round (rotated in during the r5 prelude), followed
-    # by the four ops NEW in r5 (deterministic split/shuffle, hashed
-    # linear quality scoring, the end-to-end curate pipeline). To make
-    # room, four multi-round driver-green ops rotated out
-    # (text_quality, dedup_exact, asof_purchase_click, rollup_events —
+    # by the six ops NEW in r5 (deterministic split/shuffle, hashed
+    # linear quality scoring, the end-to-end curate pipeline, bigram
+    # LM scoring, the ordered funnel). To make room, six multi-round
+    # driver-green ops rotated out (text_quality, dedup_exact,
+    # asof_purchase_click, rollup_events, ann_lsh_topk, mm_meta —
     # each hash-green in r2-r4). Everything outside the window stays
     # hash-verified in-repo via tests/test_oracle.py every pytest run.
     "text_fingerprint", "dedup_clusters",
     "pack_sequences", "corpus_tfidf",
     "corpus_split", "corpus_shuffle",
     "text_quality_score", "corpus_curate",
+    "corpus_lm_score", "events_funnel",
 ]
 
 
