@@ -39,7 +39,7 @@ def funnel_steps(
         raise ValueError("funnel needs at least one step")
     w = Window.partitionBy(user_col)
     out = df
-    prev: F.Column | None = None
+    prev: str | None = None
     cols: list[str] = []
     for step in steps:
         cond = F.col(type_col) == step

@@ -42,6 +42,8 @@ EXT_NAMES = [
     "text_quality_score",
     "corpus_curate",
     "ann_pq_topk",
+    "corpus_lm_score",
+    "events_funnel",
 ]
 
 
