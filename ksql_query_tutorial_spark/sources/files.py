@@ -91,3 +91,35 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-BUCKETED (and optionally sorted) by its
+    join/aggregation key — the storage layout that eliminates the
+    shuffle for every later equi-join or groupBy on that key.
+
+    At 100 TB this is the difference between re-shuffling a fact table
+    on every join of every job and paying the shuffle ONCE at write
+    time: two tables bucketed by the same key into the same bucket
+    count join with zero Exchange (bucket i only ever meets bucket i),
+    and ``sortBy`` additionally removes the per-task Sort for
+    sort-merge joins. Spark's bucketing requires the catalog
+    (``saveAsTable``) — bucket metadata lives there, so plain
+    ``parquet(path)`` writes cannot carry it.
+
+    Size ``n_buckets`` so one bucket of the LARGER table fits an
+    executor's memory comfortably (buckets are the unit of join-task
+    work; too few buckets caps parallelism, too many makes small
+    files).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

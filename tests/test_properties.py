@@ -182,3 +182,94 @@ def test_range_join_matches_reference_semantics(spark, left, right):
     matched = {lid for lid, _ in want}
     want_left = want | {(lid, None) for lid, _, _ in lrows if lid not in matched}
     assert got_left == want_left
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=60, unique=True))
+def test_shuffle_positions_is_rank_of_portable_hash(spark, ids):
+    """For ANY set of non-negative ids, shuffle_pos is exactly the
+    0-based rank under (sample_hash(id), id) — computed independently
+    in Python here — and is a permutation of [0, n)."""
+    from ksql_query_tutorial_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["shuffle_pos"]
+           for r in corpus.shuffle_positions(df, n_buckets=100).collect()}
+    key = lambda i: ((i % 1048573) * 2654435761 % 1000000, i)
+    want = {i: rank for rank, i in enumerate(sorted(ids, key=key))}
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=10**12),
+                min_size=1, max_size=60, unique=True))
+def test_split_assign_matches_portable_hash_thresholds(spark, ids):
+    from ksql_query_tutorial_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in corpus.split_assign(df).collect()}
+    for i in ids:
+        u = (i % 1048573) * 2654435761 % 1000000
+        want = "train" if u < 900000 else ("valid" if u < 950000 else "test")
+        assert got[i] == want, (i, u)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),
+              st.integers(min_value=0, max_value=20),
+              st.sampled_from(["view", "click", "purchase", "error"])),
+    min_size=1, max_size=40))
+def test_funnel_matches_python_reference(spark, events):
+    """Funnel semantics vs an independent per-user Python fold over
+    ANY event sequence (including ties and out-of-order steps)."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.funnel import funnel_steps
+
+    base = datetime(2026, 1, 1)
+    rows = [(u, base + timedelta(seconds=s), t) for u, s, t in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["user_id"]: (r["first_view"], r["first_click"], r["first_purchase"],
+                          r["funnel_depth"]) for r in funnel_steps(df).collect()}
+    users = {u for u, _, _ in events}
+    for u in users:
+        evs = [(base + timedelta(seconds=s), t) for uu, s, t in events if uu == u]
+        fv = min((ts for ts, t in evs if t == "view"), default=None)
+        fc = min((ts for ts, t in evs if t == "click" and fv and ts > fv), default=None)
+        fp = min((ts for ts, t in evs if t == "purchase" and fc and ts > fc), default=None)
+        depth = (fv is not None) + (fc is not None) + (fp is not None)
+        assert got[u] == (fv, fc, fp, depth), (u, got[u], (fv, fc, fp, depth))
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(alphabet="ab c", min_size=0, max_size=20),
+                min_size=1, max_size=12))
+def test_lm_score_counts_match_python_reference(spark, texts):
+    """Exact integer fields of lm_score vs an independent Python bigram
+    count over ANY tiny corpus (degenerate docs included)."""
+    from collections import Counter
+
+    from ksql_query_tutorial_spark.operators import corpus
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["sum_count"], r["min_count"])
+           for r in corpus.lm_score(df).collect()}
+
+    # mirror Spark split semantics: split(lower(trim(s)), '\s+') on an
+    # empty/whitespace string yields [""] -> zero bigrams either way
+    def bigrams(s):
+        t = s.strip().lower().split() or [""]
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    cnt = Counter(b for t in texts for b in bigrams(t))
+    for i, t in enumerate(texts):
+        bs = bigrams(t)
+        want = (len(bs), sum(cnt[b] for b in bs), min((cnt[b] for b in bs), default=None))
+        assert got[i] == want, (i, t, got[i], want)
