@@ -34,12 +34,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # verification in-repo: tests/test_oracle.py runs the full set against
 # the same DuckDB oracles every pytest run.
 _GATE_PRIORITY = [
-    "text_token_stats", "text_lang_id", "text_pii",
+    "text_lang_id", "text_pii",
     "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_lsh",
     "dedup_incremental",
     "similarity_topk",
-    "range_orders_90d",
+    # r5 mid-round rotation: corpus_chunk + corpus_domain_cap are NEW
+    # this round and take driver slots immediately; text_token_stats
+    # and range_orders_90d rotate out (driver-green r2-r4; the text
+    # family stays covered by lang_id/pii/fingerprint/quality_score,
+    # temporal by events_funnel; both stay oracle-verified in-repo).
+    "corpus_chunk", "corpus_domain_cap",
     # r5 rotation (VERDICT r4 #5): the four ops below take their FIRST
     # driver-window round (rotated in during the r5 prelude), followed
     # by the six ops NEW in r5 (deterministic split/shuffle, hashed

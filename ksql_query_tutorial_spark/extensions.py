@@ -1386,3 +1386,60 @@ EXTENSION_ORACLES["events_funnel"] = """
     FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id)
     ORDER BY fv.user_id
 """
+
+
+# ------------------------------------------------- chunking / domain capping
+
+CHUNK_BUDGET = 16   # fixture docs average ~54 tokens -> ~4 chunks each
+DOMAIN_CAP = 15     # fixture sources hold 25 (sf0.01) / 250 (sf0.1) docs
+
+
+def corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document cut into consecutive
+    fixed-token-budget chunks (the per-document inverse of
+    pack_sequences) — pure narrow map + generator, zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.chunk_spans(d, budget=CHUNK_BUDGET)
+
+
+EXTENSION_QUERIES["corpus_chunk"] = corpus_chunk
+
+EXTENSION_ORACLES["corpus_chunk"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n,
+                 unnest(range(0, CAST(ceil(len(toks) / {CHUNK_BUDGET}.0) AS BIGINT)))
+                   AS chunk_id
+          FROM t)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * {CHUNK_BUDGET} AS INT) AS begin_tok,
+           CAST(LEAST({CHUNK_BUDGET}, n - chunk_id * {CHUNK_BUDGET}) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[CAST(chunk_id * {CHUNK_BUDGET} + 1 AS BIGINT)
+                                : CAST(chunk_id * {CHUNK_BUDGET} + {CHUNK_BUDGET} AS BIGINT)],
+                           ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping (C4/RefinedWeb-style): at most
+    DOMAIN_CAP docs kept per source, deterministic hash priority,
+    skew-safe two-level rank (no single-task-per-domain window)."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.domain_cap(d, cap=DOMAIN_CAP)
+
+
+EXTENSION_QUERIES["corpus_domain_cap"] = corpus_domain_cap
+
+EXTENSION_ORACLES["corpus_domain_cap"] = f"""
+    WITH u AS (SELECT doc_id, source,
+                      (doc_id % 1048573) * 2654435761 % 1000000 AS u
+               FROM documents),
+    r AS (SELECT doc_id, source, u,
+                 row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+                   AS dom_rank
+          FROM u)
+    SELECT doc_id, source, u, CAST(dom_rank AS BIGINT) AS dom_rank,
+           dom_rank <= {DOMAIN_CAP} AS kept
+    FROM r ORDER BY doc_id
+"""

@@ -1136,3 +1136,148 @@ def lm_score(
         )
     )
     return out
+
+
+def chunk_spans(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: cut every document's token stream into
+    consecutive ``budget``-token chunks — the per-document inverse of
+    :func:`pack_sequences` (RAG / SFT / embedding pipelines chunk
+    WITHIN a document instead of packing across documents). The last
+    chunk of a document may be short; a document always emits at least
+    one chunk (the tokenizer never returns an empty array — an empty
+    text is one empty token, matching every other op in this module).
+
+    Plan shape at 100 TB: a narrow projection plus one generator
+    (``explode`` over a ``sequence`` of chunk ids) — NO shuffle
+    anywhere, no window, no Python. Chunk rows stay co-partitioned
+    with their source document, so a downstream ``groupBy(doc_id)`` or
+    partitioned write is the first exchange in the whole job. All
+    expressions (split / slice / array_join) run inside whole-stage
+    codegen.
+
+    Returns one row per chunk: ``doc_id, chunk_id, begin_tok,
+    n_chunk_tokens, chunk_text``.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    )
+    n_chunks = F.ceil(F.col("__n") / F.lit(float(budget))).cast("int")
+    exploded = base.select(
+        "doc_id",
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    begin = F.col("chunk_id") * budget
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        begin.cast("int").alias("begin_tok"),
+        F.least(F.lit(budget), F.col("__n") - begin).cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice(F.col("__toks"), begin + F.lit(1), F.lit(budget)), " ")
+        .alias("chunk_text"),
+    )
+
+
+# per-domain sub-bucket count for domain_cap's hierarchical rank; must
+# divide _HASH_MOD exactly so bucket = u DIV width is integer-exact.
+DOMAIN_CAP_BUCKETS = 100
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int = 100,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    n_buckets: int = DOMAIN_CAP_BUCKETS,
+    rank_all: bool = True,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """C4/RefinedWeb-style per-domain frequency capping: keep at most
+    ``cap`` documents per ``domain_col``, chosen by a DETERMINISTIC
+    priority (``sample_hash(id)``, ties broken by id) so the keeper
+    set is a pure function of the input — stable under re-runs and
+    task retries, unlike ``rand()``-ordered capping.
+
+    Skew design — a plain ``row_number() OVER (PARTITION BY domain)``
+    funnels each domain through ONE task; at 100 TB a mega-domain
+    (one host contributing billions of pages) serializes the stage.
+    This is the hierarchical two-level rank of
+    :func:`shuffle_positions` applied per group:
+
+    1. sub-bucket each row by its hash variate: ``bucket = u DIV
+       (mod/n_buckets)`` — hash order makes bucket order == priority
+       order within the domain;
+    2. per-(domain, bucket) counts (one groupBy; ≤ |domains|·n_buckets
+       non-empty rows) → exclusive running offsets via a window over
+       the tiny counts table;
+    3. rank = offset + row_number within (domain, bucket) — each
+       window task sees ~|domain|/n_buckets rows.
+
+    ``broadcast_offsets`` hints the offsets join; disable it when the
+    domain universe is huge (millions of URL hosts) and let the
+    (domain, bucket)-keyed shuffle join distribute it. ``rank_all=
+    False`` is the cheap destructive-scale path: buckets whose offset
+    already ≥ ``cap`` can contain no survivors, so their rows skip the
+    window entirely (``dom_rank`` NULL, ``kept`` false) — only the
+    ~cap head rows per domain pay for exact ranks.
+
+    Emits EVERY input row (flag, not destructive): ``doc_id,
+    <domain>, u, dom_rank, kept`` with 1-based ``dom_rank``.
+    """
+    if _HASH_MOD % n_buckets != 0:
+        raise ValueError(f"n_buckets must divide {_HASH_MOD}")
+    width = _HASH_MOD // n_buckets
+    keyed = (
+        df.select(
+            F.col(id_col),
+            F.col(domain_col),
+            sample_hash(F.col(id_col)).alias("u"),
+        )
+        .withColumn("__b", ((F.col("u") - F.pmod(F.col("u"), F.lit(width))) / width)
+                    .cast("int"))
+    )
+    counts = keyed.groupBy(domain_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    woff = (
+        Window.partitionBy(domain_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(woff), F.lit(0))
+    ).select(domain_col, "__b", "__off")
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+
+    win = Window.partitionBy(domain_col, "__b").orderBy(
+        F.col("u").asc(), F.col(id_col).asc()
+    )
+    joined = keyed.join(offsets, [domain_col, "__b"])
+    if rank_all:
+        ranked = joined.withColumn(
+            "dom_rank", (F.col("__off") + F.row_number().over(win)).cast("long")
+        )
+    else:
+        head = joined.filter(F.col("__off") < cap).withColumn(
+            "dom_rank", (F.col("__off") + F.row_number().over(win)).cast("long")
+        )
+        tail = joined.filter(F.col("__off") >= cap).withColumn(
+            "dom_rank", F.lit(None).cast("long")
+        )
+        ranked = head.unionByName(tail)
+    return ranked.select(
+        id_col,
+        domain_col,
+        "u",
+        "dom_rank",
+        F.coalesce(F.col("dom_rank") <= cap, F.lit(False)).alias("kept"),
+    )

@@ -394,3 +394,104 @@ def test_lm_score_counts_exact_on_tiny_corpus(spark):
     expect = round((math.log(2) + math.log(1)) / 2, 6)
     assert abs(rows[1]["avg_log_count"] - expect) < 1e-9
     assert abs(rows[2]["lm_logprob"] - round(math.log(2) - math.log(3), 6)) < 1e-9
+
+
+def test_chunk_spans_reconstructs_token_stream(spark):
+    """Chunks tile the document exactly: concatenating chunk_text in
+    chunk_id order (space-joined) reproduces the tokenized document,
+    begin_tok steps by the budget, and every chunk but the last is
+    full-size."""
+    rows = [
+        (1, "one two three four five six seven", "en", "s"),
+        (2, "a", "en", "s"),
+        (3, "  x   y  ", "en", "s"),  # ragged whitespace
+    ]
+    out = (
+        corpus.chunk_spans(_docs(spark, rows), budget=3)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    expected = {1: "one two three four five six seven", 2: "a", 3: "x y"}
+    for doc_id, chunks in by_doc.items():
+        joined = " ".join(c.chunk_text for c in chunks)
+        assert joined == expected[doc_id]
+        n_total = sum(c.n_chunk_tokens for c in chunks)
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.begin_tok == i * 3
+            if i < len(chunks) - 1:
+                assert c.n_chunk_tokens == 3
+            else:
+                assert 1 <= c.n_chunk_tokens <= 3
+        assert n_total == len(expected[doc_id].split())
+
+
+def test_chunk_spans_plan_has_no_shuffle(spark):
+    """chunk_spans is a pure narrow map + generator: the physical plan
+    must contain no Exchange and no Python evaluation."""
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        executed_plan,
+    )
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    df = corpus.chunk_spans(d, budget=16)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, plan
+    assert_no_python(df)
+
+
+def test_domain_cap_matches_plain_window_reference(spark):
+    """The hierarchical two-level rank equals the naive
+    row_number() OVER (PARTITION BY source ORDER BY u, id) reference,
+    for every row — with and without the broadcast hint."""
+    from pyspark.sql import Window
+
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    ref_w = Window.partitionBy("source").orderBy(
+        F.col("u").asc(), F.col("doc_id").asc()
+    )
+    ref = (
+        d.select("doc_id", "source", corpus.sample_hash(F.col("doc_id")).alias("u"))
+        .withColumn("dom_rank", F.row_number().over(ref_w).cast("long"))
+        .withColumn("kept", F.col("dom_rank") <= 5)
+    )
+    for bcast in (True, False):
+        got = corpus.domain_cap(d, cap=5, broadcast_offsets=bcast)
+        assert got.exceptAll(ref).count() == 0
+        assert ref.exceptAll(got).count() == 0
+
+
+def test_domain_cap_pruned_path_same_keepers(spark):
+    """rank_all=False skips ranking for buckets past the cap but must
+    keep exactly the same survivor set; pruned rows carry NULL rank
+    and kept=false."""
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    full = corpus.domain_cap(d, cap=5, rank_all=True)
+    pruned = corpus.domain_cap(d, cap=5, rank_all=False)
+    assert pruned.count() == full.count()  # flag semantics: every row emitted
+    kept_full = {r.doc_id for r in full.filter("kept").collect()}
+    kept_pruned = {r.doc_id for r in pruned.filter("kept").collect()}
+    assert kept_full == kept_pruned
+    assert pruned.filter(F.col("dom_rank").isNull() & F.col("kept")).count() == 0
+    # every domain keeps at most cap rows
+    over = full.filter("kept").groupBy("source").count().filter("count > 5")
+    assert over.count() == 0
+
+
+def test_domain_cap_rejects_non_divisor_buckets(spark):
+    import pytest as _pytest
+
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    with _pytest.raises(ValueError):
+        corpus.domain_cap(d, cap=5, n_buckets=7)
