@@ -44,6 +44,11 @@ EXT_NAMES = [
     "ann_pq_topk",
     "corpus_lm_score",
     "events_funnel",
+    # r5 mid-round additions: context-window chunking (narrow map +
+    # generator, zero shuffles) and per-domain frequency capping
+    # (skew-safe two-level per-group rank).
+    "corpus_chunk",
+    "corpus_domain_cap",
 ]
 
 
