@@ -1443,3 +1443,39 @@ EXTENSION_ORACLES["corpus_domain_cap"] = f"""
            dom_rank <= {DOMAIN_CAP} AS kept
     FROM r ORDER BY doc_id
 """
+
+
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over 'video' payloads: a fixed-size byte slice
+    every 64 bytes (the byte-level stand-in for keyframe extraction) —
+    JVM-side sequence/transform/substring HOFs, no Python, no shuffle.
+    Frames are projected as strings for the oracle compare (fixture
+    payloads are UTF-8 text bytes and pure ASCII, so byte slicing ==
+    char slicing — verified across all fixture sfs)."""
+    d = load(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(d)
+    frames = multimodal.sample_frames(media, every_n_bytes=64, frame_bytes=16)
+    return frames.select(
+        "media_id",
+        F.col("frame_index").cast("int").alias("frame_index"),
+        F.col("frame").cast("string").alias("frame_text"),
+        F.octet_length("frame").cast("int").alias("n_frame_bytes"),
+    )
+
+
+EXTENSION_QUERIES["mm_frames"] = mm_frames
+
+EXTENSION_ORACLES["mm_frames"] = """
+    WITH v AS (SELECT doc_id AS media_id, text, length(text) AS n
+               FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT media_id, text, n,
+                 unnest(range(0,
+                     GREATEST(CAST(floor((n - 1) / 64.0) AS BIGINT), 0) + 1))
+                   AS frame_index
+          FROM v)
+    SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+           substring(text, CAST(frame_index * 64 + 1 AS BIGINT), 16)
+             AS frame_text,
+           CAST(LEAST(16, n - frame_index * 64) AS INT) AS n_frame_bytes
+    FROM f ORDER BY media_id, frame_index
+"""

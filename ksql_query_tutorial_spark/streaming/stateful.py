@@ -196,3 +196,33 @@ def upsert_table_stream_tws(
             timeMode="None",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    within_watermark_col: str | None = None,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the FIRST record per
+    key across micro-batches — the streaming twin of the batch
+    ``dedup_exact`` keeper selection (key on a content hash to dedup
+    by content rather than id).
+
+    Spark-first: this IS the built-in ``dropDuplicates`` stateful
+    operator — one marker row per key in the state store (RocksDB on a
+    cluster), append-mode emission on first sight, no custom Python
+    state. Its state grows with the distinct-key universe, which is
+    unbounded on an infinite stream; pass ``within_watermark_col`` to
+    switch to ``dropDuplicatesWithinWatermark`` (Spark 3.5+), which
+    expires marker state once the watermark passes a key's event time
+    — the 100 TB shape: state bounded by keys-per-delay-window, the
+    exactness contract weakened to "no duplicates within ``delay`` of
+    each other" (a re-crawl months later re-emits, which is usually
+    the wanted semantics for continuous corpus ingestion).
+    """
+    if within_watermark_col is not None:
+        return stream.withWatermark(
+            within_watermark_col, delay
+        ).dropDuplicatesWithinWatermark(key_cols)
+    return stream.dropDuplicates(key_cols)

@@ -369,3 +369,66 @@ def test_upsert_tws_matches_applyinpandaswithstate(spark):
     assert finals["aip"] == finals["tws"] == {
         "1": ("PSG", 2), "2": ("Juventus", 1)
     }
+
+
+def test_dedup_stream_first_sight_only(spark):
+    """Streaming exact dedup (built-in dropDuplicates keyed state):
+    exactly one emission per key across micro-batches, first content
+    wins, later duplicates emit nothing."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming.stateful import dedup_stream
+
+    schema = T.StructType([
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    rows = [
+        {"content_hash": "h1", "doc_id": 10},
+        {"content_hash": "h2", "doc_id": 11},
+        {"content_hash": "h1", "doc_id": 12},  # dup of batch 0: suppressed
+        {"content_hash": "h3", "doc_id": 13},
+        {"content_hash": "h2", "doc_id": 14},  # dup of batch 1: suppressed
+    ]
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: dedup_stream(s, ["content_hash"]),
+        name="dedup_state", output_mode="append", with_batch_id=True,
+    )
+    emissions = [(b, r.content_hash, r.doc_id) for b, r in q.emissions]
+    assert (0, "h1", 10) in emissions
+    assert (1, "h2", 11) in emissions
+    assert (3, "h3", 13) in emissions
+    assert len(emissions) == 3, f"duplicates leaked: {emissions}"
+
+
+def test_dedup_stream_within_watermark(spark):
+    """Watermarked variant (dropDuplicatesWithinWatermark): duplicates
+    inside the delay window are suppressed; state is expirable (the
+    bounded-state 100 TB path)."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming.stateful import dedup_stream
+
+    def ts(m):
+        return f"2026-01-01T12:{m:02d}:00"
+
+    schema = T.StructType([
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+    ])
+    rows = [
+        {"content_hash": "h1", "ts": ts(0), "doc_id": 1},
+        {"content_hash": "h1", "ts": ts(1), "doc_id": 2},   # in-window dup
+        {"content_hash": "h2", "ts": ts(2), "doc_id": 3},
+        {"content_hash": "h1", "ts": ts(3), "doc_id": 4},   # still in-window
+    ]
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: dedup_stream(s, ["content_hash"],
+                               within_watermark_col="ts", delay="10 minutes"),
+        name="dedup_wm_state", output_mode="append", with_batch_id=True,
+    )
+    got = {(r.content_hash, r.doc_id) for _, r in q.emissions}
+    assert got == {("h1", 1), ("h2", 3)}, got
