@@ -1479,3 +1479,87 @@ EXTENSION_ORACLES["mm_frames"] = """
            CAST(LEAST(16, n - frame_index * 64) AS INT) AS n_frame_bytes
     FROM f ORDER BY media_id, frame_index
 """
+
+
+# ------------------------------------------- event analytics / clustering
+
+N_ASSIGN_CLUSTERS = 8
+
+
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed stats over the schemaless-JSON ``props`` column (the
+    JsonConverter ``schemas.enable=false`` pattern from the reference,
+    applied to an embedded column): ``from_json`` parse JVM-side, then
+    a per-event-type aggregate."""
+    from ksql_query_tutorial_spark.operators import analytics
+
+    e = load(spark, sf_dir, "events")
+    return analytics.props_stats(e)
+
+
+EXTENSION_QUERIES["events_props_stats"] = events_props_stats
+
+EXTENSION_ORACLES["events_props_stats"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+             AS avg_k
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream (cohort =
+    ISO week of first activity; cells = distinct users active N weeks
+    later)."""
+    from ksql_query_tutorial_spark.operators import analytics
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return analytics.weekly_retention(e)
+
+
+EXTENSION_QUERIES["events_retention"] = events_retention
+
+EXTENSION_ORACLES["events_retention"] = """
+    WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+                FROM events),
+    f AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY 1)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, uw.wk) // 7 AS INT)
+             AS week_offset,
+           count(*) AS n_users
+    FROM uw JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic nearest-centroid assignment (fixed centroids = the
+    k smallest vec_ids): the oracle-exact twin of the learned IVF
+    assignment path — same broadcast + argmax-cosine plan shape, zero
+    RNG."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.cluster_assign(e, n_clusters=N_ASSIGN_CLUSTERS)
+
+
+EXTENSION_QUERIES["embedding_cluster_assign"] = embedding_cluster_assign
+
+EXTENSION_ORACLES["embedding_cluster_assign"] = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               ORDER BY vec_id LIMIT {N_ASSIGN_CLUSTERS}),
+    s AS (SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.embedding, c.cv) AS cos
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM s)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+           round(cos, 6) AS cosine
+    FROM r WHERE rn = 1 ORDER BY vec_id
+"""

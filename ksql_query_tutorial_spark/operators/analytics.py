@@ -1,0 +1,91 @@
+"""Event-log analytics: schemaless-JSON property extraction and weekly
+cohort retention.
+
+The reference pipeline's values are schemaless JSON (JsonConverter with
+``schemas.enable=false`` — reference ``all.sql:17``, ``README.md:57-59``);
+ksqlDB declares a typed view over them per collection. ``props_stats``
+is that same pattern applied to an embedded JSON column: a typed
+``from_json`` projection (JVM-side, codegen — never a Python JSON loop)
+feeding a plain aggregate. ``weekly_retention`` is the classic cohort
+matrix every growth/behavior pipeline derives from an event stream.
+
+Scale design:
+- ``props_stats``: narrow parse + one groupBy on a low-cardinality key;
+  partial aggregation collapses each map task to |event_types| rows, so
+  the exchange is tiny at any corpus size.
+- ``weekly_retention``: ONE full-data exchange (on ``user_id``).
+  ``collect_set`` of per-user active weeks is bounded by the calendar
+  (52/year), map-side partials dedupe before the shuffle, and the final
+  (cohort, offset) rollup is |weeks|² cells — driver-safe forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def props_stats(
+    df: DataFrame,
+    props_col: str = "props",
+    key: str = "k",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Per-``group_col`` stats of the integer property ``key`` extracted
+    from the schemaless-JSON ``props_col``.
+
+    Returns one row per group: ``n_events, n_users, sum_k, min_k,
+    max_k, avg_k`` (avg rounded to 6 for oracle-stable compare).
+    """
+    k = F.from_json(F.col(props_col), f"{key} BIGINT")[key]
+    return (
+        df.withColumn("_k", k)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("_k").alias("sum_k"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.round(F.avg("_k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def weekly_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the ISO week
+    (Monday-start, via ``date_trunc``) of their first event; each cell
+    counts the cohort's users active ``week_offset`` weeks later.
+
+    Both engines truncate weeks to Monday 00:00, so offsets are exact
+    multiples of 7 days and the integer division is lossless.
+
+    Returns ``cohort_week, week_offset, n_users`` — one row per
+    non-empty cell.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    per_user = (
+        df.select(F.col(user_col).alias("user_id"), wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(
+            F.min("wk").alias("cohort_week"),
+            F.collect_set("wk").alias("weeks"),
+        )
+    )
+    # after the explode every (user, week) pair is unique, so count(*)
+    # IS the distinct-user count — no second distinct aggregation.
+    return (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("wk")
+        )
+        .withColumn(
+            "week_offset",
+            (F.datediff("wk", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

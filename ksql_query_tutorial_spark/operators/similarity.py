@@ -662,3 +662,66 @@ def pq_topk(
         .select("query_id", "neighbor_id", "rank",
                 F.round("cosine", 6).alias("cosine"))
     )
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic nearest-centroid cluster assignment: the corpus
+    rows with the ``n_clusters`` smallest ids serve as fixed centroids
+    (reproducible on any engine — no RNG, no training), and every
+    vector joins its argmax-cosine centroid (ties → smaller centroid
+    id).
+
+    This is the oracle-exact twin of the learned pipeline
+    (:func:`spherical_kmeans_centroids` + :func:`with_centroid_id`):
+    identical plan shape, but fully SQL-expressible so the DuckDB gate
+    can value-hash it.
+
+    Scale design: centroid selection is a ``TakeOrderedAndProject``
+    (per-partition top-k, merged once — no range-shuffle of the corpus)
+    collecting exactly ``n_clusters`` rows, rebuilt as a local relation
+    and broadcast (the same bounded-relation move as :func:`pq_topk`'s
+    query matrix). The broadcast nested-loop join emits ``n_clusters``
+    candidates per row *within the producing task*, and ``max_by``
+    partial aggregation collapses them back to one row per vector
+    before the single exchange, so shuffle volume equals the output
+    size regardless of k.
+
+    Returns ``vec_id, cluster_id, cosine`` (cosine to the winning
+    centroid, rounded to 6).
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows],
+        schema="cid long, cv array<double>",
+    ).withColumn("cn", F.greatest(l2_norm(F.col("cv")), F.lit(1e-30)))
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vn", F.greatest(l2_norm(F.col("v")), F.lit(1e-30)))
+    scored = v.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+    )
+    best = scored.groupBy("vec_id").agg(
+        # lexicographic max of (cos, -cid): highest cosine wins, exact
+        # ties break to the smaller centroid id
+        F.max_by(
+            F.struct("cid", "cos"),
+            F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("t")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cid").alias("cluster_id"),
+        F.round("best.cos", 6).alias("cosine"),
+    )

@@ -19,7 +19,7 @@ from ksql_query_tutorial_spark.extensions import (
 )
 from ksql_query_tutorial_spark.operators import dedup, multimodal
 from ksql_query_tutorial_spark.tables import load
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMOKE
 
 
 def test_minhash_lsh_is_high_recall_subset_of_exact(spark):
@@ -813,3 +813,63 @@ def test_funnel_rejects_empty_steps(spark):
         pass
     else:
         raise AssertionError("empty steps must be rejected")
+
+
+def test_props_stats_extracts_typed_k(spark):
+    from ksql_query_tutorial_spark.operators.analytics import props_stats
+
+    rows = [
+        (1, "view", '{"k": 5}'),
+        (2, "view", '{"k": 7}'),
+        (1, "click", '{"k": 0}'),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, props string")
+    out = {r["event_type"]: r for r in props_stats(df).collect()}
+    assert out["view"]["n_events"] == 2
+    assert out["view"]["n_users"] == 2
+    assert out["view"]["sum_k"] == 12
+    assert out["view"]["min_k"] == 5 and out["view"]["max_k"] == 7
+    assert out["view"]["avg_k"] == 6.0
+    assert out["click"]["n_users"] == 1 and out["click"]["sum_k"] == 0
+
+
+def test_weekly_retention_cohorts_and_offsets(spark):
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import weekly_retention
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # user 1: active week 0 and week 2; user 2: week 0 only (same cohort);
+    # user 3: cohort one week later
+    rows = [
+        (1, datetime(2026, 1, 5, 10)),   # Mon wk0
+        (1, datetime(2026, 1, 21, 9)),   # wk2
+        (2, datetime(2026, 1, 7, 3)),    # wk0
+        (3, datetime(2026, 1, 14, 12)),  # wk1 cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in weekly_retention(df).collect()}
+    wk0 = datetime(2026, 1, 5)
+    wk1 = datetime(2026, 1, 12)
+    assert out[(wk0, 0)] == 2
+    assert out[(wk0, 2)] == 1
+    assert out[(wk1, 0)] == 1
+    assert (wk0, 1) not in out
+
+
+def test_cluster_assign_centroids_self_assign(spark):
+    """Each centroid row must assign to itself with cosine 1.0; every
+    row must land on exactly one cluster in [0, k)."""
+    from ksql_query_tutorial_spark.extensions import (
+        N_ASSIGN_CLUSTERS,
+        embedding_cluster_assign,
+    )
+
+    out = embedding_cluster_assign(spark, SF_SMOKE).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    for cid in range(N_ASSIGN_CLUSTERS):
+        assert by_id[cid]["cluster_id"] == cid
+        assert abs(by_id[cid]["cosine"] - 1.0) < 1e-9
+    assert all(0 <= r["cluster_id"] < N_ASSIGN_CLUSTERS for r in out)
+    assert len(out) == len(by_id)

@@ -238,3 +238,49 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_events_props_stats_is_jvm_json_parse(spark):
+    """The schemaless-JSON extraction must be ``from_json`` (JVM
+    codegen), never a Python JSON loop, with partial+final aggregation
+    around the group-by exchange."""
+    from ksql_query_tutorial_spark.extensions import events_props_stats
+
+    df = events_props_stats(spark, SF_ORACLE)
+    checks.assert_no_python(df)
+    checks.assert_partial_aggregation(df)
+    plan = checks.formatted_plan(df)
+    assert "from_json" in plan, plan
+
+
+def test_events_retention_two_bounded_exchanges(spark):
+    """Retention must shuffle full data at most once (user-keyed
+    collect_set); the (cohort, offset) rollup exchange carries only
+    post-partial-agg cells."""
+    from ksql_query_tutorial_spark.extensions import events_retention
+
+    df = events_retention(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    assert plan.count("+- Exchange") <= 2, plan
+    checks.assert_no_python(df)
+    checks.assert_scan_pruned_to(
+        df, {"user_id", "ts"}, {"user_id", "ts"}
+    )
+
+
+def test_cluster_assign_broadcasts_centroids_single_shuffle(spark):
+    """The centroid side must be broadcast (bounded limit-k), candidates
+    must collapse via partial max_by before the lone exchange, and the
+    whole pipeline stays JVM-side."""
+    from ksql_query_tutorial_spark.extensions import embedding_cluster_assign
+
+    df = embedding_cluster_assign(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    checks.assert_broadcast_join(df)
+    checks.assert_no_python(df)
+    # max_by over a struct ordering plans as SortAggregate; the partial
+    # half must sit below the exchange so only one row per vector moves
+    assert "partial_max_by" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # centroid side must never range-shuffle the corpus
+    assert "rangepartitioning" not in plan, plan
