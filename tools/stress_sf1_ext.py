@@ -49,6 +49,11 @@ EXT_NAMES = [
     # (skew-safe two-level per-group rank).
     "corpus_chunk",
     "corpus_domain_cap",
+    # r5 late additions: schemaless-JSON stats, cohort retention, and
+    # deterministic nearest-centroid assignment.
+    "events_props_stats",
+    "events_retention",
+    "embedding_cluster_assign",
 ]
 
 
