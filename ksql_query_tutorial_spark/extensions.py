@@ -1563,3 +1563,75 @@ EXTENSION_ORACLES["embedding_cluster_assign"] = f"""
            round(cos, 6) AS cosine
     FROM r WHERE rn = 1 ORDER BY vec_id
 """
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomalies per event type: counts z-scored against
+    the type's own distribution, |z| > 2 flagged."""
+    from ksql_query_tutorial_spark.operators import analytics
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return analytics.hourly_anomaly(e)
+
+
+EXTENSION_QUERIES["events_anomaly"] = events_anomaly
+
+EXTENSION_ORACLES["events_anomaly"] = """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                      count(*) AS n_events
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, avg(n_events) AS m,
+                 stddev_samp(n_events) AS sd
+          FROM h GROUP BY 1)
+    SELECT h.event_type, h.hour, h.n_events,
+           round((h.n_events - s.m) / s.sd, 6) AS z,
+           coalesce(abs((h.n_events - s.m) / s.sd) > 2, false) AS is_anomaly
+    FROM h JOIN s USING (event_type)
+    ORDER BY h.event_type, h.hour
+"""
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long format (label, dim, mean_val,
+    n_vectors) — class centroids for labeled-embedding audits."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(e)
+
+
+EXTENSION_QUERIES["embedding_label_centroids"] = embedding_label_centroids
+
+EXTENSION_ORACLES["embedding_label_centroids"] = """
+    WITH x AS (SELECT label,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      unnest(CAST(embedding AS DOUBLE[])) AS v
+               FROM embeddings)
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(avg(v), 6) AS mean_val,
+           count(*) AS n_vectors
+    FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (gibberish /
+    binary-noise quality signal)."""
+    d = load(spark, sf_dir, "documents")
+    return text.with_char_entropy(d)
+
+
+EXTENSION_QUERIES["text_entropy"] = text_entropy
+
+EXTENSION_ORACLES["text_entropy"] = """
+    WITH i AS (SELECT doc_id, text,
+                      unnest(range(1, length(text) + 1)) AS i
+               FROM documents WHERE length(text) > 0),
+    ch AS (SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch FROM i),
+    c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars_counted,
+           count(*) AS n_unique_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+             AS char_entropy
+    FROM c GROUP BY doc_id ORDER BY doc_id
+"""

@@ -89,3 +89,45 @@ def weekly_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def hourly_anomaly(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume-anomaly flags over the event stream: hourly event counts
+    per type, z-scored against that type's own mean/stddev, flagged
+    when ``|z| > z_threshold`` (the standard ops-dashboard outlier
+    pass).
+
+    Scale design: the hourly rollup is the only full-data exchange
+    (partial counts collapse each map task to |types × hours| rows);
+    the per-type stats table is |types| rows and broadcast back onto
+    the hourly cells, so the join adds no shuffle. A single-hour type
+    (stddev NULL) flags false, never NULL.
+
+    Returns ``event_type, hour, n_events, z, is_anomaly``.
+    """
+    hourly = (
+        df.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n_events").alias("_mean"),
+        F.stddev_samp("n_events").alias("_std"),
+    )
+    z = (F.col("n_events") - F.col("_mean")) / F.col("_std")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 6))
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)),
+        )
+        .select("event_type", "hour", "n_events", "z", "is_anomaly")
+    )

@@ -725,3 +725,34 @@ def cluster_assign(
         F.col("best.cid").alias("cluster_id"),
         F.round("best.cos", 6).alias("cosine"),
     )
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding in long format: one row per (label,
+    dimension) with the mean component value — the class-centroid table
+    a labeled-embedding audit (or a nearest-centroid classifier init)
+    starts from.
+
+    Long format is deliberate: it keeps the aggregate a plain
+    ``avg`` over scalars (oracle-exact, partial+final), instead of an
+    elementwise array aggregate the SQL gate couldn't hash. The
+    ``posexplode`` is a narrow dim-fold (rows × d, no Python); partial
+    aggregation collapses each map task to |labels × d| cells, so the
+    lone exchange is dimension-bounded regardless of corpus size.
+
+    Returns ``label, dim, mean_val, n_vectors``.
+    """
+    exploded = corpus.select(
+        label_col, F.posexplode(as_double(F.col(vec_col))).alias("dim", "x")
+    )
+    return (
+        exploded.groupBy(label_col, "dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )

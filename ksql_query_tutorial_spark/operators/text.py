@@ -287,3 +287,47 @@ def with_quality_score(
         )
         .withColumn("qs_pass", F.col("qs_raw") > 0)
     )
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    binary-noise quality signal (low entropy = repeated filler, high
+    entropy = encrypted/binary junk; natural text sits in a band).
+
+    Uses the identity ``H = log2(n) - (1/n)·Σ c·log2(c)`` over the
+    per-character counts so the whole computation is two grouped
+    aggregates: (doc, char) counts — partial-agg'd map-side, shuffle
+    bounded by |docs| × |alphabet| — then a doc-keyed fold. The char
+    fold itself is an explode over ``sequence(1, length)`` + substring
+    (pure JVM; no Python, no regex-split empty-string edge cases).
+
+    Empty documents carry no characters and are dropped (matching the
+    SQL oracle's empty ``range``).
+
+    Returns ``id_col, n_chars_counted, n_unique_chars, char_entropy``.
+    """
+    chars = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.length(F.col(text_col)))
+            ).alias("i"),
+            F.col(text_col),
+        )
+        .select(id_col, F.substring(F.col(text_col), F.col("i"), F.lit(1)).alias("ch"))
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_chars_counted"),
+            F.count(F.lit(1)).alias("n_unique_chars"),
+            F.round(
+                F.log2(F.sum("c"))
+                - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )

@@ -873,3 +873,51 @@ def test_cluster_assign_centroids_self_assign(spark):
         assert abs(by_id[cid]["cosine"] - 1.0) < 1e-9
     assert all(0 <= r["cluster_id"] < N_ASSIGN_CLUSTERS for r in out)
     assert len(out) == len(by_id)
+
+
+def test_hourly_anomaly_flags_outlier_and_handles_single_hour(spark):
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import hourly_anomaly
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    # type 'a': 9 quiet hours of 10 events + one 1000-event spike
+    for h in range(9):
+        rows += [(datetime(2026, 1, 1, h, m % 60), "a") for m in range(10)]
+    rows += [(datetime(2026, 1, 1, 23, s % 60), "a") for s in range(1000)]
+    # type 'b': a single hour — stddev undefined, must flag False
+    rows += [(datetime(2026, 1, 1, 5, 1), "b")]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = hourly_anomaly(df).collect()
+    spikes = [r for r in out if r["event_type"] == "a" and r["is_anomaly"]]
+    assert len(spikes) == 1 and spikes[0]["n_events"] == 1000
+    b = [r for r in out if r["event_type"] == "b"]
+    assert len(b) == 1 and b[0]["is_anomaly"] is False and b[0]["z"] is None
+
+
+def test_label_centroids_exact_means(spark):
+    from ksql_query_tutorial_spark.operators.similarity import label_centroids
+
+    rows = [
+        (0, [1.0, 3.0]),
+        (0, [3.0, 5.0]),
+        (1, [2.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    out = {(r["label"], r["dim"]): r for r in label_centroids(df).collect()}
+    assert out[(0, 0)]["mean_val"] == 2.0 and out[(0, 1)]["mean_val"] == 4.0
+    assert out[(0, 0)]["n_vectors"] == 2
+    assert out[(1, 0)]["mean_val"] == 2.0 and out[(1, 1)]["n_vectors"] == 1
+
+
+def test_char_entropy_known_values(spark):
+    from ksql_query_tutorial_spark.operators.text import with_char_entropy
+
+    rows = [(1, "aaaa"), (2, "ab"), (3, ""), (4, "aabb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_char_entropy(df).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["n_unique_chars"] == 1
+    assert out[2]["char_entropy"] == 1.0
+    assert out[4]["char_entropy"] == 1.0 and out[4]["n_chars_counted"] == 4
+    assert 3 not in out  # empty docs dropped

@@ -284,3 +284,41 @@ def test_cluster_assign_broadcasts_centroids_single_shuffle(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     # centroid side must never range-shuffle the corpus
     assert "rangepartitioning" not in plan, plan
+
+
+def test_events_anomaly_broadcasts_stats(spark):
+    """The per-type stats side is |types| rows and must come back as a
+    broadcast join; everything stays JVM-side with map-side partials."""
+    from ksql_query_tutorial_spark.extensions import events_anomaly
+
+    df = events_anomaly(spark, SF_ORACLE)
+    checks.assert_broadcast_join(df)
+    checks.assert_no_python(df)
+    checks.assert_partial_aggregation(df)
+
+
+def test_label_centroids_single_dim_bounded_exchange(spark):
+    """The dim-fold must be a narrow posexplode; the lone exchange
+    carries |labels × d| cells after partial aggregation."""
+    from ksql_query_tutorial_spark.extensions import embedding_label_centroids
+
+    df = embedding_label_centroids(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_python(df)
+    checks.assert_partial_aggregation(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    checks.assert_scan_pruned_to(
+        df, {"label", "embedding"}, {"label", "embedding"}
+    )
+
+
+def test_text_entropy_two_grouped_aggregates(spark):
+    """Char entropy is two grouped aggregates — (doc, char) counts then
+    the doc-keyed fold — both with map-side partials, no Python."""
+    from ksql_query_tutorial_spark.extensions import text_entropy
+
+    df = text_entropy(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_python(df)
+    checks.assert_partial_aggregation(df)
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
