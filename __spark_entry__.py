@@ -34,31 +34,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # verification in-repo: tests/test_oracle.py runs the full set against
 # the same DuckDB oracles every pytest run.
 _GATE_PRIORITY = [
-    "text_lang_id", "text_pii",
+    # Perennial family anchor: one LSH-dedup representative always in
+    # the window.
     "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_lsh", "dedup_clusters_lsh",
-    "dedup_incremental",
-    "similarity_topk",
     # r5 mid-round rotation: corpus_chunk + corpus_domain_cap are NEW
     # this round and take driver slots immediately; text_token_stats
     # and range_orders_90d rotate out (driver-green r2-r4; the text
-    # family stays covered by lang_id/pii/fingerprint/quality_score,
+    # family stays covered by fingerprint/quality_score/entropy,
     # temporal by events_funnel; both stay oracle-verified in-repo).
     "corpus_chunk", "corpus_domain_cap",
     # r5 rotation (VERDICT r4 #5): the four ops below take their FIRST
     # driver-window round (rotated in during the r5 prelude), followed
     # by the six ops NEW in r5 (deterministic split/shuffle, hashed
     # linear quality scoring, the end-to-end curate pipeline, bigram
-    # LM scoring, the ordered funnel). To make room, six multi-round
-    # driver-green ops rotated out (text_quality, dedup_exact,
-    # asof_purchase_click, rollup_events, ann_lsh_topk, mm_meta —
-    # each hash-green in r2-r4). Everything outside the window stays
-    # hash-verified in-repo via tests/test_oracle.py every pytest run.
+    # LM scoring, the ordered funnel).
     "text_fingerprint", "dedup_clusters",
     "pack_sequences", "corpus_tfidf",
     "corpus_split", "corpus_shuffle",
     "text_quality_score", "corpus_curate",
     "corpus_lm_score", "events_funnel",
+    # r5 late additions, all NEW this round and taking their first
+    # driver window: frame sampling (the multimodal rep), schemaless-
+    # JSON stats, cohort retention, hourly anomaly flags, deterministic
+    # centroid assignment, per-label centroids, char entropy. To make
+    # room, seven multi-round driver-green ops rotated out
+    # (text_lang_id, text_pii, dedup_simhash, dedup_embedding_lsh,
+    # dedup_clusters_lsh, dedup_incremental, similarity_topk — each
+    # hash-green r2-r4). Everything outside the window stays
+    # hash-verified in-repo via tests/test_oracle.py every pytest run.
+    "mm_frames",
+    "events_props_stats", "events_retention", "events_anomaly",
+    "embedding_cluster_assign", "embedding_label_centroids",
+    "text_entropy",
 ]
 
 
