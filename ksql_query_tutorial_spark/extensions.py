@@ -1635,3 +1635,55 @@ EXTENSION_ORACLES["text_entropy"] = """
              AS char_entropy
     FROM c GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def events_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation over the 5-key event_type grouping
+    (the explicit skew-cap shape; result identical to the plain
+    aggregate by construction)."""
+    from ksql_query_tutorial_spark.operators import skew
+
+    e = load(spark, sf_dir, "events")
+    return skew.salted_agg(e.select("event_type", "value"), ["event_type"], "value")
+
+
+EXTENSION_QUERIES["events_salted_agg"] = events_salted_agg
+
+EXTENSION_ORACLES["events_salted_agg"] = """
+    SELECT event_type, count(*) AS n_rows,
+           round(sum(value), 6) AS sum_val,
+           round(sum(value) / count(*), 6) AS avg_val
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-load data-quality audit: referential (orphan keys via
+    anti join) and domain (range / null) violation counts."""
+    from ksql_query_tutorial_spark.operators import analytics
+
+    return analytics.audit_constraints(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+EXTENSION_QUERIES["audit_referential"] = audit_referential
+
+EXTENSION_ORACLES["audit_referential"] = """
+    SELECT 'orders_orphan_custkey' AS check_name, count(*) AS n_violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', count(*)
+    FROM lineitem WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'orders_null_totalprice', count(*)
+    FROM orders WHERE o_totalprice IS NULL
+    ORDER BY check_name
+"""

@@ -131,3 +131,51 @@ def hourly_anomaly(
         )
         .select("event_type", "hour", "n_events", "z", "is_anomaly")
     )
+
+
+def audit_constraints(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Data-quality audit: violation counts for the referential and
+    domain constraints a warehouse load would assert (the dbt-test /
+    Deequ-style pass every pipeline runs before publishing a
+    snapshot).
+
+    Scale design: each referential check is a LEFT ANTI join (the
+    probe side streams; with AQE the bounded key side broadcasts) that
+    collapses straight into a scalar count — partial counts collapse
+    map tasks to one row, so the union of checks moves a handful of
+    rows total. Domain checks are pushed-down filter + count.
+
+    Returns ``check_name, n_violations`` — one row per check, always
+    present (zero when clean).
+    """
+    def scalar(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        scalar(
+            orders.join(
+                customer.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+            "orders_orphan_custkey",
+        ),
+        scalar(
+            lineitem.join(
+                orders.select("o_orderkey"),
+                lineitem["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+            "lineitem_orphan_orderkey",
+        ),
+        scalar(lineitem.filter(F.col("l_quantity") <= 0), "lineitem_nonpositive_qty"),
+        scalar(orders.filter(F.col("o_totalprice").isNull()), "orders_null_totalprice"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

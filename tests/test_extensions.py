@@ -921,3 +921,48 @@ def test_char_entropy_known_values(spark):
     assert out[2]["char_entropy"] == 1.0
     assert out[4]["char_entropy"] == 1.0 and out[4]["n_chars_counted"] == 4
     assert 3 not in out  # empty docs dropped
+
+
+def test_salted_agg_equals_plain_aggregate(spark):
+    from ksql_query_tutorial_spark.operators.skew import salted_agg
+
+    e = load(spark, SF_ORACLE, "events").select("event_type", "value")
+    got = {r["event_type"]: r for r in
+           salted_agg(e, ["event_type"], "value").collect()}
+    want = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 6).alias("sum_val"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("avg_val"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k]["n_rows"] == want[k]["n_rows"]
+        assert abs(got[k]["sum_val"] - want[k]["sum_val"]) < 1e-6
+        assert abs(got[k]["avg_val"] - want[k]["avg_val"]) < 1e-6
+
+
+def test_audit_constraints_counts_planted_violations(spark):
+    from ksql_query_tutorial_spark.operators.analytics import audit_constraints
+
+    orders = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 11, None), (3, 99, 50.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame([(10,), (11,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (7, 3.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    out = {r["check_name"]: r["n_violations"]
+           for r in audit_constraints(orders, customer, lineitem).collect()}
+    assert out == {
+        "orders_orphan_custkey": 1,       # o_custkey 99
+        "lineitem_orphan_orderkey": 1,    # l_orderkey 7
+        "lineitem_nonpositive_qty": 1,    # -1.0
+        "orders_null_totalprice": 1,      # order 2
+    }

@@ -322,3 +322,28 @@ def test_text_entropy_two_grouped_aggregates(spark):
     checks.assert_no_python(df)
     checks.assert_partial_aggregation(df)
     assert plan.count("Arguments: hashpartitioning") == 2, plan
+
+
+def test_salted_agg_is_two_level_jvm(spark):
+    """Salted aggregation must plan as two partial+final aggregate
+    levels (≥4 HashAggregates) with no Python stages."""
+    from ksql_query_tutorial_spark.extensions import events_salted_agg
+
+    df = events_salted_agg(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_python(df)
+    import re
+
+    assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
+
+
+def test_audit_referential_uses_anti_joins_not_cartesian(spark):
+    """Referential checks must be anti joins; domain filters must reach
+    the scans."""
+    from ksql_query_tutorial_spark.extensions import audit_referential
+
+    df = audit_referential(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    checks.assert_no_python(df)
