@@ -1687,3 +1687,42 @@ EXTENSION_ORACLES["audit_referential"] = """
     FROM orders WHERE o_totalprice IS NULL
     ORDER BY check_name
 """
+
+
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two deterministic views of the documents
+    fixture (old = ids not divisible by 7, new = ids not divisible by
+    5 with every 11th doc's text rewritten): per-doc added / removed /
+    changed / unchanged classification via an id-keyed full outer
+    join on md5 fingerprints."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+    ).otherwise(F.col("text"))
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5(new_text).alias("fp")
+    )
+    return corpus.snapshot_diff(old, new)
+
+
+EXTENSION_QUERIES["corpus_diff"] = corpus_diff
+
+EXTENSION_ORACLES["corpus_diff"] = """
+    WITH o AS (SELECT doc_id, md5(text) AS old_fp FROM documents
+               WHERE doc_id % 7 <> 0),
+    n AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                          ELSE text END) AS new_fp
+          FROM documents WHERE doc_id % 5 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp = n.new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.old_fp, n.new_fp
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+"""

@@ -1281,3 +1281,35 @@ def domain_cap(
         "dom_rank",
         F.coalesce(F.col("dom_rank") <= cap, F.lit(False)).alias("kept"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Corpus snapshot diff: classify every document across two corpus
+    versions as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by content fingerprint — the incremental-refresh primitive (what a
+    crawl-over-crawl update or a dataset version audit starts from).
+
+    Both inputs must expose ``(id_col, fp_col)``; compute the
+    fingerprint upstream (e.g. ``md5`` of normalized text) so this
+    stays a pure id-keyed FULL OUTER join — one co-partitioned shuffle
+    on the id, no content movement, no skew (ids are unique per side).
+
+    Returns ``id_col, status, old_fp, new_fp``.
+    """
+    o = old.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(id_col).alias("__id"), F.col(fp_col).alias("new_fp"))
+    joined = o.join(n, "__id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.col("__id").alias(id_col), status.alias("status"), "old_fp", "new_fp"
+    )

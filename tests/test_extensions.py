@@ -966,3 +966,16 @@ def test_audit_constraints_counts_planted_violations(spark):
         "lineitem_nonpositive_qty": 1,    # -1.0
         "orders_null_totalprice": 1,      # order 2
     }
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    from ksql_query_tutorial_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, fp string"
+    )
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}

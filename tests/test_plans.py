@@ -347,3 +347,16 @@ def test_audit_referential_uses_anti_joins_not_cartesian(spark):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
     checks.assert_no_python(df)
+
+
+def test_corpus_diff_is_single_id_keyed_join(spark):
+    """Snapshot diff must be one id-keyed join (sort-merge or hash),
+    never nested-loop, with both snapshot filters pushed to the scan
+    and no Python stages."""
+    from ksql_query_tutorial_spark.extensions import corpus_diff
+
+    df = corpus_diff(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+    checks.assert_no_python(df)
