@@ -54,6 +54,12 @@ EXT_NAMES = [
     "events_props_stats",
     "events_retention",
     "embedding_cluster_assign",
+    "events_anomaly",
+    "embedding_label_centroids",
+    "text_entropy",
+    "events_salted_agg",
+    "audit_referential",
+    "corpus_diff",
 ]
 
 
