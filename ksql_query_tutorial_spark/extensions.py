@@ -1726,3 +1726,45 @@ EXTENSION_ORACLES["corpus_diff"] = """
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     ORDER BY doc_id
 """
+
+
+COOC_WINDOW = 3
+COOC_MIN_COUNT = 3
+
+
+def corpus_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence + PMI over the documents table (the
+    word2vec/GloVe count pipeline): forward-window token pairs, PMI vs
+    the unigram distribution, min-count pruned."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.cooccurrence_pmi(
+        d, window=COOC_WINDOW, min_count=COOC_MIN_COUNT
+    )
+
+
+EXTENSION_QUERIES["corpus_cooccurrence"] = corpus_cooccurrence
+
+EXTENSION_ORACLES["corpus_cooccurrence"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS w,
+                   generate_subscripts(toks, 1) AS i
+            FROM t),
+    pr AS (SELECT a.w AS w1, b.w AS w2
+           FROM pos a JOIN pos b
+             ON a.doc_id = b.doc_id
+            AND b.i > a.i AND b.i <= a.i + {COOC_WINDOW}),
+    pc AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY 1, 2),
+    uc AS (SELECT w, count(*) AS cu FROM pos GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM pr) AS tp,
+                   (SELECT count(*) FROM pos) AS tu)
+    SELECT pc.w1, pc.w2, pc.n_pair,
+           round(log2((CAST(pc.n_pair AS DOUBLE) / tot.tp)
+                      / ((CAST(u1.cu AS DOUBLE) / tot.tu)
+                         * (CAST(u2.cu AS DOUBLE) / tot.tu))), 6) AS pmi
+    FROM pc
+    JOIN uc u1 ON pc.w1 = u1.w
+    JOIN uc u2 ON pc.w2 = u2.w
+    CROSS JOIN tot
+    WHERE pc.n_pair >= {COOC_MIN_COUNT}
+    ORDER BY pc.w1, pc.w2
+"""

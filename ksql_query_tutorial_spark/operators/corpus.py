@@ -1313,3 +1313,73 @@ def snapshot_diff(
     return joined.select(
         F.col("__id").alias(id_col), status.alias("status"), "old_fp", "new_fp"
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    min_count: int = 3,
+) -> DataFrame:
+    """Word co-occurrence counts with pointwise mutual information —
+    the count pipeline under word2vec/GloVe-style embeddings and
+    collocation mining: ordered token pairs ``(w1 at i, w2 at j)``
+    with ``i < j <= i + window``, PMI against the corpus unigram
+    distribution.
+
+    Scale design: pair generation is a NARROW nested-``transform`` +
+    ``slice`` over each token array (JVM HOFs — never a positions
+    self-join, which re-shuffles the corpus and explodes the join
+    input); the only full-data exchanges are the (w1, w2) pair count
+    and the unigram count, both with map-side partials. The
+    ``min_count`` prune runs before the PMI joins so the joined
+    relation is the (much smaller) frequent-pair table, and the two
+    scalar totals ride in as a broadcast literal row.
+
+    PMI = log2( (c12/T_pairs) / ((c1/T_uni)·(c2/T_uni)) ), rounded 6.
+
+    Returns ``w1, w2, n_pair, pmi``.
+    """
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    toks = df.select(tokens(F.col(text_col)).alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "toks",
+                    lambda x, i: F.transform(
+                        # i is 0-based; slice() is 1-based, so the
+                        # forward window starts at element i+2
+                        F.slice("toks", i + 2, window),
+                        lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = pair_counts.agg(F.sum("n_pair").alias("tp")).crossJoin(
+        uni.agg(F.sum("cu").alias("tu"))
+    )
+    frequent = pair_counts.filter(F.col("n_pair") >= min_count)
+    return (
+        frequent.join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_pair",
+            F.round(
+                F.log2(
+                    (F.col("n_pair") / F.col("tp"))
+                    / ((F.col("c1") / F.col("tu")) * (F.col("c2") / F.col("tu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

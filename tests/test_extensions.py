@@ -979,3 +979,23 @@ def test_snapshot_diff_classifies_all_transitions(spark):
     )
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_cooccurrence_pmi_window_semantics(spark):
+    """Forward-window pairs only (i < j <= i+window), PMI arithmetic
+    pinned on a hand-computable corpus."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.corpus import cooccurrence_pmi
+
+    df = spark.createDataFrame([("x y x y",), ("x y",)], "text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           cooccurrence_pmi(df, window=1, min_count=2).collect()}
+    # pairs with window=1: doc1 -> (x,y),(y,x),(x,y); doc2 -> (x,y)
+    # frequent (>=2): (x,y) with 3
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r["n_pair"] == 3
+    # T_pairs=4, T_uni=6, c_x=3, c_y=3
+    want = math.log2((3 / 4) / ((3 / 6) * (3 / 6)))
+    assert abs(r["pmi"] - round(want, 6)) < 1e-9

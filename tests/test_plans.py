@@ -360,3 +360,28 @@ def test_corpus_diff_is_single_id_keyed_join(spark):
     assert "FullOuter" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
     checks.assert_no_python(df)
+
+
+def test_cooccurrence_pair_generation_is_narrow(spark):
+    """Pair generation must be the nested transform/slice explode —
+    never a positions self-join (no join may appear below the first
+    aggregate) and no Python stages."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import corpus_cooccurrence
+
+    df = corpus_cooccurrence(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_python(df)
+    assert "CartesianProduct" not in plan, plan
+    # the only joins are the two unigram-count equi-joins and the
+    # 1-row totals broadcast; a positions self-join would add a third
+    # equi-join keyed on doc_id (count tree nodes, not detail headers)
+    tree = plan.split("(1) Scan")[0]
+    equi = len(re.findall(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", tree))
+    assert equi <= 2, tree
+    assert "Generate" in tree, tree
+    # the totals row must reuse the pair/unigram aggregation exchanges,
+    # not recompute them (ReusedExchange materializes under AQE)
+    executed = checks.executed_plan(corpus_cooccurrence(spark, SF_ORACLE))
+    assert len(re.findall(r"ReusedExchange", executed)) >= 2, executed
