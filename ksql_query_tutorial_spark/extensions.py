@@ -1768,3 +1768,71 @@ EXTENSION_ORACLES["corpus_cooccurrence"] = f"""
     WHERE pc.n_pair >= {COOC_MIN_COUNT}
     ORDER BY pc.w1, pc.w2
 """
+
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing 3-event moving average + step delta: stacked
+    ordered windows on one user-keyed exchange."""
+    from ksql_query_tutorial_spark.operators import analytics
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return analytics.moving_stats(e)
+
+
+EXTENSION_QUERIES["events_moving_avg"] = events_moving_avg
+
+EXTENSION_ORACLES["events_moving_avg"] = """
+    SELECT user_id, ts, event_id, value,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                 6) AS moving_avg,
+           round(value - lag(value, 1) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id),
+                 6) AS delta
+    FROM events ORDER BY user_id, ts, event_id
+"""
+
+
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard: doc/source/lang counts, token volume,
+    and the exact-duplicate ratio — the audit header every dataset card
+    starts with."""
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id", "lang", "source",
+            F.length("text").alias("_chars"),
+            F.size(tokens(F.col("text"))).alias("_toks"),
+            F.md5("text").alias("_fp"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("_chars").alias("total_chars"),
+            F.sum("_toks").alias("total_tokens"),
+            F.round(F.avg("_toks"), 6).alias("avg_tokens"),
+            F.round(
+                1 - F.countDistinct("_fp") / F.count(F.lit(1)), 6
+            ).alias("exact_dup_ratio"),
+        )
+    )
+
+
+EXTENSION_QUERIES["corpus_summary"] = corpus_summary
+
+EXTENSION_ORACLES["corpus_summary"] = f"""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+           round(avg(len({_TOKS})), 6) AS avg_tokens,
+           round(1 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6)
+             AS exact_dup_ratio
+    FROM documents
+"""

@@ -179,3 +179,39 @@ def audit_constraints(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def moving_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    window_rows: int = 3,
+) -> DataFrame:
+    """Per-key ordered time-series smoothing: trailing moving average
+    over the last ``window_rows`` events and the step delta vs the
+    previous event (the lag/lead family the reference's ordered-window
+    tutorials gesture at, as a batch query).
+
+    All three window expressions share ONE ``partitionBy(user)
+    orderBy(ts, tiebreak)`` spec, so Catalyst plans a single Exchange +
+    Sort and stacks the windows — per-key state is ``window_rows``
+    values. The tiebreak column makes frames deterministic under equal
+    timestamps (retry/oracle-stable).
+
+    Returns ``user_col, ts, event_id, value, moving_avg, delta``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    wavg = w.rowsBetween(-(window_rows - 1), 0)
+    return df.select(
+        user_col, ts_col, order_tiebreak, value_col,
+        F.round(F.avg(value_col).over(wavg), 6).alias("moving_avg"),
+        F.round(
+            F.col(value_col) - F.lag(value_col, 1).over(w), 6
+        ).alias("delta"),
+    )

@@ -999,3 +999,27 @@ def test_cooccurrence_pmi_window_semantics(spark):
     # T_pairs=4, T_uni=6, c_x=3, c_y=3
     want = math.log2((3 / 4) / ((3 / 6) * (3 / 6)))
     assert abs(r["pmi"] - round(want, 6)) < 1e-9
+
+
+def test_moving_stats_trailing_window_and_delta(spark):
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import moving_stats
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0), 100, 10.0),
+        (1, datetime(2026, 1, 1, 1), 101, 20.0),
+        (1, datetime(2026, 1, 1, 2), 102, 60.0),
+        (1, datetime(2026, 1, 1, 3), 103, 40.0),
+        (2, datetime(2026, 1, 1, 0), 200, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r["event_id"]: r for r in moving_stats(df).collect()}
+    assert out[100]["moving_avg"] == 10.0 and out[100]["delta"] is None
+    assert out[101]["moving_avg"] == 15.0 and out[101]["delta"] == 10.0
+    assert out[102]["moving_avg"] == 30.0 and out[102]["delta"] == 40.0
+    # trailing 3: (20+60+40)/3
+    assert out[103]["moving_avg"] == 40.0 and out[103]["delta"] == -20.0
+    assert out[200]["moving_avg"] == 5.0 and out[200]["delta"] is None

@@ -385,3 +385,14 @@ def test_cooccurrence_pair_generation_is_narrow(spark):
     # not recompute them (ReusedExchange materializes under AQE)
     executed = checks.executed_plan(corpus_cooccurrence(spark, SF_ORACLE))
     assert len(re.findall(r"ReusedExchange", executed)) >= 2, executed
+
+
+def test_moving_avg_single_window_exchange(spark):
+    """All three window expressions share one partitionBy(user) spec:
+    exactly one exchange, one Window operator stack, no Python."""
+    from ksql_query_tutorial_spark.extensions import events_moving_avg
+
+    df = events_moving_avg(spark, SF_ORACLE)
+    plan = checks.formatted_plan(df)
+    checks.assert_no_python(df)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
