@@ -60,6 +60,9 @@ EXT_NAMES = [
     "events_salted_agg",
     "audit_referential",
     "corpus_diff",
+    "corpus_cooccurrence",
+    "events_moving_avg",
+    "corpus_summary",
 ]
 
 
