@@ -1836,3 +1836,92 @@ EXTENSION_ORACLES["corpus_summary"] = f"""
              AS exact_dup_ratio
     FROM documents
 """
+
+
+# ----------------------------------------------- session path mining
+
+PATH_GAP_MIN = 480   # fixture users emit events hours apart; 8 h gaps
+PATH_MAX_STEPS = 8   # yield a mix of 1-step and multi-step journeys
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path histogram: gap-sessionize each user's events and
+    count the distinct ordered event-type journeys (the funnel-
+    DISCOVERY analytic next to events_funnel's fixed-order check).
+    One full-data exchange; see analytics.session_paths."""
+    from ksql_query_tutorial_spark.operators.analytics import session_paths
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return session_paths(e, gap_minutes=PATH_GAP_MIN, max_steps=PATH_MAX_STEPS)
+
+
+EXTENSION_QUERIES["events_top_paths"] = events_top_paths
+
+EXTENSION_ORACLES["events_top_paths"] = f"""
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id)
+                               > CAST({PATH_GAP_MIN} AS BIGINT) * 60000000
+                           THEN 1 ELSE 0 END AS nw
+               FROM events),
+    s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o),
+    r AS (SELECT user_id, sess, event_type,
+                 row_number() OVER (PARTITION BY user_id, sess
+                                    ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id, sess) AS n_events
+          FROM s),
+    p AS (SELECT user_id, sess, max(n_events) AS n_events,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM r WHERE rn <= {PATH_MAX_STEPS}
+          GROUP BY user_id, sess)
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(avg(n_events), 6) AS avg_events
+    FROM p GROUP BY path ORDER BY path
+"""
+
+
+# ----------------------------------------------- Count-Min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+
+
+def corpus_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token frequencies — the bounded-state frequency
+    sketch completing the KMV/Bloom/CMS triad; estimates are exact
+    deterministic arithmetic over the portable hash, so the oracle
+    verifies the sketch's actual (one-sided) error, not a workaround.
+    See corpus.cms_token_counts."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.cms_token_counts(
+        d, depth=CMS_DEPTH, width=CMS_WIDTH, portable=True
+    )
+
+
+EXTENSION_QUERIES["corpus_cms_counts"] = corpus_cms_counts
+
+_CMS_H = _portable_hash_sql("tok")
+
+EXTENSION_ORACLES["corpus_cms_counts"] = f"""
+    WITH tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+                FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+                WHERE tok <> '' GROUP BY tok),
+    th AS (SELECT tok, exact_count, {_CMS_H} AS h FROM tc),
+    pos AS (SELECT tok, exact_count, i,
+                   ((h % 2147483647) * (2*i+1) + (i*i+1))
+                       % 2147483647 % {CMS_WIDTH} AS pos
+            FROM th, (SELECT unnest(range({CMS_DEPTH})) AS i)),
+    grid AS (SELECT i, pos, sum(exact_count) AS cell
+             FROM pos GROUP BY i, pos),
+    est AS (SELECT tok, max(exact_count) AS exact_count,
+                   min(cell) AS est_count
+            FROM pos JOIN grid USING (i, pos) GROUP BY tok)
+    SELECT tok, exact_count,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(est_count - exact_count AS BIGINT) AS overshoot
+    FROM est ORDER BY tok
+"""

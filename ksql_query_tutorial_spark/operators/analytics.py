@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -214,4 +214,78 @@ def moving_stats(
         F.round(
             F.col(value_col) - F.lag(value_col, 1).over(w), 6
         ).alias("delta"),
+    )
+
+
+def session_paths(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    max_steps: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Session path mining: gap-sessionize each user's event stream,
+    render each session's first ``max_steps`` event types as an ordered
+    path string, and aggregate the corpus-wide path histogram (the
+    "top user journeys" analytic behind funnel discovery).
+
+    Scale design: ONE full-data exchange. Sessionization is the classic
+    gaps-and-islands pair — a ``lag`` flag and a running ``sum`` — as
+    two stacked windows over the SAME ``partitionBy(user) orderBy(ts,
+    tiebreak)`` spec (single Exchange + Sort); the per-session gather
+    groups on ``(user, session)``, which hash-partitioning on ``user``
+    already clusters, so Catalyst inserts no second full exchange. The
+    path rollup's input is one row per session and its output is
+    |distinct paths| — both bounded far below the event count. Per-user
+    event counts bound every window buffer, and ``max_steps`` bounds
+    the path payload. The tiebreak column makes session boundaries and
+    step order deterministic under equal timestamps.
+
+    Returns ``path, n_sessions, n_users, avg_events`` (avg rounded to 6
+    for oracle-stable compare), one row per distinct path.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    # ts is TIMESTAMP_NTZ in the fixture; route through a tz-cast (the
+    # caller pins session tz = UTC) so unix_micros matches the oracle's
+    # epoch_us over the naive timestamp exactly — no sub-second loss.
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    new_sess = us - F.lag(us, 1).over(w) > gap
+    sessions = (
+        df.withColumn("_new", F.when(new_sess, 1).otherwise(0))
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(user_col, "_sess")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(tiebreak_col).alias("tb"),
+                        F.col(type_col).alias("et"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            user_col,
+            F.array_join(
+                F.transform(
+                    F.slice("evs", 1, max_steps), lambda s: s["et"]
+                ),
+                ">",
+            ).alias("path"),
+            F.size("evs").alias("n_events"),
+        )
+    )
+    return sessions.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct(user_col).alias("n_users"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
     )

@@ -1383,3 +1383,77 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def cms_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 8192,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-Min sketch token frequencies — the mergeable bounded-state
+    FREQUENCY sketch (Cormode & Muthukrishnan), completing the sketch
+    triad next to KMV (cardinality, :func:`kmv_distinct_estimate`) and
+    Bloom (membership, :func:`bloom_decontaminate`): ``depth × width``
+    counters answer "how often does token t appear?" with one-sided
+    error (estimate ≥ truth, overshoot ≤ εN w.h.p., ε = e/width)
+    regardless of corpus size.
+
+    Like the KMV op — and unlike ``count_min_sketch()``'s opaque binary
+    — every step is deterministic integer arithmetic over the portable
+    hash (positions reuse the Bloom row scheme), so an independent SQL
+    engine reproduces the ESTIMATES bit-for-bit: an oracle-verifiable
+    approximate sketch. ``exact_count`` rides along as the accuracy
+    diagnostic; ``overshoot = est - exact`` is provably ≥ 0 (the CMS
+    one-sided-error invariant, pinned by a unit test).
+
+    Plan shape: token counts first (ONE full-data exchange, map-side
+    partials collapse each task to its local vocabulary), then the
+    ``depth × width``-bounded grid rollup and a grid join — both over
+    vocabulary-sized inputs, never the raw token stream. At 100 TB the
+    grid IS the artifact a pipeline ships (16k longs here); the
+    per-token estimate join is the diagnostic read path.
+
+    Returns ``tok, exact_count, est_count, overshoot`` per distinct
+    token.
+    """
+    from ksql_query_tutorial_spark.operators.dedup import portable_token_hash
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    tok_counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    h = (
+        portable_token_hash(F.col("tok"))
+        if portable
+        else F.pmod(F.xxhash64("tok"), F.lit(1 << 62))
+    )
+    posed = tok_counts.withColumn(
+        "__pos",
+        F.array(*_bloom_positions(h, depth, width)),
+    ).select(
+        "tok",
+        "exact_count",
+        F.posexplode("__pos").alias("row", "pos"),
+    )
+    grid = posed.groupBy("row", "pos").agg(
+        F.sum("exact_count").alias("cell")
+    )
+    est = (
+        posed.join(F.broadcast(grid), ["row", "pos"])
+        .groupBy("tok")
+        .agg(
+            F.max("exact_count").alias("exact_count"),
+            F.min("cell").alias("est_count"),
+        )
+    )
+    return est.select(
+        "tok",
+        "exact_count",
+        "est_count",
+        (F.col("est_count") - F.col("exact_count")).alias("overshoot"),
+    )

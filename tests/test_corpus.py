@@ -495,3 +495,48 @@ def test_domain_cap_rejects_non_divisor_buckets(spark):
     d = load(spark, SF_SMOKE, "documents")
     with _pytest.raises(ValueError):
         corpus.domain_cap(d, cap=5, n_buckets=7)
+
+
+# ------------------------------------------------- Count-Min sketch
+
+def test_cms_one_sided_error_and_wide_exactness(spark):
+    """CMS invariants: estimate >= exact always (one-sided error), and
+    a wide-enough grid (no collisions possible) estimates exactly."""
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    out = corpus.cms_token_counts(d, depth=4, width=1 << 20).collect()
+    assert out, "fixture produced no tokens"
+    assert all(r["overshoot"] >= 0 for r in out)
+    # 2^20 cells for a few hundred distinct tokens: collisions in ALL
+    # 4 rows are practically impossible -> min over rows is exact.
+    assert all(r["est_count"] == r["exact_count"] for r in out)
+
+
+def test_cms_tiny_grid_still_one_sided(spark):
+    """Forcing collisions (width 8) must inflate estimates, never
+    deflate them — and totals per row stay the full token count."""
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    out = corpus.cms_token_counts(d, depth=4, width=8).collect()
+    assert all(r["overshoot"] >= 0 for r in out)
+    assert any(r["overshoot"] > 0 for r in out), "width 8 must collide"
+
+
+def test_cms_plan_bounded_and_jvm_only(spark):
+    """Grid build + estimate join stay JVM-side; the grid side of the
+    estimate join is broadcast (depth x width rows, never shuffled
+    against the vocabulary)."""
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+    )
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    df = corpus.cms_token_counts(d, depth=4, width=8192)
+    assert_no_python(df)
+    assert_partial_aggregation(df)
+    assert_broadcast_join(df)

@@ -1023,3 +1023,59 @@ def test_moving_stats_trailing_window_and_delta(spark):
     # trailing 3: (20+60+40)/3
     assert out[103]["moving_avg"] == 40.0 and out[103]["delta"] == -20.0
     assert out[200]["moving_avg"] == 5.0 and out[200]["delta"] is None
+
+
+def test_session_paths_gap_and_order(spark):
+    """Hand-built stream: 30-min gap splits sessions exactly at >gap,
+    path order follows (ts, event_id) with max_steps truncation."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import session_paths
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1, session A: view -> click (equal ts: event_id breaks tie)
+        (1, t0, 10, "view"),
+        (1, t0, 11, "click"),
+        # exactly gap later: NOT a new session (strict >)
+        (1, t0 + 30 * m, 12, "purchase"),
+        # gap + 1us later: new session B
+        (1, t0 + 60 * m + timedelta(microseconds=1) + timedelta(minutes=30), 13, "view"),
+        # user 2: single-event session
+        (2, t0, 20, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["path"]: r
+        for r in session_paths(df, gap_minutes=30, max_steps=2).collect()
+    }
+    # session A truncated to 2 steps by max_steps but n_events counts all 3
+    assert out["view>click"]["n_sessions"] == 1
+    assert out["view>click"]["avg_events"] == 3.0
+    assert out["view"]["n_sessions"] == 2  # user 1 session B + user 2
+    assert out["view"]["n_users"] == 2
+    assert set(out) == {"view>click", "view"}
+
+
+def test_session_paths_single_user_exchange(spark):
+    """Sessionize + per-session gather share ONE user-keyed exchange:
+    the (user, session) groupBy must reuse the window's partitioning
+    (hash on user_id appears exactly once); everything stays JVM-side."""
+    import re
+
+    from ksql_query_tutorial_spark.operators.analytics import session_paths
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        executed_plan,
+    )
+    from ksql_query_tutorial_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "events")
+    df = session_paths(e)
+    assert_no_python(df)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
