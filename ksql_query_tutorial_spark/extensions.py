@@ -1925,3 +1925,109 @@ EXTENSION_ORACLES["corpus_cms_counts"] = f"""
            CAST(est_count - exact_count AS BIGINT) AS overshoot
     FROM est ORDER BY tok
 """
+
+
+# ----------------------------------------------- containment dedup
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (|A∩B| / min(|A|,|B|)) —
+    the short-inside-long near-dup detector Jaccard under-scores
+    (quotes, mirrors, partial crawls). Same inverted-index plan as
+    dedup_ngram_jaccard; only the normalizer and the direction column
+    differ. See dedup.containment_pairs."""
+    from ksql_query_tutorial_spark.operators.dedup import containment_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", threshold=CONTAINMENT_THRESHOLD
+    )
+
+
+EXTENSION_QUERIES["dedup_containment"] = dedup_containment
+
+EXTENSION_ORACLES["dedup_containment"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM post a JOIN post b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 6)
+             AS containment,
+           CASE WHEN sa.n <= sb.n THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY id_a, id_b
+"""
+
+
+# ----------------------------------------------- z-order layout audit
+
+ZORDER_BITS = 16
+ZORDER_FILES = 64
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order file layout audit over orders (customer × order-day):
+    assign rows to Morton-interleaved file buckets and report each
+    file's min/max bounds on BOTH columns — the data-skipping layout
+    (OPTIMIZE ZORDER) expressed as its audit query. See
+    sources.files.zorder_file_stats."""
+    from ksql_query_tutorial_spark.sources.files import zorder_file_stats
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("long").alias("o_day"),
+    )
+    return zorder_file_stats(
+        o, "o_custkey", "o_day", bits=ZORDER_BITS, n_files=ZORDER_FILES
+    )
+
+
+EXTENSION_QUERIES["layout_zorder"] = layout_zorder
+
+
+def _zorder_sql(xi: str, yi: str, bits: int) -> str:
+    """DuckDB twin of files.zorder_key: identical shift/and/add terms."""
+    return " + ".join(
+        f"((({xi} >> {b}) & 1) << {2 * b + 1}) + ((({yi} >> {b}) & 1) << {2 * b})"
+        for b in range(bits)
+    )
+
+
+_Z_SCALE = (1 << ZORDER_BITS) - 1
+_Z_SHIFT = 2 * ZORDER_BITS - (ZORDER_FILES.bit_length() - 1)
+
+EXTENSION_ORACLES["layout_zorder"] = f"""
+    WITH src AS (SELECT o_custkey AS x,
+                        CAST(datediff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+                 FROM orders),
+    b AS (SELECT min(x) AS minx, max(x) AS maxx,
+                 min(y) AS miny, max(y) AS maxy FROM src),
+    s AS (SELECT x, y,
+                 CAST(floor(CAST((x - minx) * {_Z_SCALE} AS DOUBLE)
+                            / CAST(greatest(maxx - minx, 1) AS DOUBLE))
+                      AS BIGINT) AS xi,
+                 CAST(floor(CAST((y - miny) * {_Z_SCALE} AS DOUBLE)
+                            / CAST(greatest(maxy - miny, 1) AS DOUBLE))
+                      AS BIGINT) AS yi
+          FROM src, b),
+    z AS (SELECT x, y, ({_zorder_sql("xi", "yi", ZORDER_BITS)}) AS zv FROM s)
+    SELECT zv >> {_Z_SHIFT} AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY 1 ORDER BY 1
+"""

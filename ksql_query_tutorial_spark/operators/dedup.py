@@ -1026,3 +1026,73 @@ def embedding_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return verified.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs: ``|A∩B| /
+    min(|A|, |B|) ≥ threshold`` over distinct n-shingle sets.
+
+    Jaccard under-scores subset relationships — a paragraph quoted
+    whole inside a 100× longer page has Jaccard ≈ 0.01 but containment
+    ≈ 1.0 — so corpus pipelines dedup short-inside-long (quotes,
+    mirrors with boilerplate, partial crawls) on containment, not
+    Jaccard (Broder's original resemblance/containment split). Same
+    inverted-index shape as :func:`ngram_jaccard_pairs` — candidate
+    generation via the shingle self-join, one posting scan persisted,
+    sizes carried on the posting rows by an id-window that reuses the
+    posting's partitioning — only the normalizer differs: min-size
+    instead of union. Output rows add ``direction`` ("a_in_b" when the
+    smaller set is id_a's, "b_in_a" otherwise, ties → "a_in_b") so a
+    keeper policy can drop the contained side. Quadratic in cluster
+    size like every exact all-pairs op (the measured scale note on
+    :func:`ngram_jaccard_pairs` applies); ``max_posting`` is the same
+    skew relief valve, and the LSH family remains the sub-quadratic
+    path when symmetric similarity suffices.
+
+    Returns ``id_a, id_b (id_a < id_b), containment (rounded 6),
+    direction``.
+    """
+    post = shingle_hash_posting(df, id_col, text_col, n)
+    if max_posting is not None:
+        post = (
+            post.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+            .filter(F.col("__df") <= max_posting)
+            .drop("__df")
+        )
+    post = post.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    ).persist()
+
+    a, b = post.alias("a"), post.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .withColumn(
+            "direction",
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b")).otherwise(
+                F.lit("b_in_a")
+            ),
+        )
+        .select("id_a", "id_b", "containment", "direction")
+    )

@@ -1079,3 +1079,26 @@ def test_session_paths_single_user_exchange(spark):
     plan = executed_plan(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_containment_short_inside_long(spark):
+    """A quote fully contained in a much longer page: Jaccard is tiny
+    (below any useful threshold) but containment is 1.0 with the
+    direction pointing at the contained side."""
+    from ksql_query_tutorial_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = containment_pairs(df, "doc_id", threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"], r["direction"]) == (1, 2, "a_in_b")
+    assert r["containment"] == 1.0
+    # the symmetric op misses it at the same bar
+    assert ngram_jaccard_pairs(df, "doc_id", threshold=0.5).count() == 0
