@@ -2031,3 +2031,85 @@ EXTENSION_ORACLES["layout_zorder"] = f"""
            min(y) AS min_y, max(y) AS max_y
     FROM z GROUP BY 1 ORDER BY 1
 """
+
+
+# ----------------------------------------------- novelty / temperature mix / histogram
+
+MIX_ALPHA = 0.3
+
+
+def corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-occurrence shingle novelty (fresh-content ranking
+    signal). See corpus.novelty_scores."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.novelty_scores(d)
+
+
+EXTENSION_QUERIES["corpus_novelty"] = corpus_novelty
+
+EXTENSION_ORACLES["corpus_novelty"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    firsts AS (SELECT shingle, min(doc_id) AS fid FROM post GROUP BY 1),
+    per AS (SELECT p.doc_id, count(*) AS n_sh,
+                   sum(CASE WHEN f.fid = p.doc_id THEN 1 ELSE 0 END) AS nn
+            FROM post p JOIN firsts f USING (shingle) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.nn, 0) AS BIGINT) AS n_novel,
+           ROUND(CAST(COALESCE(per.nn, 0) AS DOUBLE)
+                 / greatest(COALESCE(per.n_sh, 0), 1), 6) AS novelty
+    FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha = 0.3) per-source sampling
+    probabilities derived from token shares — the mT5-style mixing
+    rule. See corpus.mix_temperature."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.mix_temperature(d, alpha=MIX_ALPHA)
+
+
+EXTENSION_QUERIES["corpus_mix_temperature"] = corpus_mix_temperature
+
+EXTENSION_ORACLES["corpus_mix_temperature"] = f"""
+    WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS t FROM per),
+    sc AS (SELECT source, n_docs, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / greatest((SELECT t FROM tot), 1)
+                    AS p_raw
+           FROM per),
+    w AS (SELECT *, pow(p_raw, {MIX_ALPHA}) AS pw FROM sc),
+    ws AS (SELECT sum(pw) AS s FROM w)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p_raw, 6) AS p_raw,
+           ROUND(pw / (SELECT s FROM ws), 6) AS p_temp,
+           ROUND((pw / (SELECT s FROM ws)) / p_raw, 6) AS boost
+    FROM w ORDER BY source
+"""
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — oracle-exact
+    numeric profiling (unlike quantile sketches). See
+    analytics.value_histogram."""
+    from ksql_query_tutorial_spark.operators.analytics import value_histogram
+
+    e = load(spark, sf_dir, "events")
+    return value_histogram(e, bin_width=5.0)
+
+
+EXTENSION_QUERIES["events_histogram"] = events_histogram
+
+EXTENSION_ORACLES["events_histogram"] = """
+    SELECT event_type AS group,
+           CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           ROUND(CAST(floor(value / 5.0) AS BIGINT) * 5.0, 6) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -289,3 +289,35 @@ def session_paths(
         F.countDistinct(user_col).alias("n_users"),
         F.round(F.avg("n_events"), 6).alias("avg_events"),
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: float = 5.0,
+) -> DataFrame:
+    """Fixed-width value histogram per group — the numeric profiling
+    rollup behind warehouse dashboards and data-quality monitors.
+
+    ``bin = floor(value / bin_width)`` is one IEEE double divide + floor
+    (identical in any engine, so the histogram is oracle-exact, unlike
+    quantile sketches). One grouped aggregate whose exchange carries
+    |groups × occupied bins| cells after map-side partials — bounded by
+    the value range, not the event count. NULL values land in a NULL
+    bin so the histogram still accounts for every row.
+
+    Returns ``group, bin, bin_lo, n, min_v, max_v`` per occupied bin.
+    """
+    bin_col = F.floor(F.col(value_col) / F.lit(float(bin_width)))
+    return (
+        df.withColumn("__bin", bin_col)
+        .groupBy(F.col(group_col).alias("group"), F.col("__bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * F.lit(float(bin_width)), 6))
+        .select("group", "bin", "bin_lo", "n", "min_v", "max_v")
+    )

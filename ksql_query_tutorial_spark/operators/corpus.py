@@ -1457,3 +1457,113 @@ def cms_token_counts(
         "est_count",
         (F.col("est_count") - F.col("exact_count")).alias("overshoot"),
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document shingle NOVELTY: the fraction of a doc's distinct
+    n-shingles whose corpus-wide first occurrence (min doc id) is this
+    doc — the diversity/contribution signal dedup-ordered pipelines
+    use to rank docs for keeping (a doc that only repeats earlier
+    content scores 0; fresh content scores 1).
+
+    Word-count-shaped: the distinct posting (id, h), a min-id aggregate
+    keyed on the shingle hash, a join back on that hash (reusing the
+    aggregate's partitioning — no extra exchange), and a doc-keyed
+    rollup. No all-pairs anything; every exchange carries posting-sized
+    rows with map-side partials.
+
+    Returns ``doc_id, n_shingles, n_novel, novelty`` for EVERY doc
+    (shingle-less docs score 0 over 0 shingles).
+    """
+    from ksql_query_tutorial_spark.operators.dedup import shingle_hash_posting
+
+    post = shingle_hash_posting(df, id_col, text_col, n).persist()
+    firsts = post.groupBy("h").agg(F.min("id").alias("first_id"))
+    per = (
+        post.join(firsts, "h")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_shingles", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def mix_temperature(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture weights: each source's sampling
+    probability is its token share raised to ``alpha`` and renormalized
+    (the mT5/XLM-R multilingual mixing rule — alpha < 1 upsamples small
+    sources, alpha = 1 is proportional, alpha = 0 uniform). The
+    EXPLICIT-weights planner is :func:`mix_budget`; this derives the
+    weights from the corpus itself.
+
+    One bounded per-source aggregate + a broadcast totals row; the
+    ``boost`` column (p_temp / p_raw) is the per-source up/down-sampling
+    factor a sampler applies.
+
+    Returns ``source, n_docs, n_tokens, p_raw, p_temp, boost``
+    ordered by source.
+    """
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__t"),
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("__t").alias("n_tokens"))
+    )
+    totals = per_source.groupBy().agg(
+        F.sum("n_tokens").alias("__tot"),
+    )
+    scaled = (
+        per_source.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "p_raw",
+            F.col("n_tokens").cast("double")
+            / F.greatest(F.col("__tot"), F.lit(1)).cast("double"),
+        )
+        .withColumn("__w", F.pow(F.col("p_raw"), F.lit(float(alpha))))
+    )
+    wsum = scaled.groupBy().agg(F.sum("__w").alias("__ws"))
+    return (
+        scaled.crossJoin(F.broadcast(wsum))
+        .withColumn("p_temp", F.col("__w") / F.col("__ws"))
+        .withColumn(
+            "boost",
+            F.round(F.col("p_temp") / F.col("p_raw"), 6),
+        )
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round("p_raw", 6).alias("p_raw"),
+            F.round("p_temp", 6).alias("p_temp"),
+            "boost",
+        )
+    )

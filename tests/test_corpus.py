@@ -540,3 +540,42 @@ def test_cms_plan_bounded_and_jvm_only(spark):
     assert_no_python(df)
     assert_partial_aggregation(df)
     assert_broadcast_join(df)
+
+
+# --------------------------------------------- novelty / temperature mix
+
+def test_novelty_first_occurrence_semantics(spark):
+    """doc 1 introduces everything (novelty 1), doc 2 repeats doc 1
+    verbatim (novelty 0), doc 3 is half old / half new, a short doc
+    has no shingles and scores 0/0."""
+    rows = [
+        (1, "a b c d e"),            # shingles: abc bcd cde (all novel)
+        (2, "a b c d e"),            # same set, first seen in doc 1
+        (3, "a b c x y z"),          # abc old; bcx cxy xyz novel
+        (4, "hi"),                   # < 3 tokens: no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus.novelty_scores(df).collect()}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_shingles"] == 3
+    assert out[2]["novelty"] == 0.0 and out[2]["n_shingles"] == 3
+    assert out[3]["n_shingles"] == 4 and out[3]["n_novel"] == 3
+    assert out[3]["novelty"] == 0.75
+    assert out[4]["n_shingles"] == 0 and out[4]["novelty"] == 0.0
+
+
+def test_mix_temperature_limits(spark):
+    """alpha=1 reproduces raw shares (boost 1); alpha=0 is uniform."""
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    prop = corpus.mix_temperature(d, alpha=1.0).collect()
+    assert all(abs(r["p_temp"] - r["p_raw"]) <= 1e-6 for r in prop)
+    assert all(abs(r["boost"] - 1.0) <= 1e-6 for r in prop)
+    uni = corpus.mix_temperature(d, alpha=0.0).collect()
+    n = len(uni)
+    assert all(abs(r["p_temp"] - 1.0 / n) <= 1e-6 for r in uni)
+    # alpha < 1 upsamples the smallest source, downsamples the largest
+    mid = corpus.mix_temperature(d, alpha=0.3).collect()
+    smallest = min(mid, key=lambda r: r["n_tokens"])
+    largest = max(mid, key=lambda r: r["n_tokens"])
+    assert smallest["boost"] > 1.0 > largest["boost"]

@@ -1102,3 +1102,18 @@ def test_containment_short_inside_long(spark):
     assert r["containment"] == 1.0
     # the symmetric op misses it at the same bar
     assert ngram_jaccard_pairs(df, "doc_id", threshold=0.5).count() == 0
+
+
+def test_value_histogram_bins_and_negatives(spark):
+    """floor-division binning: negatives land in the floor bin, bin_lo
+    is the inclusive lower edge, counts cover every row."""
+    from ksql_query_tutorial_spark.operators.analytics import value_histogram
+
+    rows = [("a", -0.1), ("a", 0.0), ("a", 4.99), ("a", 5.0), ("b", 12.5)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {(r["group"], r["bin"]): r for r in value_histogram(df).collect()}
+    assert out[("a", -1)]["n"] == 1 and out[("a", -1)]["bin_lo"] == -5.0
+    assert out[("a", 0)]["n"] == 2
+    assert out[("a", 1)]["n"] == 1 and out[("a", 1)]["min_v"] == 5.0
+    assert out[("b", 2)]["bin_lo"] == 10.0
+    assert sum(r["n"] for r in out.values()) == len(rows)
