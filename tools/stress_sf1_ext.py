@@ -63,6 +63,15 @@ EXT_NAMES = [
     "corpus_cooccurrence",
     "events_moving_avg",
     "corpus_summary",
+    # r5 final batch: session paths, CMS sketch, containment dedup,
+    # z-order layout audit, novelty, temperature mix, histograms.
+    "events_top_paths",
+    "corpus_cms_counts",
+    "dedup_containment",
+    "layout_zorder",
+    "corpus_novelty",
+    "corpus_mix_temperature",
+    "events_histogram",
 ]
 
 
