@@ -66,6 +66,14 @@ _GATE_PRIORITY = [
     "events_props_stats", "events_retention", "events_anomaly",
     "embedding_cluster_assign", "embedding_label_centroids",
     "text_entropy",
+    # NOT in the window (r6 rotation candidates, never driver-verified):
+    # events_salted_agg, audit_referential, corpus_diff,
+    # corpus_cooccurrence, events_moving_avg, corpus_summary,
+    # events_top_paths, corpus_cms_counts, dedup_containment,
+    # layout_zorder, corpus_novelty, corpus_mix_temperature,
+    # events_histogram — all hash-verified in-repo by tests/test_oracle.py
+    # every pytest run; the window's 20 non-tutorial slots are already
+    # maximally allocated to ops awaiting their FIRST driver round.
 ]
 
 
