@@ -2113,3 +2113,82 @@ EXTENSION_ORACLES["events_histogram"] = """
            min(value) AS min_v, max(value) AS max_v
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ----------------------------------------------- graph pagerank
+
+PR_ITERATIONS = 5
+PR_DAMPING = 85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the near-dup similarity graph (LSH
+    pairs — recall 1 at the oracle sf, so the exact-Jaccard-pairs
+    oracle applies, as with dedup_clusters_lsh). Integer micro-unit
+    arithmetic makes all 5 iterations bit-reproducible in the oracle —
+    an ITERATIVE algorithm under full value-hash verification. See
+    operators.graph.pagerank_fixed_point."""
+    from ksql_query_tutorial_spark.operators.graph import pagerank_fixed_point
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+    return pagerank_fixed_point(
+        pairs, iterations=PR_ITERATIONS, damping_pct=PR_DAMPING
+    )
+
+
+EXTENSION_QUERIES["graph_pagerank"] = graph_pagerank
+
+
+def _pagerank_oracle_sql(
+    iterations: int = PR_ITERATIONS,
+    damping: int = PR_DAMPING,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of graph.pagerank_fixed_point over exact-Jaccard
+    pairs: recursive CTEs cannot aggregate, so the fixed iteration
+    count is UNROLLED as chained CTEs with identical BIGINT
+    arithmetic (// == Spark's div on non-negative longs)."""
+    cte = [f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM post a JOIN post b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                         JOIN sizes sb ON id_b = sb.doc_id
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                    >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS c FROM deg),
+    pr0 AS (SELECT src, outdeg,
+                   {scale} // (SELECT c FROM nn) AS pr,
+                   ({100 - damping} * ({scale} // (SELECT c FROM nn))) // 100
+                     AS base
+            FROM deg)"""]
+    for it in range(1, iterations + 1):
+        cte.append(f"""
+    pr{it} AS (SELECT n.src, n.outdeg, n.base,
+                      n.base + ({damping} * COALESCE(s.inc, 0)) // 100 AS pr
+               FROM pr0 n LEFT JOIN
+                    (SELECT e.dst, sum(p.pr // p.outdeg) AS inc
+                     FROM edges e JOIN pr{it - 1} p ON e.src = p.src
+                     GROUP BY 1) s
+                 ON n.src = s.dst)""")
+    return (
+        "WITH " + ",".join(cte) + f"""
+    SELECT src AS id, pr,
+           ROUND(CAST(pr AS DOUBLE) / {float(scale)}, 6) AS pr_norm
+    FROM pr{iterations} ORDER BY id
+    """
+    )
+
+
+EXTENSION_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()

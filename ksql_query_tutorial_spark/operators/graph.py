@@ -1,0 +1,110 @@
+"""Iterative graph analytics over derived document graphs.
+
+The second iterative operator family next to the connected-components
+dedup (``dedup.duplicate_clusters``): PageRank-style influence scoring
+over the near-dup similarity graph — "which documents sit at the
+center of a duplication neighborhood" is the ranking signal pipelines
+use to pick canonical representatives and to spot template farms.
+
+Determinism design (what makes an ITERATIVE float algorithm
+oracle-able): ranks are integer FIXED-POINT micro-units (``scale`` =
+10^12), so every per-iteration step — integer division by out-degree,
+long-sum of contributions, damping as ``(d·x) // 100`` — is exact,
+order-independent (long addition commutes; double summation does not),
+and bit-reproducible in any BIGINT SQL engine via the same unrolled
+arithmetic. Mass leaked by the floor divisions is ≤ outdeg·1 micro-unit
+per node per round — bounded rounding, identical in both engines.
+
+Scale design: per iteration ONE join (ranks → edges on src, both sides
+hash-partitioned on the same key, so the partitioning is planned once
+and reused) and ONE dst-keyed aggregate with map-side partial sums.
+Edge/degree tables are checkpointed eagerly ONCE (they are referenced
+every round; a lazy plan would recompute the pair-generation subtree
+per iteration); each iteration's result is a LAZY local checkpoint —
+lineage stays O(1) deep and the single final action materializes the
+chain. Fixed iteration count: no convergence action per round (a
+diameter-bounded graph converges in few rounds; callers needing exact
+convergence can compare successive frames the way the CC operator
+does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank_fixed_point(
+    pairs: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Fixed-point PageRank over the UNDIRECTED graph given as
+    ``id_a``/``id_b`` pairs (symmetrized internally; every node then
+    has out-degree ≥ 1, so there are no dangling-mass corrections).
+
+    ``pr_0 = scale // n``;
+    ``pr_{t+1} = ((100-d)·(scale // n)) // 100
+                 + (d · Σ_in pr_t // outdeg) // 100``.
+
+    All arithmetic is BIGINT: Spark's ``div`` and DuckDB's ``//`` agree
+    on non-negative operands, long sums are order-independent, and the
+    total mass stays ≤ ``scale`` ≪ 2^63 — no overflow, ANSI-safe.
+
+    Returns ``id, pr`` (micro-units) and ``pr_norm = pr / scale``
+    rounded to 6 (exact: pr < 2^53 and the divisor is a power of ten).
+    """
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+    n = deg.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    # nodes ⋈ broadcast(n): init + the constant teleport base per node
+    nodes = deg.crossJoin(F.broadcast(n)).select(
+        "src",
+        "outdeg",
+        F.expr(f"{scale} div __n").alias("pr"),
+        F.expr(
+            f"({100 - damping_pct} * ({scale} div __n)) div 100"
+        ).alias("base"),
+    ).localCheckpoint()
+
+    ranks = nodes
+    for _ in range(iterations):
+        contribs = (
+            edges.join(
+                ranks.select("src", F.expr("pr div outdeg").alias("c")), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inc"))
+        )
+        ranks = (
+            nodes.select("src", "outdeg", "base")
+            .join(contribs, nodes.src == contribs.dst, "left")
+            .select(
+                "src",
+                "outdeg",
+                "base",
+                (
+                    F.col("base")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(inc, 0L)) div 100"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        F.col("src").alias("id"),
+        "pr",
+        F.round(F.col("pr").cast("double") / F.lit(float(scale)), 6).alias(
+            "pr_norm"
+        ),
+    )

@@ -1117,3 +1117,56 @@ def test_value_histogram_bins_and_negatives(spark):
     assert out[("a", 1)]["n"] == 1 and out[("a", 1)]["min_v"] == 5.0
     assert out[("b", 2)]["bin_lo"] == 10.0
     assert sum(r["n"] for r in out.values()) == len(rows)
+
+
+def test_pagerank_matches_python_fixed_point_reference(spark):
+    """Tiny star + path graph: the Spark ranks must equal a driver-side
+    reimplementation of the SAME integer micro-unit recurrence, and the
+    hub must outrank the leaves."""
+    from ksql_query_tutorial_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star 1-{2,3,4} plus a tail 4-5
+    pair_rows = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    got = {r["id"]: r for r in pagerank_fixed_point(pairs, iterations=5).collect()}
+
+    edges: dict[int, list[int]] = {}
+    for a, b in pair_rows:
+        edges.setdefault(a, []).append(b)
+        edges.setdefault(b, []).append(a)
+    n = len(edges)
+    pr = {v: PR_SCALE // n for v in edges}
+    base = (15 * (PR_SCALE // n)) // 100
+    for _ in range(5):
+        inc = {v: 0 for v in edges}
+        for v, nbrs in edges.items():
+            c = pr[v] // len(nbrs)
+            for u in nbrs:
+                inc[u] += c
+        pr = {v: base + (85 * inc[v]) // 100 for v in edges}
+    assert {v: got[v]["pr"] for v in edges} == pr
+    assert got[1]["pr"] > got[2]["pr"]          # hub beats leaf
+    assert got[2]["pr"] == got[3]["pr"]         # symmetric leaves tie
+    # bounded leak: total mass within n·iters micro-units of scale
+    assert PR_SCALE - sum(pr.values()) < n * 5 * 100
+
+
+def test_pagerank_single_iteration_join_and_agg_only(spark):
+    """Each iteration is one src-keyed join + one dst-keyed aggregate —
+    no Python stages, no cartesian products in the final plan."""
+    from ksql_query_tutorial_spark.operators.graph import pagerank_fixed_point
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        executed_plan,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "id_a long, id_b long"
+    )
+    df = pagerank_fixed_point(pairs, iterations=2)
+    assert_no_python(df)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan

@@ -432,3 +432,64 @@ def test_dedup_stream_within_watermark(spark):
     )
     got = {(r.content_hash, r.doc_id) for _, r in q.emissions}
     assert got == {("h1", 1), ("h2", 3)}, got
+
+
+# ------------------------------------- streaming Bloom decontamination
+
+def test_decontaminate_stream_matches_batch_and_plants(spark):
+    """Stateless streaming Bloom filter: docs streamed one per
+    micro-batch against a pre-built filter must (a) flag the planted
+    verbatim benchmark copy, (b) pass the clean doc, and (c) agree
+    EXACTLY with the batch bloom_decontaminate on the same data."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.operators.corpus import bloom_decontaminate
+    from ksql_query_tutorial_spark.streaming.filters import (
+        bloom_bool_filter,
+        decontaminate_stream,
+    )
+
+    bench_rows = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "pack my box with five dozen liquor jugs right now"),
+    ]
+    train_rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog today"},
+        {"doc_id": 2, "text": "completely unrelated clean training content here ok"},
+        {"doc_id": 3, "text": "pack my box with five dozen liquor jugs right now"},
+        {"doc_id": 4, "text": "hi"},   # shingle-less
+    ]
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    filt = bloom_bool_filter(bench, m_bits=1 << 16).localCheckpoint()
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    q = R.replay(
+        spark, train_rows, schema,
+        lambda s: decontaminate_stream(s, filt, m_bits=1 << 16),
+        name="bloomstream", output_mode="append",
+    )
+    got = {r.doc_id: r for _, r in q.emissions} if hasattr(q, "emissions") else {}
+    if not got:
+        got = {r.doc_id: r for r in spark.table("bloomstream").collect()}
+    assert got[1].contaminated and got[3].contaminated
+    assert not got[2].contaminated and not got[4].contaminated
+    assert got[4].n_shingles == 0 and got[4].n_flagged == 0
+
+    train = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in train_rows], "doc_id long, text string"
+    )
+    batch = {
+        r.doc_id: r
+        for r in bloom_decontaminate(
+            train, bench, m_bits=1 << 16, portable=False
+        ).collect()
+    }
+    for i in got:
+        assert (got[i].n_shingles, got[i].n_flagged, got[i].flag_frac,
+                got[i].contaminated) == (
+            batch[i].n_shingles, batch[i].n_flagged, batch[i].flag_frac,
+            batch[i].contaminated,
+        ), i
