@@ -72,6 +72,7 @@ EXT_NAMES = [
     "corpus_novelty",
     "corpus_mix_temperature",
     "events_histogram",
+    "graph_pagerank",
 ]
 
 
