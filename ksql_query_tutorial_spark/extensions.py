@@ -2192,3 +2192,38 @@ def _pagerank_oracle_sql(
 
 
 EXTENSION_ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+
+
+# ----------------------------------------------- embedding covariance
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer covariance statistics over the embedding column —
+    the whitening/PCA fit artifact as order-independent int64 sums
+    (one Arrow-batched integer Gram matmul per batch, one bounded
+    exchange). See similarity.covariance_stats."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.covariance_stats(e)
+
+
+EXTENSION_QUERIES["embedding_covariance"] = embedding_covariance
+
+EXTENSION_ORACLES["embedding_covariance"] = """
+    WITH q AS (SELECT vec_id,
+                      generate_subscripts(embedding, 1) - 1 AS i,
+                      CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[]))
+                                      AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                        AS qi
+               FROM embeddings),
+    cell AS (SELECT a.i AS i, b.i AS j,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(a.qi) AS BIGINT) AS s_i,
+                    CAST(sum(b.qi) AS BIGINT) AS s_j,
+                    CAST(sum(a.qi * b.qi) AS BIGINT) AS s_qq
+             FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+             GROUP BY 1, 2)
+    SELECT i, j, n, s_i, s_j, s_qq,
+           ROUND(CAST(s_qq AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s_i AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cov
+    FROM cell ORDER BY i, j
+"""

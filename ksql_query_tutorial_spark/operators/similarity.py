@@ -756,3 +756,82 @@ def label_centroids(
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
+
+
+COV_SCALE = 10**6
+
+
+def covariance_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = COV_SCALE,
+) -> DataFrame:
+    """Exact embedding covariance statistics — the "fit" artifact for
+    whitening/PCA over an embedding column, computed at corpus scale
+    without a single float summation.
+
+    Determinism design (same move as graph.pagerank_fixed_point):
+    vectors are quantized to integer micro-units with the portable
+    ``floor(x·scale + 0.5)`` round (the :func:`quantize_embeddings`
+    convention), and every accumulated quantity — Σqᵢ, Σqᵢqⱼ, n — is
+    an INT64 sum, which is exact and order-independent where float
+    matmul partials are not. An independent SQL engine reproduces all
+    of them bit-for-bit; the derived covariance (micro-unit², rounded
+    6) is one fixed-shape double expression on top.
+
+    Plan shape: Arrow-batched ``mapInPandas`` computes each batch's
+    integer Gram partial ``QᵀQ`` with ONE numpy int64 matmul and emits
+    only the d(d+1)/2 upper-triangle cells (plus the per-dim sums and
+    count riding on each cell), so the single exchange carries
+    ``tasks × 2080`` cells for d = 64 — corpus-size-independent — and
+    one bounded groupBy finishes. No joins, no posting self-join, no
+    per-element HOFs. Overflow bound: |q| ≤ scale·max|x|, so Σqᵢqⱼ <
+    n·(scale·max|x|)² must stay < 2^63 — at scale 10^6 that is ~10^6
+    unit-norm vectors per JOB; larger corpora drop scale to 10^4-10^5
+    (variance resolution still ≫ float32 noise) or add an intermediate
+    modular-partial merge.
+
+    Returns ``i, j (i ≤ j), n, s_i, s_j, s_qq, cov`` where
+    ``cov = s_qq/n − (s_i/n)(s_j/n)`` in micro-units².
+    """
+    def gram(batches):
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            q = np.floor(vecs * scale + 0.5).astype(np.int64)
+            n, d = q.shape
+            s = q.T @ q
+            sums = q.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "n_part": np.full(len(iu), n, dtype=np.int64),
+                    "si_part": sums[iu],
+                    "sj_part": sums[ju],
+                    "sqq_part": s[iu, ju],
+                }
+            )
+
+    cells = df.select(vec_col).mapInPandas(
+        gram,
+        schema="i int, j int, n_part long, si_part long, sj_part long, sqq_part long",
+    )
+    agg = cells.groupBy("i", "j").agg(
+        F.sum("n_part").alias("n"),
+        F.sum("si_part").alias("s_i"),
+        F.sum("sj_part").alias("s_j"),
+        F.sum("sqq_part").alias("s_qq"),
+    )
+    nn = F.col("n").cast("double")
+    return agg.select(
+        "i", "j", "n", "s_i", "s_j", "s_qq",
+        F.round(
+            F.col("s_qq").cast("double") / nn
+            - (F.col("s_i").cast("double") / nn)
+            * (F.col("s_j").cast("double") / nn),
+            6,
+        ).alias("cov"),
+    )

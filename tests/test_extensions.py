@@ -1170,3 +1170,37 @@ def test_pagerank_single_iteration_join_and_agg_only(spark):
     assert_no_python(df)
     plan = executed_plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
+
+
+def test_covariance_stats_known_values(spark):
+    """Hand-built 2-dim embeddings: exact integer sums and the known
+    covariance matrix (dim0 variance 0.25, dim1 = -dim0 so cov = -var,
+    in micro-unit^2)."""
+    from ksql_query_tutorial_spark.operators.similarity import covariance_stats
+
+    rows = [(1, [0.5, -0.5]), (2, [-0.5, 0.5]), (3, [0.5, -0.5]), (4, [-0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["i"], r["j"]): r for r in covariance_stats(df).collect()}
+    s = 10**6
+    var = 0.25 * s * s
+    assert out[(0, 0)]["n"] == 4 and out[(0, 0)]["s_i"] == 0
+    assert out[(0, 0)]["cov"] == var          # Var(dim0) = 0.25
+    assert out[(1, 1)]["cov"] == var
+    assert out[(0, 1)]["cov"] == -var         # perfectly anti-correlated
+    assert out[(0, 0)]["s_qq"] == 4 * (s // 2) ** 2
+    # diagonal variance is never negative
+    assert all(r["cov"] >= 0 for (i, j), r in out.items() if i == j)
+
+
+def test_covariance_single_bounded_exchange(spark):
+    """The only exchange carries the (i, j)-cell partials — grid-bounded
+    regardless of corpus size; the Gram matmul stage is Arrow Python."""
+    from ksql_query_tutorial_spark.operators.similarity import covariance_stats
+    from ksql_query_tutorial_spark.plans.checks import executed_plan
+    from ksql_query_tutorial_spark.tables import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    df = covariance_stats(e)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert df.count() == 64 * 65 // 2
