@@ -73,6 +73,7 @@ EXT_NAMES = [
     "corpus_mix_temperature",
     "events_histogram",
     "graph_pagerank",
+    "embedding_covariance",
 ]
 
 
