@@ -2227,3 +2227,35 @@ EXTENSION_ORACLES["embedding_covariance"] = """
                  * (CAST(s_j AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cov
     FROM cell ORDER BY i, j
 """
+
+
+# ----------------------------------------------- embedding outliers
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-label-centroid outlier flags over the embedding
+    table — the labeled-embedding pruning filter. See
+    similarity.label_outliers."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.label_outliers(e)
+
+
+EXTENSION_QUERIES["embedding_outliers"] = embedding_outliers
+
+EXTENSION_ORACLES["embedding_outliers"] = """
+    WITH x AS (SELECT vec_id, label,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS v
+               FROM embeddings),
+    c AS (SELECT label, dim, avg(v) AS c FROM x GROUP BY 1, 2),
+    d AS (SELECT vec_id, x.label,
+                 sqrt(sum((v - c.c) * (v - c.c))) AS dist
+          FROM x JOIN c ON x.label = c.label AND x.dim = c.dim
+          GROUP BY 1, 2),
+    s AS (SELECT label, avg(dist) AS m, stddev_samp(dist) AS sd
+          FROM d GROUP BY 1)
+    SELECT vec_id, d.label,
+           ROUND(dist, 6) AS dist,
+           ROUND((dist - s.m) / s.sd, 6) AS z,
+           COALESCE(abs((dist - s.m) / s.sd) > 2.0, FALSE) AS is_outlier
+    FROM d JOIN s ON d.label = s.label ORDER BY vec_id
+"""

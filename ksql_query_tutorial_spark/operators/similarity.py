@@ -835,3 +835,60 @@ def covariance_stats(
             6,
         ).alias("cov"),
     )
+
+
+def label_outliers(
+    corpus: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding outlier flags: each vector's Euclidean distance to its
+    label's centroid, z-scored against that label's own distance
+    distribution — the "mislabeled / noisy embedding" pruning filter a
+    training pipeline runs before fitting on labeled vectors (the
+    vector-space twin of :func:`~ksql_query_tutorial_spark.operators.
+    analytics.hourly_anomaly`).
+
+    Plan shape: the centroid table is the :func:`label_centroids`
+    aggregate (|labels × d| cells, broadcast), distances come from one
+    (label, dim)-joined fold collapsing back to one row per vector
+    (the only corpus-sized exchange), and the per-label mean/stddev of
+    distances is |labels| rows broadcast again. A single-vector label
+    has NULL stddev and flags false, never NULL.
+
+    Returns ``vec_id, label, dist, z, is_outlier``.
+    """
+    exploded = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim", "x"),
+    )
+    centroids = exploded.groupBy("label", "dim").agg(
+        F.avg("x").alias("c")
+    )
+    dists = (
+        exploded.join(F.broadcast(centroids), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))))
+            .alias("dist")
+        )
+    )
+    stats = dists.groupBy("label").agg(
+        F.avg("dist").alias("_mean"), F.stddev_samp("dist").alias("_std")
+    )
+    z = (F.col("dist") - F.col("_mean")) / F.col("_std")
+    return (
+        dists.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+            F.coalesce(F.abs(z) > F.lit(z_threshold), F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )

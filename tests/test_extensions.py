@@ -1204,3 +1204,22 @@ def test_covariance_single_bounded_exchange(spark):
     plan = executed_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert df.count() == 64 * 65 // 2
+
+
+def test_label_outliers_flags_planted_outlier(spark):
+    """A tight cluster plus one far vector (same label): only the far
+    vector flags; a single-vector label has NULL stddev and flags
+    false, never NULL."""
+    from ksql_query_tutorial_spark.operators.similarity import label_outliers
+
+    tight = [[1.0, 0.0], [0.99, 0.01], [1.01, -0.01], [1.0, 0.01],
+             [0.98, 0.0], [1.02, 0.0]]
+    rows = [(i, 0, v) for i, v in enumerate(tight)]
+    rows.append((99, 0, [-5.0, 5.0]))      # planted outlier
+    rows.append((100, 1, [0.5, 0.5]))      # lone label
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    out = {r["vec_id"]: r for r in label_outliers(df).collect()}
+    assert out[99]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in range(len(tight)))
+    assert out[100]["is_outlier"] is False and out[100]["z"] is None
+    assert out[100]["dist"] == 0.0         # lone vector IS its centroid
