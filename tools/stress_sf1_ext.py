@@ -74,6 +74,7 @@ EXT_NAMES = [
     "events_histogram",
     "graph_pagerank",
     "embedding_covariance",
+    "embedding_outliers",
 ]
 
 
