@@ -273,3 +273,80 @@ def test_lm_score_counts_match_python_reference(spark, texts):
         bs = bigrams(t)
         want = (len(bs), sum(cnt[b] for b in bs), min((cnt[b] for b in bs), default=None))
         assert got[i] == want, (i, t, got[i], want)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),        # user
+        st.integers(min_value=0, max_value=5000),     # ts seconds
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1, max_size=20,
+))
+def test_session_paths_matches_python_reference(spark, events):
+    """For ANY event stream, gap sessionization + path histogram equals
+    a driver-side reference with the same (ts, event_id) ordering and
+    strict-> gap rule."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import session_paths
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (u, t0 + timedelta(seconds=s), i, et)
+        for i, (u, s, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        r["path"]: (r["n_sessions"], r["n_users"])
+        for r in session_paths(df, gap_minutes=10, max_steps=3).collect()
+    }
+
+    gap = 10 * 60
+    sessions: list[tuple[int, list[str]]] = []
+    by_user: dict[int, list] = {}
+    for u, ts, eid, et in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user.setdefault(u, []).append((ts, eid, et))
+    for u, evs in by_user.items():
+        cur: list[str] = []
+        prev = None
+        for ts, eid, et in evs:
+            if prev is not None and (ts - prev).total_seconds() > gap:
+                sessions.append((u, cur))
+                cur = []
+            cur.append(et)
+            prev = ts
+        sessions.append((u, cur))
+    want: dict[str, list[int]] = {}
+    for u, evs in sessions:
+        p = ">".join(evs[:3])
+        want.setdefault(p, []).append(u)
+    want_hist = {
+        p: (len(us), len(set(us))) for p, us in want.items()
+    }
+    assert got == want_hist
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=1, max_size=15,
+))
+def test_cms_overshoot_nonnegative_on_random_docs(spark, texts):
+    """CMS one-sided error holds for ANY corpus, even at a tiny width
+    where everything collides; totals equal the exact token count."""
+    from ksql_query_tutorial_spark.operators.corpus import cms_token_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = cms_token_counts(df, depth=3, width=4).collect()
+    assert all(r["overshoot"] >= 0 for r in out)
+    toks = [w for t in texts for w in t.lower().strip().split() if w]
+    # exact counts across rows must reconstruct the corpus token count
+    assert sum(r["exact_count"] for r in out) == len(toks)
