@@ -2259,3 +2259,95 @@ EXTENSION_ORACLES["embedding_outliers"] = """
            COALESCE(abs((dist - s.m) / s.sd) > 2.0, FALSE) AS is_outlier
     FROM d JOIN s ON d.label = s.label ORDER BY vec_id
 """
+
+
+# ----------------------------------------------- retail feature ops
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation over orders — boundary-comparison
+    scoring (percentile == quantile_cont parity), never an ntile
+    global sort. See retail.rfm_segments."""
+    from ksql_query_tutorial_spark.operators.retail import rfm_segments
+
+    o = load(spark, sf_dir, "orders")
+    return rfm_segments(o)
+
+
+EXTENSION_QUERIES["customer_rfm"] = customer_rfm
+
+EXTENSION_ORACLES["customer_rfm"] = """
+    WITH per AS (SELECT o_custkey AS custkey,
+                        max(CAST(o_orderdate AS DATE)) AS last_order,
+                        CAST(count(*) AS BIGINT) AS n_orders,
+                        ROUND(sum(o_totalprice), 6) AS total_spend
+                 FROM orders GROUP BY 1),
+    hz AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+    wr AS (SELECT custkey,
+                  CAST(datediff('day', last_order, (SELECT maxd FROM hz))
+                       AS BIGINT) AS recency_days,
+                  n_orders, total_spend
+           FROM per),
+    b AS (SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                 quantile_cont(n_orders, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                 quantile_cont(total_spend, [0.2, 0.4, 0.6, 0.8]) AS mb
+          FROM wr),
+    sc AS (SELECT custkey, recency_days, n_orders, total_spend,
+                  CAST(6 - (1 + CASE WHEN recency_days > rb[1] THEN 1 ELSE 0 END
+                              + CASE WHEN recency_days > rb[2] THEN 1 ELSE 0 END
+                              + CASE WHEN recency_days > rb[3] THEN 1 ELSE 0 END
+                              + CASE WHEN recency_days > rb[4] THEN 1 ELSE 0 END)
+                       AS INT) AS r_score,
+                  CAST(1 + CASE WHEN n_orders > fb[1] THEN 1 ELSE 0 END
+                         + CASE WHEN n_orders > fb[2] THEN 1 ELSE 0 END
+                         + CASE WHEN n_orders > fb[3] THEN 1 ELSE 0 END
+                         + CASE WHEN n_orders > fb[4] THEN 1 ELSE 0 END
+                       AS INT) AS f_score,
+                  CAST(1 + CASE WHEN total_spend > mb[1] THEN 1 ELSE 0 END
+                         + CASE WHEN total_spend > mb[2] THEN 1 ELSE 0 END
+                         + CASE WHEN total_spend > mb[3] THEN 1 ELSE 0 END
+                         + CASE WHEN total_spend > mb[4] THEN 1 ELSE 0 END
+                       AS INT) AS m_score
+           FROM wr, b)
+    SELECT custkey, recency_days, n_orders, total_spend,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM sc ORDER BY custkey
+"""
+
+
+BASKET_MIN_PAIRS = 2
+
+
+def orders_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase lift over lineitem baskets — the
+    retail twin of corpus_cooccurrence. See retail.basket_pairs."""
+    from ksql_query_tutorial_spark.operators.retail import basket_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    return basket_pairs(li, min_pair_count=BASKET_MIN_PAIRS)
+
+
+EXTENSION_QUERIES["orders_basket"] = orders_basket
+
+EXTENSION_ORACLES["orders_basket"] = f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+                    FROM lineitem),
+    n AS (SELECT count(DISTINCT oid) AS c FROM basket),
+    ic AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+           FROM basket GROUP BY 1),
+    p AS (SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_orders_pair
+          FROM basket a JOIN basket b
+            ON a.oid = b.oid AND a.item < b.item
+          GROUP BY 1, 2
+          HAVING count(*) >= {BASKET_MIN_PAIRS})
+    SELECT item_a, item_b, n_orders_pair,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           ROUND(CAST(n_orders_pair AS DOUBLE) * (SELECT c FROM n)
+                 / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)), 6)
+             AS lift
+    FROM p JOIN ic ia ON item_a = ia.item
+           JOIN ic ib ON item_b = ib.item
+    ORDER BY item_a, item_b
+"""

@@ -1,0 +1,156 @@
+"""Warehouse feature-engineering over the order tables: RFM customer
+segmentation and market-basket co-purchase lift.
+
+Both are the classic "derive training features from the fact tables"
+ops a commerce pipeline feeds to downstream models — the relational
+twins of the corpus ops (RFM ↔ quality scoring, basket lift ↔
+co-occurrence PMI).
+
+Scale design:
+- ``rfm_segments``: ONE full-data exchange (the per-customer rollup);
+  the date horizon and the three quintile-boundary rows are tiny
+  aggregates broadcast back over the customer table. Quintile scores
+  come from comparisons against interpolated ``percentile`` boundaries
+  (Spark ``percentile`` == DuckDB ``quantile_cont``, the q26 parity),
+  NOT from an ``ntile`` window — ntile global-sorts the whole customer
+  table through one task; boundary comparison is embarrassingly
+  parallel and gives identical buckets up to boundary ties.
+- ``basket_pairs``: the self-join is keyed on the order id, so both
+  sides share one exchange (ReusedExchange on the same scan) and pair
+  fan-out is bounded by items-per-order² — never corpus-quadratic.
+  Per-item counts are a bounded aggregate broadcast for the lift
+  denominator. ``min_pair_count`` prunes the long tail before the
+  join with the counts table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Recency / Frequency / Monetary quintile scores per customer.
+
+    Recency is days from the customer's last order to the corpus-wide
+    latest order date; frequency is the order count; monetary the
+    total spend. Each metric is scored 1-5 by comparison against its
+    own interpolated quintile boundaries (score = 1 + #boundaries
+    strictly below the value; recency scores 5 for the most RECENT
+    customers). ``segment`` concatenates r, f, m — "555" is the best
+    customer.
+
+    Returns ``custkey, recency_days, n_orders, total_spend (rounded
+    6), r_score, f_score, m_score, segment``.
+    """
+    per_cust = (
+        orders.groupBy(F.col(cust_col).alias("custkey"))
+        .agg(
+            F.max(F.col(date_col).cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(amount_col), 6).alias("total_spend"),
+        )
+    )
+    horizon = orders.agg(
+        F.max(F.col(date_col).cast("date")).alias("__maxd")
+    )
+    with_rec = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "custkey",
+        F.datediff(F.col("__maxd"), F.col("last_order")).cast("long").alias(
+            "recency_days"
+        ),
+        "n_orders",
+        "total_spend",
+    )
+
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    bounds = with_rec.agg(
+        F.expr(f"percentile(recency_days, {qs})").alias("rb"),
+        F.expr(f"percentile(n_orders, {qs})").alias("fb"),
+        F.expr(f"percentile(total_spend, {qs})").alias("mb"),
+    )
+
+    def score(col: str, bcol: str) -> F.Column:
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + F.when(
+                F.col(col).cast("double") > F.element_at(F.col(bcol), i), 1
+            ).otherwise(0)
+        return s.cast("int")
+
+    scored = with_rec.crossJoin(F.broadcast(bounds)).select(
+        "custkey",
+        "recency_days",
+        "n_orders",
+        "total_spend",
+        # recency inverts: small days-since = high score
+        (F.lit(6) - score("recency_days", "rb")).cast("int").alias("r_score"),
+        score("n_orders", "fb").alias("f_score"),
+        score("total_spend", "mb").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("", "r_score", "f_score", "m_score"),
+    )
+
+
+def basket_pairs(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Co-purchase pair counts + lift over order baskets: for parts a <
+    b bought in the same order, ``lift = P(a,b) / (P(a)·P(b))`` with
+    probabilities over the order universe — the association-rule
+    screen (and the retail twin of corpus_cooccurrence's PMI).
+
+    Returns ``item_a, item_b, n_orders_pair, n_a, n_b, lift (rounded
+    6)`` for pairs seen in ≥ ``min_pair_count`` orders.
+    """
+    basket = lineitem.select(
+        F.col(order_col).alias("oid"), F.col(item_col).alias("item")
+    ).distinct()
+    n_orders = basket.groupBy().agg(
+        F.countDistinct("oid").alias("__n")
+    )
+    item_counts = basket.groupBy("item").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.oid") == F.col("b.oid"))
+               & (F.col("a.item") < F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders_pair"))
+        .filter(F.col("n_orders_pair") >= min_pair_count)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_counts.withColumnRenamed("item", "item_a")
+                        .withColumnRenamed("n_item", "n_a")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("item", "item_b")
+                        .withColumnRenamed("n_item", "n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a", "item_b", "n_orders_pair", "n_a", "n_b",
+            F.round(
+                F.col("n_orders_pair").cast("double")
+                * F.col("__n").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

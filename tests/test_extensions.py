@@ -1223,3 +1223,47 @@ def test_label_outliers_flags_planted_outlier(spark):
     assert all(not out[i]["is_outlier"] for i in range(len(tight)))
     assert out[100]["is_outlier"] is False and out[100]["z"] is None
     assert out[100]["dist"] == 0.0         # lone vector IS its centroid
+
+
+def test_rfm_scores_order_and_inversion(spark):
+    """Recency inverts (most recent buyer scores r=5); frequency and
+    spend score monotonically; segment concatenates the three."""
+    from datetime import date
+
+    from ksql_query_tutorial_spark.operators.retail import rfm_segments
+
+    rows = []
+    # customer k orders k times, spends 100*k per order, and last
+    # ordered on day 30-k -> customer 1 is the FRESHEST but the
+    # smallest/least frequent spender; customer 5 the inverse
+    for k in range(1, 6):
+        for j in range(k):
+            rows.append((k, date(2024, 6, 30 - k), 100.0 * k))
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    out = {r["custkey"]: r for r in rfm_segments(df).collect()}
+    assert out[1]["recency_days"] == 0 and out[1]["r_score"] == 5
+    assert out[5]["r_score"] == 1          # stalest buyer
+    assert out[5]["f_score"] == 5 and out[1]["f_score"] == 1
+    assert out[5]["m_score"] == 5 and out[1]["m_score"] == 1
+    assert out[1]["segment"] == "511" and out[5]["segment"] == "155"
+    # scores are monotone in the underlying metric
+    fs = [out[k]["f_score"] for k in range(1, 6)]
+    assert fs == sorted(fs)
+
+
+def test_basket_lift_known_values(spark):
+    """Three orders: {1,2}, {1,2}, {1,3}. Pair (1,2) in 2/3 orders,
+    lift = (2·3)/(3·2) = 1.0; pair (1,3) appears once -> pruned by
+    min_pair_count=2."""
+    from ksql_query_tutorial_spark.operators.retail import basket_pairs
+
+    rows = [(10, 1), (10, 2), (20, 1), (20, 2), (30, 1), (30, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = basket_pairs(li, min_pair_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["n_orders_pair"]) == (1, 2, 2)
+    assert r["n_a"] == 3 and r["n_b"] == 2
+    assert r["lift"] == 1.0
+    # with the prune off, the singleton pair shows up
+    assert basket_pairs(li, min_pair_count=1).count() == 2
