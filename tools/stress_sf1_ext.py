@@ -75,6 +75,8 @@ EXT_NAMES = [
     "graph_pagerank",
     "embedding_covariance",
     "embedding_outliers",
+    "customer_rfm",
+    "orders_basket",
 ]
 
 
