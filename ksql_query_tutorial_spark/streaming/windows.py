@@ -86,3 +86,61 @@ def dedup_within_watermark(events: DataFrame, ts_col: str, keys: list[str],
     older than the watermark is evicted. The streaming counterpart of
     operators.dedup.exact_duplicates."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_paths_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_steps: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming session path mining: the in-stream half of
+    ``analytics.session_paths`` — sessionize per user with
+    ``session_window`` and emit ONE ROW PER CLOSED SESSION (append
+    mode, watermark-evicted state) carrying the ordered path string.
+    The corpus-wide path histogram is a downstream BATCH rollup over
+    these rows; a second streaming aggregation would be an unsupported
+    chained-agg and is the wrong place for it anyway (the per-session
+    stream is the reusable artifact).
+
+    Boundary note: ``session_window`` starts a NEW session when the
+    inter-event gap EQUALS ``gap`` (state eviction needs a closed
+    interval), while the batch operator's lag-based islands keep
+    exact-gap events together (strict >). Identical everywhere except
+    events landing exactly on the gap boundary — microsecond
+    timestamps make that measure-zero in practice; pick one side for
+    boundary-sensitive pipelines.
+
+    Returns ``user_id, session_start, session_end, path, n_events``.
+    """
+    evs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(type_col).alias("et"),
+            )
+        )
+    )
+    out = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"),
+            F.col(user_col).alias("user_id"),
+        )
+        .agg(evs.alias("__evs"))
+    )
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        F.array_join(
+            F.transform(F.slice("__evs", 1, max_steps), lambda s: s["et"]),
+            ">",
+        ).alias("path"),
+        F.size("__evs").alias("n_events"),
+    )

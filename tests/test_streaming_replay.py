@@ -493,3 +493,41 @@ def test_decontaminate_stream_matches_batch_and_plants(spark):
             batch[i].n_shingles, batch[i].n_flagged, batch[i].flag_frac,
             batch[i].contaminated,
         ), i
+
+
+# ----------------------------------------- streaming session paths
+
+def test_session_paths_stream_emits_closed_sessions(spark):
+    """Sessions closed by the advancing watermark emit exactly once in
+    append mode, with the path ordered by (ts, event_id); a far-future
+    flush event closes the tail sessions."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming.windows import session_paths_stream
+
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "event_id": 1, "event_type": "view"},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00", "event_id": 2, "event_type": "click"},
+        # > 30 min gap: new session
+        {"user_id": 1, "ts": "2024-01-01T02:00:00", "event_id": 3, "event_type": "purchase"},
+        {"user_id": 2, "ts": "2024-01-01T00:10:00", "event_id": 4, "event_type": "view"},
+        # flush: advances the watermark far past every real session
+        {"user_id": 999, "ts": "2024-01-02T12:00:00", "event_id": 99, "event_type": "view"},
+    ]
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: session_paths_stream(s, gap="30 minutes", watermark="10 minutes"),
+        name="sesspaths", output_mode="append", chunk_size=1,
+    )
+    got = {(r.user_id, r.path): r for r in spark.table("sesspaths").collect()}
+    assert ((1, "view>click") in got) and got[(1, "view>click")].n_events == 2
+    assert (1, "purchase") in got
+    assert (2, "view") in got
+    # append mode: each closed session exactly once
+    assert len([k for k in got if k[0] != 999]) == 3
