@@ -91,6 +91,16 @@ def _bounded_query_pdf(queries: DataFrame, what: str) -> pd.DataFrame:
     return pdf
 
 
+def _empty_topk(spark, score_col: str = "cosine") -> "DataFrame":
+    """Typed empty top-k result: an empty corpus or query set is a
+    routine input at scale (a partition filter matching nothing, a
+    fresh index), and the broadcast-matrix operators short-circuit to
+    this instead of np.stack-ing zero rows."""
+    return spark.createDataFrame(
+        [], f"query_id long, neighbor_id long, rank int, {score_col} double"
+    )
+
+
 def _normalize(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     np.maximum(norms, np.finfo("float64").tiny, out=norms)
@@ -118,6 +128,8 @@ def brute_force_topk(
         queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "brute_force_topk",
     )
+    if qpdf.empty:
+        return _empty_topk(spark)
     q_ids = qpdf["id"].to_numpy(dtype="int64")
     q_mat = _normalize(_stack(qpdf["v"]))
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -312,6 +324,8 @@ def quantized_topk(
     qq = quantize_embeddings(queries, id_col, vec_col)
     spark = corpus.sparkSession
     qpdf = _bounded_query_pdf(qq.select("id", "qvec"), "quantized_topk")
+    if qpdf.empty:
+        return _empty_topk(spark, "qcosine")
     q_ids = qpdf["id"].to_numpy(dtype="int64")
     q_mat = np.stack(qpdf["qvec"].to_numpy()).astype("int64")
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
@@ -384,6 +398,8 @@ def spherical_kmeans_centroids(
     ``(k, d)`` centroid matrix.
     """
     pdf = corpus.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
+    if pdf.empty:
+        return np.zeros((0, 0))
     x = _normalize(_stack(pdf["v"]))
     rng = np.random.RandomState(seed)
     k = min(n_centroids, len(x))
@@ -450,6 +466,8 @@ def ivf_topk(
     Returns: ``query_id``, ``neighbor_id``, ``rank``, ``cosine``.
     """
     cent = spherical_kmeans_centroids(corpus, n_centroids, id_col, vec_col)
+    if cent.size == 0:
+        return _empty_topk(corpus.sparkSession)
     par = corpus.sparkSession.sparkContext.defaultParallelism
 
     c = corpus.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("cv"))
@@ -498,6 +516,8 @@ def pq_codebooks(
     Returns a ``(m, ksub, d/m)`` float64 codebook tensor.
     """
     pdf = corpus.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
+    if pdf.empty:
+        return np.zeros((m, 0, 0))
     x = _normalize(_stack(pdf["v"]))
     n, d = x.shape
     if d % m != 0:
@@ -580,10 +600,14 @@ def pq_topk(
     verified by the recall test against the exact brute force.
     """
     books = pq_codebooks(corpus, m=m, ksub=ksub, vec_col=vec_col)
+    if books.size == 0:
+        return _empty_topk(corpus.sparkSession)
     qpdf = _bounded_query_pdf(
         queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
         "pq_topk",
     )
+    if qpdf.empty:
+        return _empty_topk(corpus.sparkSession)
     qids = qpdf["qid"].to_numpy()
     qmat = _normalize(_stack(qpdf["qv"]))
     mm, ksub_, dsub = books.shape
