@@ -67,3 +67,56 @@ def test_topk_operators_with_empty_query_side(spark):
         out = fn(corpus, empty)
         assert out.count() == 0
         assert out.columns[:3] == ["query_id", "neighbor_id", "rank"]
+
+
+@pytest.fixture(scope="module")
+def nullrow_sf_dir(spark, tmp_path_factory):
+    """sf0.001 plus planted NULL-bearing rows: documents with NULL
+    text/lang/source, events with NULL value/props/event_type — the
+    dirty-input class every 100 TB source contains."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("sf-nulls"))
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        spark.read.parquet(os.path.join(src, f"{t}.parquet")) \
+            .write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    base = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dirty_docs = spark.createDataFrame(
+        [
+            (base, None, "en", "src0", None),
+            (base + 1, "some text here okay", None, None, 19),
+            (base + 2, None, None, None, None),
+        ],
+        docs.schema,
+    )
+    docs.unionByName(dirty_docs).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    emax = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ts = ev.select("ts").first()[0]
+    dirty_ev = spark.createDataFrame(
+        [
+            (emax, ts, 1, None, None, None),
+            (emax + 1, ts, None, "click", 1.5, None),
+        ],
+        ev.schema,
+    )
+    ev.unionByName(dirty_ev).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_null_rows(spark, nullrow_sf_dir, name):
+    """NULL text/lang/props/value/event_type rows must not crash any
+    query — NULLs propagate through expressions, drop out of joins
+    and explodes, and count as empty where a contract needs a row."""
+    n = QUERIES[name](spark, nullrow_sf_dir).count()
+    assert n >= 0
