@@ -1267,3 +1267,23 @@ def test_basket_lift_known_values(spark):
     assert r["lift"] == 1.0
     # with the prune off, the singleton pair shows up
     assert basket_pairs(li, min_pair_count=1).count() == 2
+
+
+def test_basket_plan_reuses_distinct_exchange(spark):
+    """The basket self-join's two sides come from the SAME distinct
+    (order, item) subtree: the second side must be a ReusedExchange,
+    and the count-table joins broadcast — no sort-merge, no Python."""
+    from ksql_query_tutorial_spark.operators.retail import basket_pairs
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        executed_plan,
+    )
+    from ksql_query_tutorial_spark.tables import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    df = basket_pairs(li)
+    assert_no_python(df)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
