@@ -84,6 +84,28 @@ def rewrite_functions(sql: str) -> str:
     sql = re.sub(r"\bLATEST_BY_OFFSET\s*\(\s*([^)]+?)\s*\)",
                  rf"max_by(\1, {offset_ref})", sql, flags=re.I)
     sql = re.sub(r"\bCOUNT_DISTINCT\s*\(", "count(DISTINCT ", sql, flags=re.I)
+    sql = re.sub(r"\bEARLIEST_BY_OFFSET\s*\(\s*([^)]+?)\s*\)",
+                 rf"min_by(\1, {offset_ref})", sql, flags=re.I)
+    sql = re.sub(r"\bLEN\s*\(", "length(", sql, flags=re.I)
+    sql = re.sub(r"\bARRAYCONTAINS\s*\(", "array_contains(", sql, flags=re.I)
+    # TOPK(col, k): ksqlDB's per-group top-k VALUES array. Spark twin:
+    # gather, sort desc, slice k. (TOPKDISTINCT would add array_distinct
+    # before the sort.)
+    sql = re.sub(
+        r"\bTOPK\s*\(\s*([^,()]+?)\s*,\s*(\d+)\s*\)",
+        r"slice(sort_array(collect_list(\1), false), 1, \2)",
+        sql, flags=re.I,
+    )
+    # MASK(col): ksqlDB data masking — uppercase→X, lowercase→x,
+    # digit→n, every other char→'-' (ksqlDB 0.15 defaults). The three
+    # mask outputs (X/x/n) are excluded from the final catch-all class,
+    # so ordering is safe.
+    sql = re.sub(
+        r"\bMASK\s*\(\s*([^()]+?)\s*\)",
+        r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        r"\1, '[A-Z]', 'X'), '[a-z]', 'x'), '[0-9]', 'n'), '[^Xxn]', '-')",
+        sql, flags=re.I,
+    )
     return sql
 
 

@@ -229,3 +229,28 @@ def test_cli_runs_scripts(spark, tmp_path, capsys):
     bad = tmp_path / "bad.sql"
     bad.write_text("SELECT definitely_not_a_column FROM nowhere;")
     assert main([str(bad), "--cpus", "4"]) == 1
+
+
+def test_scalar_function_surface_extensions(eng):
+    """ksqlDB function rewrites beyond the tutorial's UCASE/CASE:
+    LEN, MASK (X/x/n/- masking), EARLIEST_BY_OFFSET, TOPK."""
+    out = eng.ksql(
+        "SELECT id, LEN(name) n, MASK(name) m FROM players EMIT CHANGES;"
+    )
+    rows = {r.id: r for r in out.collect()}
+    assert rows["1"].n == len("Lionel Messi")
+    assert rows["1"].m == "Xxxxxx-Xxxxx"       # 'Lionel Messi' masked
+    early = eng.ksql(
+        "SELECT nationality, EARLIEST_BY_OFFSET(name) first_seen "
+        "FROM players GROUP BY nationality EMIT CHANGES;"
+    )
+    got = {r.nationality: r.first_seen for r in early.collect()}
+    assert got["Portuguese"] == "Cristiano Ronaldo"   # offset 1 < offset 8
+    topk = eng.ksql(
+        "SELECT nationality, TOPK(name, 2) top2 FROM players "
+        "GROUP BY nationality EMIT CHANGES;"
+    )
+    t = {r.nationality: list(r.top2) for r in topk.collect()}
+    # two Portuguese players: lexicographically descending top-2
+    assert t["Portuguese"] == sorted(t["Portuguese"], reverse=True)
+    assert len(t["Portuguese"]) == 2
