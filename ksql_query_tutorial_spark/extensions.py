@@ -2351,3 +2351,33 @@ EXTENSION_ORACLES["orders_basket"] = f"""
            JOIN ic ib ON item_b = ib.item
     ORDER BY item_a, item_b
 """
+
+
+# ----------------------------------------------- event transition matrix
+
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per user sequence —
+    the sequence-model fit artifact. See analytics.transition_matrix."""
+    from ksql_query_tutorial_spark.operators.analytics import transition_matrix
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return transition_matrix(e)
+
+
+EXTENSION_QUERIES["events_markov"] = events_markov
+
+EXTENSION_ORACLES["events_markov"] = """
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    pairs AS (SELECT prev AS prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev_type, sum(n) AS t FROM pairs GROUP BY 1)
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+    FROM pairs JOIN tot USING (prev_type)
+    ORDER BY prev_type, next_type
+"""

@@ -321,3 +321,48 @@ def value_histogram(
         .withColumn("bin_lo", F.round(F.col("bin") * F.lit(float(bin_width)), 6))
         .select("group", "bin", "bin_lo", "n", "min_v", "max_v")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user — the sequence-model fit artifact
+    (and anomalous-transition detector) next to the funnel and path
+    ops.
+
+    ONE full-data exchange: the ``lag`` window keys on the user; the
+    (prev, cur) rollup input is one row per event and its output is
+    |types|² cells with map-side partials. The row-normalizing totals
+    join is |types| rows broadcast. Tiebreak makes consecutive-pair
+    identity deterministic under equal timestamps.
+
+    Returns ``prev_type, next_type, n, p`` (p = row-normalized
+    probability, rounded 6).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        df.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type", "next_type", "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("p"),
+        )
+    )

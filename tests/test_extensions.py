@@ -1287,3 +1287,27 @@ def test_basket_plan_reuses_distinct_exchange(spark):
     assert "ReusedExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_transition_matrix_known_chain(spark):
+    """a->b->a->b for user 1 and b->b for user 2: known counts and
+    row-normalized probabilities; no cross-user transitions."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import transition_matrix
+
+    t0 = datetime(2026, 1, 1)
+    s = timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0 + s, 2, "b"),
+        (1, t0 + 2 * s, 3, "a"), (1, t0 + 3 * s, 4, "b"),
+        (2, t0, 5, "b"), (2, t0 + s, 6, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r.prev_type, r.next_type): r for r in transition_matrix(df).collect()}
+    assert out[("a", "b")].n == 2 and out[("a", "b")].p == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].p == 0.5
+    assert out[("b", "b")].n == 1 and out[("b", "b")].p == 0.5
+    assert set(out) == {("a", "b"), ("b", "a"), ("b", "b")}
