@@ -77,6 +77,7 @@ EXT_NAMES = [
     "embedding_outliers",
     "customer_rfm",
     "orders_basket",
+    "events_markov",
 ]
 
 
