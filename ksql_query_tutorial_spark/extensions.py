@@ -2381,3 +2381,46 @@ EXTENSION_ORACLES["events_markov"] = """
     FROM pairs JOIN tot USING (prev_type)
     ORDER BY prev_type, next_type
 """
+
+
+# ----------------------------------------------- text cleaning
+
+CLEAN_MIN_LINE_WORDS = 3
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style text repair: control-char strip, short-line drop,
+    whitespace collapse — the transform companion to corpus_curate's
+    flags. Zero shuffles. See corpus.clean_text."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.clean_text(d, min_line_words=CLEAN_MIN_LINE_WORDS)
+
+
+EXTENSION_QUERIES["corpus_clean"] = corpus_clean
+
+EXTENSION_ORACLES["corpus_clean"] = f"""
+    WITH t AS (SELECT doc_id,
+                      regexp_replace(text,
+                          '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')
+                        AS nc,
+                      text
+               FROM documents),
+    l AS (SELECT doc_id, text, string_split(nc, chr(10)) AS lines FROM t),
+    k AS (SELECT doc_id, text, lines,
+                 list_filter(lines, ln ->
+                     len(list_filter(regexp_split_to_array(trim(ln),
+                                                           '[ \\t]+'),
+                                     w -> w <> '')) >= {CLEAN_MIN_LINE_WORDS})
+                   AS kept
+          FROM l),
+    j AS (SELECT doc_id, text, lines, kept,
+                 trim(regexp_replace(array_to_string(kept, chr(10)),
+                                     '[ \\t]+', ' ', 'g')) AS clean_text
+          FROM k)
+    SELECT doc_id, clean_text,
+           CAST(len(kept) AS INT) AS n_lines_kept,
+           CAST(len(lines) - len(kept) AS INT) AS n_lines_dropped,
+           CAST(length(text) AS INT) AS n_chars_before,
+           CAST(length(clean_text) AS INT) AS n_chars_after
+    FROM j ORDER BY doc_id
+"""

@@ -1567,3 +1567,43 @@ def mix_temperature(
             "boost",
         )
     )
+
+
+def clean_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+) -> DataFrame:
+    """C4-style text REPAIR — the transform companion to
+    :func:`curate`'s verdict flags: strip control characters, split
+    into lines, drop lines with fewer than ``min_line_words`` words
+    (the C4 heuristic that removes nav/boilerplate fragments), rejoin,
+    and collapse runs of whitespace.
+
+    Pure narrow map — regexp/array expressions per row, zero shuffles,
+    rides the scan at any corpus size. Every regex stays inside the
+    Java↔RE2 common subset (explicit char classes, no \\p escapes), so
+    the oracle reproduces the exact byte output.
+
+    Returns ``doc_id, clean_text, n_lines_kept, n_lines_dropped,
+    n_chars_before, n_chars_after``.
+    """
+    no_ctrl = F.regexp_replace(
+        F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""
+    )
+    lines = F.split(no_ctrl, "\n")
+    words_of = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(ln), "[ \\t]+"), lambda w: w != "")
+    )
+    kept = F.filter(lines, lambda ln: words_of(ln) >= min_line_words)
+    joined = F.array_join(kept, "\n")
+    collapsed = F.trim(F.regexp_replace(joined, "[ \\t]+", " "))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        collapsed.alias("clean_text"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("n_lines_dropped"),
+        F.length(text_col).cast("int").alias("n_chars_before"),
+        F.length(collapsed).cast("int").alias("n_chars_after"),
+    )

@@ -579,3 +579,36 @@ def test_mix_temperature_limits(spark):
     smallest = min(mid, key=lambda r: r["n_tokens"])
     largest = max(mid, key=lambda r: r["n_tokens"])
     assert smallest["boost"] > 1.0 > largest["boost"]
+
+
+def test_clean_text_lines_and_controls(spark):
+    """Control chars stripped, short lines dropped, whitespace
+    collapsed; a doc whose every line is short cleans to empty."""
+    rows = [
+        (1, "keep this line here\nno\nalso keep these words\n\x07ding one two"),
+        (2, "a b\nc"),
+        (3, "tabs\t\tget  collapsed here fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.clean_text(df, min_line_words=3).collect()}
+    assert out[1].clean_text == (
+        "keep this line here\nalso keep these words\nding one two"
+    )
+    assert out[1].n_lines_kept == 3 and out[1].n_lines_dropped == 1
+    assert out[2].clean_text == "" and out[2].n_lines_kept == 0
+    assert out[3].clean_text == "tabs get collapsed here fine"
+    assert out[3].n_chars_after < out[3].n_chars_before
+
+
+def test_clean_text_plan_no_shuffle(spark):
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        executed_plan,
+    )
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    df = corpus.clean_text(d)
+    assert_no_python(df)
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan
