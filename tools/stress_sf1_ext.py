@@ -78,6 +78,7 @@ EXT_NAMES = [
     "customer_rfm",
     "orders_basket",
     "events_markov",
+    "corpus_clean",
 ]
 
 
