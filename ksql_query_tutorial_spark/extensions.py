@@ -2424,3 +2424,65 @@ EXTENSION_ORACLES["corpus_clean"] = f"""
            CAST(length(clean_text) AS INT) AS n_chars_after
     FROM j ORDER BY doc_id
 """
+
+
+# ----------------------------------------------- hybrid retrieval
+
+HYBRID_TERMS = ("spark", "table", "join")
+HYBRID_QVEC = 0
+HYBRID_K = 20
+HYBRID_C = 60
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical TF-IDF top-k + embedding-cosine top-k
+    fused by reciprocal rank (RRF) — both legs are TakeOrdered top-k,
+    ranks assigned over the two bounded survivor lists only. See
+    similarity.hybrid_search_rrf."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.hybrid_search_rrf(
+        d, e, list(HYBRID_TERMS),
+        query_vec_id=HYBRID_QVEC, k=HYBRID_K, c=HYBRID_C,
+    )
+
+
+EXTENSION_QUERIES["hybrid_search"] = hybrid_search
+
+_HT = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+
+EXTENSION_ORACLES["hybrid_search"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ({_HT}) GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS c FROM documents),
+    lex AS (SELECT doc_id,
+                   sum(CAST(tf AS DOUBLE)
+                       * (ln(((SELECT c FROM n) + 1.0) / (df + 1.0)) + 1.0))
+                     AS score
+            FROM tf JOIN dfq USING (term) GROUP BY 1),
+    lex_top AS (SELECT * FROM (
+                    SELECT doc_id,
+                           CAST(row_number() OVER
+                                (ORDER BY score DESC, doc_id) AS INT)
+                             AS lex_rank
+                    FROM lex) WHERE lex_rank <= {HYBRID_K}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = {HYBRID_QVEC}),
+    vec AS (SELECT vec_id,
+                   list_cosine_similarity(v, (SELECT v FROM qv)) AS cos
+            FROM e WHERE vec_id <> {HYBRID_QVEC}),
+    vec_top AS (SELECT * FROM (
+                    SELECT vec_id AS doc_id,
+                           CAST(row_number() OVER
+                                (ORDER BY cos DESC, vec_id) AS INT)
+                             AS vec_rank
+                    FROM vec) WHERE vec_rank <= {HYBRID_K})
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank, v.vec_rank,
+           ROUND(COALESCE(1.0 / ({HYBRID_C} + l.lex_rank), 0)
+                 + COALESCE(1.0 / ({HYBRID_C} + v.vec_rank), 0), 6) AS rrf
+    FROM lex_top l FULL JOIN vec_top v ON l.doc_id = v.doc_id
+    ORDER BY doc_id
+"""

@@ -916,3 +916,97 @@ def label_outliers(
             ),
         )
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical TF-IDF
+    top-k and an embedding-cosine top-k, fused as ``Σ 1/(c + rank)``
+    (Cormack et al.'s RRF — the standard way modern search stacks
+    combine BM25-ish and vector rankings without score calibration).
+
+    Scale shape: each leg's top-k is a ``TakeOrderedAndProject``
+    (distributed heap per partition, never a global sort); the only
+    single-task windows run over the two ≤ k-row survivor lists to
+    assign ranks, and the fusion is a full-outer join of those two
+    bounded lists. The lexical postings touch only the query terms
+    (pushed-down IN filter), and the query vector is one broadcast
+    row. Deterministic throughout: ties break by id, and both legs'
+    score expressions are the oracle-verified TF-IDF and cosine
+    building blocks.
+
+    Returns ``doc_id, lex_rank, vec_rank, rrf`` (ranks NULL on the
+    leg that did not retrieve the doc; rrf rounded 6).
+    """
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    postings = (
+        docs.select(
+            F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    idf = (
+        F.log(
+            (F.col("__n").cast("double") + F.lit(1.0))
+            / (F.col("df").cast("double") + F.lit(1.0))
+        )
+        + F.lit(1.0)
+    )
+    lex = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf").cast("double") * idf).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_top = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+
+    qv = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (
+                dot(as_double(F.col("embedding")), F.col("qv"))
+                / (l2_norm(as_double(F.col("embedding"))) * l2_norm(F.col("qv")))
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    w_vec = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    vec_top = scored.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_vec).alias("vec_rank"),
+    )
+
+    fused = lex_top.join(vec_top, "doc_id", "full_outer")
+    leg = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(c)) + F.col(r).cast("double")), F.lit(0.0)
+    )
+    return fused.select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(leg("lex_rank") + leg("vec_rank"), 6).alias("rrf"),
+    )

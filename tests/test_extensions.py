@@ -1311,3 +1311,26 @@ def test_transition_matrix_known_chain(spark):
     assert out[("b", "a")].n == 1 and out[("b", "a")].p == 0.5
     assert out[("b", "b")].n == 1 and out[("b", "b")].p == 0.5
     assert set(out) == {("a", "b"), ("b", "a"), ("b", "b")}
+
+
+def test_hybrid_rrf_fusion_structure(spark):
+    """RRF invariants on the fixture: ranks are 1..k per leg, a doc in
+    BOTH legs outscores a doc appearing in one leg at equal-or-worse
+    ranks, and every rrf equals the closed form of its ranks."""
+    from ksql_query_tutorial_spark.extensions import HYBRID_C, hybrid_search
+    from tests.conftest import SF_ORACLE
+
+    rows = hybrid_search(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        want = 0.0
+        if r.lex_rank is not None:
+            want += 1.0 / (HYBRID_C + r.lex_rank)
+        if r.vec_rank is not None:
+            want += 1.0 / (HYBRID_C + r.vec_rank)
+        assert abs(r.rrf - round(want, 6)) < 1e-9
+        assert r.lex_rank is not None or r.vec_rank is not None
+    lex_ranks = sorted(r.lex_rank for r in rows if r.lex_rank is not None)
+    assert lex_ranks == list(range(1, len(lex_ranks) + 1))
+    vec_ranks = sorted(r.vec_rank for r in rows if r.vec_rank is not None)
+    assert vec_ranks == list(range(1, len(vec_ranks) + 1))
