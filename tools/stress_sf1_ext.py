@@ -79,6 +79,7 @@ EXT_NAMES = [
     "orders_basket",
     "events_markov",
     "corpus_clean",
+    "hybrid_search",
 ]
 
 
