@@ -2486,3 +2486,52 @@ EXTENSION_ORACLES["hybrid_search"] = f"""
     FROM lex_top l FULL JOIN vec_top v ON l.doc_id = v.doc_id
     ORDER BY doc_id
 """
+
+
+# ----------------------------------------------- frame-level video dedup
+
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video duplicate-frame detection: fingerprint every sampled
+    frame (md5) and report fingerprints seen more than once — the
+    re-encode/copy detector of video pipelines (frame-hash matching),
+    riding on the mm_frames sampling plumbing. Word-count plan: the
+    only exchange carries (fingerprint, partial counts)."""
+    from ksql_query_tutorial_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    frames = sample_frames(media_from_documents(d))
+    return (
+        frames.select("media_id", F.md5(F.col("frame")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("media_id").alias("n_media"),
+            F.min("media_id").alias("first_media"),
+        )
+        .filter(F.col("n_frames") > 1)
+    )
+
+
+EXTENSION_QUERIES["mm_frame_dedup"] = mm_frame_dedup
+
+EXTENSION_ORACLES["mm_frame_dedup"] = """
+    WITH v AS (SELECT doc_id AS media_id, text, length(text) AS n
+               FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT media_id,
+                 substring(text,
+                           CAST(frame_index * 64 + 1 AS BIGINT), 16) AS fr
+          FROM (SELECT media_id, text, n,
+                       unnest(range(0,
+                           GREATEST(CAST(floor((n - 1) / 64.0) AS BIGINT),
+                                    0) + 1)) AS frame_index
+                FROM v)),
+    g AS (SELECT md5(fr) AS fp,
+                 CAST(count(*) AS BIGINT) AS n_frames,
+                 CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+                 min(media_id) AS first_media
+          FROM f GROUP BY 1)
+    SELECT * FROM g WHERE n_frames > 1 ORDER BY fp
+"""
