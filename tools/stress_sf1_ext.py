@@ -80,6 +80,7 @@ EXT_NAMES = [
     "events_markov",
     "corpus_clean",
     "hybrid_search",
+    "mm_frame_dedup",
 ]
 
 
