@@ -2535,3 +2535,35 @@ EXTENSION_ORACLES["mm_frame_dedup"] = """
           FROM f GROUP BY 1)
     SELECT * FROM g WHERE n_frames > 1 ORDER BY fp
 """
+
+
+# ----------------------------------------------- weighted sampling
+
+SAMPLE_W_K = 200
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-Res)
+    with weight = n_chars — longer docs proportionally likelier.
+    See corpus.sample_weighted."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.sample_weighted(
+        d, k=SAMPLE_W_K, weight_col=F.col("n_chars")
+    )
+
+
+EXTENSION_QUERIES["sample_weighted"] = sample_weighted
+
+EXTENSION_ORACLES["sample_weighted"] = f"""
+    WITH s AS (SELECT doc_id,
+                      CAST(n_chars AS DOUBLE) AS weight,
+                      CAST(((doc_id % 1048573) * 2654435761) % 1000000
+                           AS DOUBLE) / 1000000.0 AS u
+               FROM documents),
+    key AS (SELECT doc_id, ROUND(weight, 6) AS weight, ROUND(u, 6) AS u,
+                   ROUND(pow(u, 1.0 / weight), 12) AS key,
+                   pow(u, 1.0 / weight) AS rawkey
+            FROM s)
+    SELECT doc_id, weight, u, key
+    FROM key ORDER BY rawkey DESC, doc_id LIMIT {SAMPLE_W_K}
+"""

@@ -1607,3 +1607,48 @@ def clean_text(
         F.length(text_col).cast("int").alias("n_chars_before"),
         F.length(collapsed).cast("int").alias("n_chars_after"),
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    k: int = 200,
+    id_col: str = "doc_id",
+    weight_col: str | F.Column | None = None,
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement
+    (Efraimidis–Spirakis A-Res): each row draws ``u = sample_hash(id)
+    / 1e6`` and keeps key ``u^(1/w)``; the global top-k keys are the
+    sample, with inclusion probability proportional to weight — the
+    importance-sampling primitive (sample long/high-quality docs more
+    often) next to :func:`sample_stratified`'s fixed per-stratum
+    rates.
+
+    Same determinism contract as the stratified sampler: the variate
+    comes from the portable id hash, not ``rand()``, so the sample is
+    retry-stable, subset-stable under corpus growth at fixed k is NOT
+    guaranteed (top-k is competitive by construction) — and the
+    oracle recomputes the identical keys. ``u = 0`` maps to key 0
+    (never sampled unless fewer than k positive keys exist); ``w ≤ 0``
+    is rejected upstream by the weight expression contract.
+
+    Plan: narrow map + distributed TakeOrdered top-k — no global
+    sort, no shuffle beyond the ≤ k survivors.
+
+    Returns ``doc_id, weight, u, key (rounded 12)`` for the k
+    sampled rows.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    if w is None:
+        w = F.lit(1.0)
+    u = sample_hash(F.col(id_col)).cast("double") / F.lit(1e6)
+    key = F.pow(u, F.lit(1.0) / w.cast("double"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.round(w.cast("double"), 6).alias("weight"),
+            F.round(u, 6).alias("u"),
+            F.round(key, 12).alias("key"),
+        )
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -612,3 +612,23 @@ def test_clean_text_plan_no_shuffle(spark):
     assert_no_python(df)
     plan = executed_plan(df).split("== Initial Plan ==")[0]
     assert "Exchange" not in plan, plan
+
+
+def test_sample_weighted_bias_and_determinism(spark):
+    """Weighted A-Res: sampling is retry-stable, the keys follow
+    u^(1/w), and across the fixture heavier docs are over-represented
+    relative to their population share."""
+    from ksql_query_tutorial_spark.tables import load
+
+    d = load(spark, SF_SMOKE, "documents")
+    k = 100
+    a = corpus.sample_weighted(d, k=k, weight_col=F.col("n_chars")).collect()
+    b = corpus.sample_weighted(d, k=k, weight_col=F.col("n_chars")).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]   # retry-stable
+    assert len(a) == k
+    keys = [r.key for r in a]
+    assert keys == sorted(keys, reverse=True)
+    # heavier-than-median docs should exceed half the sample
+    med = sorted(r.n_chars for r in d.collect())[d.count() // 2]
+    heavy = sum(1 for r in a if r.weight > med)
+    assert heavy > k // 2, (heavy, med)
