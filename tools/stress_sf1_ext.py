@@ -81,6 +81,7 @@ EXT_NAMES = [
     "corpus_clean",
     "hybrid_search",
     "mm_frame_dedup",
+    "sample_weighted",
 ]
 
 
