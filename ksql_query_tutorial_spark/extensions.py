@@ -2458,9 +2458,9 @@ EXTENSION_ORACLES["hybrid_search"] = f"""
     dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
     n AS (SELECT count(*) AS c FROM documents),
     lex AS (SELECT doc_id,
-                   sum(CAST(tf AS DOUBLE)
-                       * (ln(((SELECT c FROM n) + 1.0) / (df + 1.0)) + 1.0))
-                     AS score
+                   sum(tf * CAST(floor(
+                       (ln(((SELECT c FROM n) + 1.0) / (df + 1.0)) + 1.0)
+                       * 1000000 + 0.5) AS BIGINT)) AS score
             FROM tf JOIN dfq USING (term) GROUP BY 1),
     lex_top AS (SELECT * FROM (
                     SELECT doc_id,

@@ -958,18 +958,28 @@ def hybrid_search_rrf(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("__n"))
-    idf = (
-        F.log(
-            (F.col("__n").cast("double") + F.lit(1.0))
-            / (F.col("df").cast("double") + F.lit(1.0))
+    # Fixed-point lexical score: per-(doc, term) idf is quantized to
+    # integer micro-units BEFORE the per-doc sum, so the aggregate is
+    # a LONG sum — exact and order-independent. A double tf·idf sum
+    # here is partial-aggregated in arbitrary partition order; two
+    # docs within 1 ulp at the rank-k cutoff then flip membership
+    # between runs (observed) and against the oracle.
+    idf_q = F.floor(
+        (
+            F.log(
+                (F.col("__n").cast("double") + F.lit(1.0))
+                / (F.col("df").cast("double") + F.lit(1.0))
+            )
+            + F.lit(1.0)
         )
-        + F.lit(1.0)
-    )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
     lex = (
         postings.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
-        .agg(F.sum(F.col("tf").cast("double") * idf).alias("score"))
+        .agg(F.sum(F.col("tf") * idf_q).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
