@@ -396,3 +396,42 @@ def test_moving_avg_single_window_exchange(spark):
     plan = checks.formatted_plan(df)
     checks.assert_no_python(df)
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_r5_late_ops_stay_jvm_side(spark):
+    """Plan floor for the r5-late analytic ops: no Python stages in any
+    of them (hybrid's legs are HOF/JVM; everything else is pure
+    expression + aggregate), and no cartesian products."""
+    from ksql_query_tutorial_spark.extensions import (
+        corpus_mix_temperature,
+        corpus_novelty,
+        customer_rfm,
+        events_histogram,
+        events_markov,
+        hybrid_search,
+    )
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        executed_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (events_markov, corpus_novelty, corpus_mix_temperature,
+              events_histogram, customer_rfm, hybrid_search):
+        df = q(spark, sf)
+        assert_no_python(df)
+        plan = executed_plan(df).split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in plan, (q.__name__, plan)
+
+
+def test_markov_single_user_exchange(spark):
+    """The lag window and nothing else touches raw events: exactly one
+    hashpartitioning(user_id) exchange in the final plan."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import events_markov
+    from ksql_query_tutorial_spark.plans.checks import executed_plan
+
+    df = events_markov(spark, "/root/testdata/sf0.001")
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
