@@ -531,3 +531,41 @@ def test_session_paths_stream_emits_closed_sessions(spark):
     assert (2, "view") in got
     # append mode: each closed session exactly once
     assert len([k for k in got if k[0] != 999]) == 3
+
+
+def test_value_histogram_streams_in_update_mode(spark):
+    """The batch value_histogram operator IS the streaming operator:
+    applied unchanged to a stream in update mode, its final state
+    equals the batch result (state bounded by |groups x bins|)."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.operators.analytics import value_histogram
+
+    rows = [
+        {"event_type": "a", "value": 1.0},
+        {"event_type": "a", "value": 7.5},
+        {"event_type": "b", "value": -3.0},
+        {"event_type": "a", "value": 2.0},
+        {"event_type": "b", "value": 12.0},
+    ]
+    schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    q = R.replay(
+        spark, rows, schema,
+        lambda s: value_histogram(s, group_col="event_type"),
+        name="histstream", output_mode="update", chunk_size=2,
+    )
+    final = {}
+    for r in spark.table("histstream").collect():
+        final[(r.group, r.bin)] = (r.n, r.min_v, r.max_v)   # last update wins
+    batch_df = spark.createDataFrame(
+        [(r["event_type"], r["value"]) for r in rows], schema
+    )
+    batch = {
+        (r.group, r.bin): (r.n, r.min_v, r.max_v)
+        for r in value_histogram(batch_df, group_col="event_type").collect()
+    }
+    assert final == batch
+    assert len(batch) == 4
