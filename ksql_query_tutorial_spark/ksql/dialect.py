@@ -30,6 +30,7 @@ TYPE_MAP = {
     "INTEGER": "INT",
     "BIGINT": "BIGINT",
     "DOUBLE": "DOUBLE",
+    "TIMESTAMP": "TIMESTAMP",
 }
 
 
@@ -118,11 +119,78 @@ def extract_partition_by(sql: str) -> tuple[str, str | None]:
     return (sql[: m.start()] + sql[m.end():]).strip(), m.group(1)
 
 
-def rewrite_select(sql: str) -> tuple[str, str | None]:
+_WINDOW_CLAUSE = re.compile(
+    r"\bWINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\(([^)]*)\)", re.I
+)
+
+
+def _window_interval(args: str, key: str) -> str | None:
+    m = re.search(rf"{key}\s+(\d+)\s+([A-Za-z]+)", args, re.I)
+    return f"{m.group(1)} {m.group(2).lower()}" if m else None
+
+
+def rewrite_window(sql: str, ts_col: str | None) -> str:
+    """ksqlDB windowed aggregation → Spark window functions:
+
+    - ``WINDOW TUMBLING (SIZE n U)``   → ``window(ts, 'n u')``
+    - ``WINDOW HOPPING (SIZE n U, ADVANCE BY m U)``
+                                       → ``window(ts, 'n u', 'm u')``
+    - ``WINDOW SESSION (n U)`` / ``(SIZE n U)``
+                                       → ``session_window(ts, 'n u')``
+
+    The window expression is appended to GROUP BY, and the ksqlDB
+    pseudo-columns ``WINDOWSTART``/``WINDOWEND`` rewrite to the Spark
+    window struct fields. ``ts_col`` is the collection's declared
+    event-time column (``WITH (TIMESTAMP='col')``) — ksqlDB's implicit
+    ROWTIME has no Spark analog for a re-playable batch view, so the
+    declaration is required for windowed queries.
+    """
+    m = _WINDOW_CLAUSE.search(sql)
+    if not m:
+        return sql
+    if not ts_col:
+        raise ValueError(
+            "windowed query needs an event-time column: declare the source "
+            "WITH (TIMESTAMP='<col>')"
+        )
+    wtype, args = m.group(1).upper(), m.group(2)
+    size = _window_interval(args, r"SIZE") or _window_interval(args, r"^")
+    if size is None:
+        # SESSION commonly omits the SIZE keyword: WINDOW SESSION (30 SECONDS)
+        m2 = re.match(r"\s*(\d+)\s+([A-Za-z]+)", args)
+        size = f"{m2.group(1)} {m2.group(2).lower()}" if m2 else None
+    if size is None:
+        raise ValueError(f"cannot parse window size from {args!r}")
+    if wtype == "TUMBLING":
+        wexpr, wname = f"window({ts_col}, '{size}')", "window"
+    elif wtype == "HOPPING":
+        adv = _window_interval(args, r"ADVANCE\s+BY")
+        if adv is None:
+            raise ValueError("HOPPING window needs ADVANCE BY")
+        wexpr, wname = f"window({ts_col}, '{size}', '{adv}')", "window"
+    else:
+        wexpr, wname = f"session_window({ts_col}, '{size}')", "session_window"
+    sql = (sql[: m.start()] + " " + sql[m.end():])
+    sql = re.sub(r"\bWINDOWSTART\b", f"{wname}.start", sql, flags=re.I)
+    sql = re.sub(r"\bWINDOWEND\b", f"{wname}.end", sql, flags=re.I)
+    gb = re.search(r"\bGROUP\s+BY\s+", sql, re.I)
+    if not gb:
+        raise ValueError("windowed query requires GROUP BY")
+    return sql[: gb.end()] + wexpr + ", " + sql[gb.end():]
+
+
+def rewrite_select(sql: str, ts_col: str | None = None) -> tuple[str, str | None]:
     """Full select rewrite: returns (spark_sql, partition_by_col)."""
     sql = strip_emit_changes(sql)
     sql, part = extract_partition_by(sql)
+    sql = rewrite_window(sql, ts_col)
     return rewrite_functions(sql), part
+
+
+def from_table(sql: str) -> str | None:
+    """The (first) FROM collection name, lowercased."""
+    m = re.search(r"\bFROM\s+([A-Za-z_]\w*)", sql, flags=re.I)
+    return m.group(1).lower() if m else None
 
 
 _COLDEF = re.compile(

@@ -107,7 +107,7 @@ def _execute_one(session, stmt: str) -> Any:
         return _insert_into(session, stmt)
 
     if head == "SELECT":
-        sql, _ = dialect.rewrite_select(stmt)
+        sql, _ = dialect.rewrite_select(stmt, ts_col=_ts_col_of(session, stmt))
         return session.spark.sql(sql)
 
     if head == "SHOW":
@@ -156,6 +156,25 @@ def _refresh_view(session, coll: Collection) -> None:
     rows = session.topics.get(coll.topic, [])
     spark = session.spark
     schema = _schema_ddl(coll)
+    # coerce TIMESTAMP-typed columns: INSERT VALUES carries them as
+    # ISO strings (ksqlDB's literal form); createDataFrame wants
+    # datetimes
+    ts_cols = {
+        c.split(":")[0]
+        for c in coll.properties["columns"].split(",")
+        if c and c.split(":")[1].upper() == "TIMESTAMP"
+    }
+    if rows and ts_cols:
+        from datetime import datetime
+
+        def fix(r):
+            return {
+                k: (datetime.fromisoformat(v)
+                    if k in ts_cols and isinstance(v, str) else v)
+                for k, v in r.items()
+            }
+
+        rows = [fix(r) for r in rows]
     if rows:
         df = spark.createDataFrame([tuple(r.values()) for r in rows], schema=schema)
     else:
@@ -214,9 +233,19 @@ def _parse_values(s: str) -> list[Any]:
     return out
 
 
+def _ts_col_of(session, sql: str) -> str | None:
+    """The FROM collection's declared event-time column (WITH
+    (TIMESTAMP='col')) — required by windowed queries, unused
+    otherwise."""
+    tbl = dialect.from_table(sql)
+    coll = session.catalog.get(tbl) if tbl else None
+    return coll.properties.get("timestamp") if coll else None
+
+
 def _create_as_select(session, kind: str, name: str, props: dict[str, str],
                       select: str) -> Collection:
-    sql, partition_by = dialect.rewrite_select(select)
+    sql, partition_by = dialect.rewrite_select(
+        select, ts_col=_ts_col_of(session, select))
     # A non-aggregated CSAS writes a real topic, so its records carry
     # their own offsets; downstream LATEST_BY_OFFSET over the derived
     # stream (all.sql:136-137 reads match_event_player) needs them.

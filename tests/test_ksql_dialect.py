@@ -254,3 +254,64 @@ def test_scalar_function_surface_extensions(eng):
     # two Portuguese players: lexicographically descending top-2
     assert t["Portuguese"] == sorted(t["Portuguese"], reverse=True)
     assert len(t["Portuguese"]) == 2
+
+
+def test_windowed_aggregations_via_ksql_syntax(spark):
+    """ksqlDB WINDOW TUMBLING / HOPPING / SESSION syntax end-to-end:
+    the dialect rewrites to Spark window()/session_window() grouped on
+    the collection's declared TIMESTAMP column, with WINDOWSTART /
+    WINDOWEND pseudo-columns."""
+    import pytest as _pytest
+
+    from ksql_query_tutorial_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    eng.ksql("""
+        CREATE STREAM clicks (ts TIMESTAMP, user_id BIGINT)
+        WITH (KAFKA_TOPIC='clicks', VALUE_FORMAT='JSON', PARTITIONS=1,
+              TIMESTAMP='ts');
+    """)
+    for t, u in [("2024-01-01 00:00:10", 1), ("2024-01-01 00:00:40", 2),
+                 ("2024-01-01 00:01:10", 1), ("2024-01-01 00:03:30", 3)]:
+        eng.ksql(
+            f"INSERT INTO clicks (ts, user_id) VALUES ('{t}', {u});"
+        )
+
+    tum = eng.ksql("""
+        SELECT WINDOWSTART ws, COUNT(*) n FROM clicks
+        WINDOW TUMBLING (SIZE 1 MINUTES) GROUP BY 1 EMIT CHANGES;
+    """)
+    got = {str(r.ws): r.n for r in tum.collect()}
+    assert got == {"2024-01-01 00:00:00": 2, "2024-01-01 00:01:00": 1,
+                   "2024-01-01 00:03:00": 1}
+
+    hop = eng.ksql("""
+        SELECT WINDOWSTART ws, COUNT(*) n FROM clicks
+        WINDOW HOPPING (SIZE 2 MINUTES, ADVANCE BY 1 MINUTES)
+        GROUP BY 1 EMIT CHANGES;
+    """)
+    rows = {str(r.ws): r.n for r in hop.collect()}
+    # the 00:00-02:00 hop covers the first three events
+    assert rows["2024-01-01 00:00:00"] == 3
+
+    sess = eng.ksql("""
+        SELECT user_id, WINDOWSTART ws, WINDOWEND we, COUNT(*) n
+        FROM clicks WINDOW SESSION (45 SECONDS)
+        GROUP BY user_id EMIT CHANGES;
+    """)
+    per_user = {}
+    for r in sess.collect():
+        per_user.setdefault(r.user_id, []).append(r.n)
+    # user 1's two events are 60s apart: > 45s gap -> two sessions
+    assert sorted(per_user[1]) == [1, 1]
+    assert per_user[2] == [1] and per_user[3] == [1]
+
+    # a windowed query against a source with NO declared timestamp
+    # fails with the actionable message, not a Spark analysis error
+    eng.ksql("""
+        CREATE STREAM nots (v BIGINT)
+        WITH (KAFKA_TOPIC='nots', VALUE_FORMAT='JSON', PARTITIONS=1);
+    """)
+    with _pytest.raises(ValueError, match="TIMESTAMP"):
+        eng.ksql("SELECT COUNT(*) c FROM nots WINDOW TUMBLING "
+                 "(SIZE 1 MINUTES) GROUP BY v EMIT CHANGES;")
