@@ -179,11 +179,15 @@ def rewrite_window(sql: str, ts_col: str | None) -> str:
     return sql[: gb.end()] + wexpr + ", " + sql[gb.end():]
 
 
-def rewrite_select(sql: str, ts_col: str | None = None) -> tuple[str, str | None]:
+def rewrite_select(
+    sql: str, ts_col: str | None = None, ts_of=None
+) -> tuple[str, str | None]:
     """Full select rewrite: returns (spark_sql, partition_by_col)."""
     sql = strip_emit_changes(sql)
     sql, part = extract_partition_by(sql)
     sql = rewrite_window(sql, ts_col)
+    if ts_of is not None:
+        sql = rewrite_within(sql, ts_of)
     return rewrite_functions(sql), part
 
 
@@ -235,3 +239,54 @@ def parse_with_props(props: str) -> dict[str, str]:
         key = (m.group(1) or m.group(2)).lower()
         out[key] = next(g for g in (m.group(3), m.group(4), m.group(5)) if g is not None)
     return out
+
+
+_WITHIN_CLAUSE = re.compile(
+    r"\bJOIN\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?(?!ON\b|WITHIN\b)([A-Za-z_]\w*))?"
+    r"\s+WITHIN\s+(\d+)\s+([A-Za-z]+)\s+ON\b",
+    re.I,
+)
+
+
+def rewrite_within(sql: str, ts_of) -> str:
+    """ksqlDB windowed stream–stream join syntax → an explicit
+    time-range join condition (SURVEY §2.4 / README.md:356-360):
+
+    ``a JOIN b WITHIN n U ON a.k = b.k`` becomes the same equi-join
+    with ``b.ts BETWEEN a.ts - INTERVAL n U AND a.ts + INTERVAL n U``
+    appended — exactly the condition ``streaming/windows.interval_join``
+    builds, so the batch view and the watermarked streaming form share
+    semantics. ``ts_of(collection_name)`` resolves each side's declared
+    event-time column (``WITH (TIMESTAMP='col')``); both sides must
+    declare one.
+    """
+    m = _WITHIN_CLAUSE.search(sql)
+    if not m:
+        return sql
+    rtbl, ralias, n, unit = m.group(1), m.group(2), m.group(3), m.group(4)
+    lm = re.search(r"\bFROM\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?"
+                   r"(?!INNER\b|LEFT\b|RIGHT\b|FULL\b|JOIN\b)([A-Za-z_]\w*))?",
+                   sql, re.I)
+    if not lm:
+        raise ValueError("WITHIN join needs a FROM relation")
+    ltbl, lalias = lm.group(1), lm.group(2)
+    lts = ts_of(ltbl.lower())
+    rts = ts_of(rtbl.lower())
+    if not lts or not rts:
+        raise ValueError(
+            "WITHIN join needs event-time on BOTH sides: declare each "
+            "source WITH (TIMESTAMP='<col>')"
+        )
+    lref = f"{lalias or ltbl}.{lts}"
+    rref = f"{ralias or rtbl}.{rts}"
+    iv = f"INTERVAL {n} {unit.upper()}"
+    # drop the WITHIN clause, keep "JOIN <tbl> [alias] ON"
+    repl = f"JOIN {rtbl}{' ' + ralias if ralias else ''} ON"
+    sql = sql[: m.start()] + repl + sql[m.end():]
+    # append the range bound to the ON condition (up to the next clause)
+    end = re.search(r"\b(WHERE|GROUP\s+BY|PARTITION\s+BY|EMIT|$)",
+                    sql[m.start():], re.I)
+    ins = m.start() + (end.start() if end else len(sql) - m.start())
+    bound = (f" AND {rref} >= {lref} - {iv}"
+             f" AND {rref} <= {lref} + {iv} ")
+    return sql[:ins] + bound + sql[ins:]

@@ -107,7 +107,9 @@ def _execute_one(session, stmt: str) -> Any:
         return _insert_into(session, stmt)
 
     if head == "SELECT":
-        sql, _ = dialect.rewrite_select(stmt, ts_col=_ts_col_of(session, stmt))
+        sql, _ = dialect.rewrite_select(
+            stmt, ts_col=_ts_col_of(session, stmt),
+            ts_of=lambda t: _ts_prop(session, t))
         return session.spark.sql(sql)
 
     if head == "SHOW":
@@ -233,19 +235,24 @@ def _parse_values(s: str) -> list[Any]:
     return out
 
 
+def _ts_prop(session, table: str) -> str | None:
+    coll = session.catalog.get(table)
+    return coll.properties.get("timestamp") if coll else None
+
+
 def _ts_col_of(session, sql: str) -> str | None:
     """The FROM collection's declared event-time column (WITH
     (TIMESTAMP='col')) — required by windowed queries, unused
     otherwise."""
     tbl = dialect.from_table(sql)
-    coll = session.catalog.get(tbl) if tbl else None
-    return coll.properties.get("timestamp") if coll else None
+    return _ts_prop(session, tbl) if tbl else None
 
 
 def _create_as_select(session, kind: str, name: str, props: dict[str, str],
                       select: str) -> Collection:
     sql, partition_by = dialect.rewrite_select(
-        select, ts_col=_ts_col_of(session, select))
+        select, ts_col=_ts_col_of(session, select),
+        ts_of=lambda t: _ts_prop(session, t))
     # A non-aggregated CSAS writes a real topic, so its records carry
     # their own offsets; downstream LATEST_BY_OFFSET over the derived
     # stream (all.sql:136-137 reads match_event_player) needs them.

@@ -315,3 +315,40 @@ def test_windowed_aggregations_via_ksql_syntax(spark):
     with _pytest.raises(ValueError, match="TIMESTAMP"):
         eng.ksql("SELECT COUNT(*) c FROM nots WINDOW TUMBLING "
                  "(SIZE 1 MINUTES) GROUP BY v EMIT CHANGES;")
+
+
+def test_within_join_via_ksql_syntax(spark):
+    """ksqlDB `JOIN ... WITHIN n U ON ...`: rewritten to the explicit
+    time-range join condition over both sides' declared TIMESTAMP
+    columns — same semantics as streaming interval_join."""
+    import pytest as _pytest
+
+    from ksql_query_tutorial_spark.session import EngineSession
+
+    eng = EngineSession(spark)
+    for nm in ("impressions", "clicks2"):
+        eng.ksql(f"""
+            CREATE STREAM {nm} (ts TIMESTAMP, user_id BIGINT)
+            WITH (KAFKA_TOPIC='{nm}', VALUE_FORMAT='JSON', PARTITIONS=1,
+                  TIMESTAMP='ts');
+        """)
+    eng.ksql("INSERT INTO impressions (ts, user_id) VALUES ('2024-01-01 00:00:00', 1);")
+    eng.ksql("INSERT INTO impressions (ts, user_id) VALUES ('2024-01-01 01:00:00', 2);")
+    eng.ksql("INSERT INTO clicks2 (ts, user_id) VALUES ('2024-01-01 00:10:00', 1);")  # in window
+    eng.ksql("INSERT INTO clicks2 (ts, user_id) VALUES ('2024-01-01 02:30:00', 2);")  # out (90 min)
+
+    out = eng.ksql("""
+        SELECT i.user_id, i.ts its, c.ts cts
+        FROM impressions i JOIN clicks2 c WITHIN 30 MINUTES
+        ON i.user_id = c.user_id EMIT CHANGES;
+    """).collect()
+    assert len(out) == 1 and out[0].user_id == 1
+
+    # both sides need event time
+    eng.ksql("""
+        CREATE STREAM nots2 (user_id BIGINT)
+        WITH (KAFKA_TOPIC='nots2', VALUE_FORMAT='JSON', PARTITIONS=1);
+    """)
+    with _pytest.raises(ValueError, match="BOTH"):
+        eng.ksql("SELECT * FROM impressions i JOIN nots2 n WITHIN 1 HOURS "
+                 "ON i.user_id = n.user_id EMIT CHANGES;")
