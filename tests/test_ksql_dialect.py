@@ -352,3 +352,29 @@ def test_within_join_via_ksql_syntax(spark):
     with _pytest.raises(ValueError, match="BOTH"):
         eng.ksql("SELECT * FROM impressions i JOIN nots2 n WITHIN 1 HOURS "
                  "ON i.user_id = n.user_id EMIT CHANGES;")
+
+
+def test_ansi_passthrough_surface(eng):
+    """The KSQL clauses that ARE Spark SQL already — HAVING, BETWEEN,
+    LIKE, IN, CASE in WHERE — pass through the dialect unchanged and
+    produce correct results (pinning the no-rewrite contract)."""
+    hav = eng.ksql("""
+        SELECT nationality, COUNT(*) n FROM players
+        GROUP BY nationality HAVING COUNT(*) > 1 EMIT CHANGES;
+    """).collect()
+    assert all(r.n > 1 for r in hav) and len(hav) >= 1
+    like = eng.ksql(
+        "SELECT name FROM players WHERE name LIKE 'L%' EMIT CHANGES;"
+    ).collect()
+    assert {r.name for r in like} >= {"Lionel Messi"}
+    inq = eng.ksql("""
+        SELECT COUNT(*) n FROM players
+        WHERE nationality IN ('Portuguese', 'Brazilian') EMIT CHANGES;
+    """).collect()
+    assert inq[0].n >= 3
+    btw = eng.ksql(
+        "SELECT COUNT(*) n FROM players WHERE id BETWEEN '1' AND '3' "
+        "EMIT CHANGES;"
+    ).collect()
+    # VARCHAR ids compare lexicographically: '1', '10', '2', '3'
+    assert btw[0].n == 4
