@@ -2567,3 +2567,49 @@ EXTENSION_ORACLES["sample_weighted"] = f"""
     SELECT doc_id, weight, u, key
     FROM key ORDER BY rawkey DESC, doc_id LIMIT {SAMPLE_W_K}
 """
+
+
+# ----------------------------------------------- last-touch attribution
+
+ATTR_TTL_MIN = 1440
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the most
+    recent preceding click/view by the same user within 24 h. See
+    analytics.last_touch_attribution."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return last_touch_attribution(e, ttl_minutes=ATTR_TTL_MIN)
+
+
+EXTENSION_QUERIES["events_attribution"] = events_attribution
+
+EXTENSION_ORACLES["events_attribution"] = f"""
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      epoch_us(ts) AS us
+               FROM events),
+    l AS (SELECT *, max(CASE WHEN event_type IN ('click', 'view')
+                        THEN struct_pack(us := us, id := event_id,
+                                         tt := event_type) END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lt
+          FROM o),
+    p AS (SELECT *, lt IS NOT NULL
+                    AND us - (lt).us <= CAST({ATTR_TTL_MIN} AS BIGINT)
+                                        * 60000000 AS ok
+          FROM l WHERE event_type = 'purchase')
+    SELECT user_id, event_id AS conversion_id, ts AS conversion_ts,
+           CASE WHEN ok THEN (lt).id END AS touch_id,
+           CASE WHEN ok THEN make_timestamp((lt).us) END AS touch_ts,
+           CASE WHEN ok THEN (lt).tt END AS touch_type,
+           CASE WHEN ok
+                THEN ROUND(CAST(us - (lt).us AS DOUBLE) / 60000000.0, 6)
+           END AS mins_since_touch
+    FROM p ORDER BY conversion_id
+"""

@@ -366,3 +366,66 @@ def transition_matrix(
             ).alias("p"),
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    ttl_minutes: int = 1440,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: credit each CONVERSION event to the most
+    recent preceding touch event by the same user within ``ttl_minutes``
+    (the marketing-attribution primitive; the funnel answers "did the
+    user ever complete the sequence", this answers "which touch gets
+    credit for THIS conversion").
+
+    ONE full-data exchange: a running ``max(struct(ts, id, type))``
+    over the touch events, evaluated per row with an unbounded-
+    preceding-to-previous-row frame on the user-keyed (ts, tiebreak)
+    ordering, then a TTL filter. No join, no per-conversion scan.
+    Strictly-before semantics via the ``-1`` frame end; equal-timestamp
+    touches order by the tiebreak. Conversions with no in-TTL touch
+    keep NULL touch columns (unattributed, counted not dropped).
+
+    Returns ``user_id, conversion_id, conversion_ts, touch_id,
+    touch_ts, touch_type, mins_since_touch (rounded 6)``.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    touch = F.when(
+        F.col(type_col).isin(list(touch_types)),
+        F.struct(
+            us.alias("us"),
+            F.col(tiebreak_col).alias("id"),
+            F.col(type_col).alias("tt"),
+        ),
+    )
+    ttl_us = int(ttl_minutes) * 60 * 1_000_000
+    out = (
+        df.withColumn("__last", F.max(touch).over(w))
+        .filter(F.col(type_col) == conversion_type)
+        .withColumn(
+            "__ok",
+            F.col("__last").isNotNull()
+            & (us - F.col("__last.us") <= F.lit(ttl_us)),
+        )
+    )
+    mins = (us - F.col("__last.us")).cast("double") / F.lit(60e6)
+    return out.select(
+        F.col(user_col).alias("user_id"),
+        F.col(tiebreak_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.when(F.col("__ok"), F.col("__last.id")).alias("touch_id"),
+        F.when(F.col("__ok"), F.timestamp_micros(F.col("__last.us")).cast(df.schema[ts_col].dataType)).alias("touch_ts"),
+        F.when(F.col("__ok"), F.col("__last.tt")).alias("touch_type"),
+        F.when(F.col("__ok"), F.round(mins, 6)).alias("mins_since_touch"),
+    )

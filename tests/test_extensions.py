@@ -1334,3 +1334,36 @@ def test_hybrid_rrf_fusion_structure(spark):
     assert lex_ranks == list(range(1, len(lex_ranks) + 1))
     vec_ranks = sorted(r.vec_rank for r in rows if r.vec_rank is not None)
     assert vec_ranks == list(range(1, len(vec_ranks) + 1))
+
+
+def test_last_touch_attribution_semantics(spark):
+    """Known stream: latest in-TTL touch wins; strictly-before (a touch
+    at the SAME timestamp as the conversion does not count via the
+    tiebreak frame only when it sorts after); out-of-TTL and
+    touch-less conversions stay NULL-attributed."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        last_touch_attribution,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    m = timedelta(minutes=1)
+    rows = [
+        (1, t0, 10, "view"),
+        (1, t0 + 5 * m, 11, "click"),           # latest touch
+        (1, t0 + 10 * m, 12, "purchase"),       # -> click 11
+        (2, t0, 20, "view"),
+        (2, t0 + 200 * m, 21, "purchase"),      # TTL 60 -> unattributed
+        (3, t0, 30, "purchase"),                # no touch at all
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.conversion_id: r for r in
+           last_touch_attribution(df, ttl_minutes=60).collect()}
+    assert out[12].touch_id == 11 and out[12].touch_type == "click"
+    assert out[12].mins_since_touch == 5.0
+    assert out[21].touch_id is None and out[21].mins_since_touch is None
+    assert out[30].touch_id is None
+    assert len(out) == 3                        # every conversion present
