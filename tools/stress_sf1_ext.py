@@ -82,6 +82,7 @@ EXT_NAMES = [
     "hybrid_search",
     "mm_frame_dedup",
     "sample_weighted",
+    "events_attribution",
 ]
 
 
