@@ -28,7 +28,9 @@ from ksql_query_tutorial_spark.session import get_spark  # noqa: E402
 from ksql_query_tutorial_spark.tables import load  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+# 10 -> sf1; override (e.g. GEN_SF_REPLICAS=30 -> sf3) for extra
+# scale points on the stress curve
+REPLICAS = int(os.environ.get("GEN_SF_REPLICAS", "10"))
 
 # table -> columns sharing that table's key domain (shift together)
 KEY_DOMAINS = {
