@@ -71,9 +71,13 @@ _GATE_PRIORITY = [
     # corpus_cooccurrence, events_moving_avg, corpus_summary,
     # events_top_paths, corpus_cms_counts, dedup_containment,
     # layout_zorder, corpus_novelty, corpus_mix_temperature,
-    # events_histogram — all hash-verified in-repo by tests/test_oracle.py
-    # every pytest run; the window's 20 non-tutorial slots are already
-    # maximally allocated to ops awaiting their FIRST driver round.
+    # events_histogram, graph_pagerank, embedding_covariance,
+    # embedding_outliers, customer_rfm, orders_basket, events_markov,
+    # corpus_clean, hybrid_search, mm_frame_dedup, sample_weighted,
+    # events_attribution — all hash-verified in-repo by
+    # tests/test_oracle.py every pytest run; the window's 20
+    # non-tutorial slots are already maximally allocated to ops
+    # awaiting their FIRST driver round.
 ]
 
 
