@@ -2613,3 +2613,40 @@ EXTENSION_ORACLES["events_attribution"] = f"""
            END AS mins_since_touch
     FROM p ORDER BY conversion_id
 """
+
+
+# ----------------------------------------------- SCD2 dimension build
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history: each user's event_type treated as a
+    CDC-tracked state — consecutive repeats collapse into versions
+    with validity intervals. See analytics.scd2_intervals."""
+    from ksql_query_tutorial_spark.operators.analytics import scd2_intervals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return scd2_intervals(e)
+
+
+EXTENSION_QUERIES["events_scd2"] = events_scd2
+
+EXTENSION_ORACLES["events_scd2"] = """
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      lag(event_type) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS prev
+               FROM events),
+    ch AS (SELECT user_id, ts, event_id, event_type
+           FROM o WHERE prev IS NULL OR prev IS DISTINCT FROM event_type),
+    v AS (SELECT user_id AS key, event_type AS state,
+                 CAST(row_number() OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id) AS INT)
+                   AS version,
+                 ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+                 CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_changes_total
+          FROM ch)
+    SELECT * FROM v ORDER BY key, version
+"""

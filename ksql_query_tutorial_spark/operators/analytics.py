@@ -429,3 +429,56 @@ def last_touch_attribution(
         F.when(F.col("__ok"), F.col("__last.tt")).alias("touch_type"),
         F.when(F.col("__ok"), F.round(mins, 6)).alias("mins_since_touch"),
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a changelog: per
+    key, collapse consecutive repeats of the tracked state and emit
+    one VERSION row per distinct run with its validity interval —
+    ``valid_to`` is the next version's start (NULL = current). The
+    dimension-history primitive every warehouse derives from CDC
+    feeds (and the interval table as-of joins then consume).
+
+    ONE full-data exchange: change detection (``lag``), version close
+    (``lead``) and the version counter are three stacked windows on
+    the same ``partitionBy(key) orderBy(ts, tiebreak)`` spec; the
+    repeat filter runs between them on the same partitioning.
+
+    Returns ``key, state, version (1-based per key), valid_from,
+    valid_to, n_changes_total``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    changes = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull()
+            | (~F.col("__prev").eqNullSafe(F.col(state_col)))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn(
+            "n_changes_total",
+            F.count(F.lit(1)).over(Window.partitionBy(key_col)),
+        )
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(state_col).alias("state"),
+            "version",
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            "n_changes_total",
+        )
+    )

@@ -1367,3 +1367,29 @@ def test_last_touch_attribution_semantics(spark):
     assert out[21].touch_id is None and out[21].mins_since_touch is None
     assert out[30].touch_id is None
     assert len(out) == 3                        # every conversion present
+
+
+def test_scd2_collapses_repeats_and_closes_versions(spark):
+    """a,a,b,a for one user: three versions (a, b, a) with contiguous
+    intervals, the last one open; version numbers are 1-based."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import scd2_intervals
+
+    t0 = datetime(2026, 1, 1)
+    h = timedelta(hours=1)
+    rows = [
+        (1, t0, 1, "a"), (1, t0 + h, 2, "a"),
+        (1, t0 + 2 * h, 3, "b"), (1, t0 + 3 * h, 4, "a"),
+        (2, t0, 5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {(r.key, r.version): r for r in scd2_intervals(df).collect()}
+    assert [out[(1, v)].state for v in (1, 2, 3)] == ["a", "b", "a"]
+    assert out[(1, 1)].valid_to == out[(1, 2)].valid_from  # contiguous
+    assert out[(1, 3)].valid_to is None                    # current
+    assert out[(1, 1)].n_changes_total == 3
+    assert out[(2, 1)].state == "x" and out[(2, 1)].valid_to is None
+    assert len(out) == 4
