@@ -83,6 +83,7 @@ EXT_NAMES = [
     "mm_frame_dedup",
     "sample_weighted",
     "events_attribution",
+    "events_scd2",
 ]
 
 
