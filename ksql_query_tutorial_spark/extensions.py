@@ -2650,3 +2650,36 @@ EXTENSION_ORACLES["events_scd2"] = """
           FROM ch)
     SELECT * FROM v ORDER BY key, version
 """
+
+
+# ----------------------------------------------- fulfillment cycle times
+
+def orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month order→ship cycle-time distribution (SLA analytics).
+    See retail.fulfillment_cycle."""
+    from ksql_query_tutorial_spark.operators.retail import fulfillment_cycle
+
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return fulfillment_cycle(o, li)
+
+
+EXTENSION_QUERIES["orders_fulfillment"] = orders_fulfillment
+
+EXTENSION_ORACLES["orders_fulfillment"] = """
+    WITH b AS (SELECT l_orderkey AS okey,
+                      min(CAST(l_shipdate AS DATE)) AS first_ship,
+                      max(CAST(l_shipdate AS DATE)) AS last_ship
+               FROM lineitem GROUP BY 1),
+    j AS (SELECT CAST(o_orderdate AS DATE) AS odate, first_ship, last_ship
+          FROM orders JOIN b ON o_orderkey = okey)
+    SELECT CAST(date_trunc('month', odate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(avg(datediff('day', odate, first_ship)), 6)
+             AS avg_days_first_ship,
+           ROUND(avg(datediff('day', odate, last_ship)), 6)
+             AS avg_days_last_ship,
+           CAST(max(datediff('day', odate, last_ship)) AS BIGINT)
+             AS max_days_last_ship
+    FROM j GROUP BY 1 ORDER BY 1
+"""

@@ -154,3 +154,42 @@ def basket_pairs(
             ).alias("lift"),
         )
     )
+
+
+def fulfillment_cycle(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Order fulfillment cycle-time analytics: per order-month, the
+    distribution of days from order date to first and last line-item
+    shipment — the operations-dashboard rollup behind SLA tracking
+    (and the relational sibling of the event-analytics rollups).
+
+    Plan: the per-order ship bounds are ONE orderkey-keyed aggregate
+    over lineitem; the join back to orders is orderkey-equi (AQE picks
+    broadcast or sort-merge by size); the monthly rollup's exchange
+    carries |months| cells of integer-day partials — exact sums, so
+    the averages are order-independent.
+
+    Returns ``month, n_orders, avg_days_first_ship,
+    avg_days_last_ship, max_days_last_ship`` per order month.
+    """
+    bounds = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("first_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("last_ship"),
+    )
+    joined = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    ).join(bounds, "okey")
+    d_first = F.datediff("first_ship", "odate").cast("long")
+    d_last = F.datediff("last_ship", "odate").cast("long")
+    return (
+        joined.groupBy(F.date_trunc("month", "odate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg(d_first), 6).alias("avg_days_first_ship"),
+            F.round(F.avg(d_last), 6).alias("avg_days_last_ship"),
+            F.max(d_last).alias("max_days_last_ship"),
+        )
+    )
