@@ -84,6 +84,7 @@ EXT_NAMES = [
     "sample_weighted",
     "events_attribution",
     "events_scd2",
+    "orders_fulfillment",
 ]
 
 
