@@ -120,3 +120,51 @@ def test_query_survives_null_rows(spark, nullrow_sf_dir, name):
     and explodes, and count as empty where a contract needs a row."""
     n = QUERIES[name](spark, nullrow_sf_dir).count()
     assert n >= 0
+
+
+@pytest.fixture(scope="module")
+def extreme_sf_dir(spark, tmp_path_factory):
+    """sf0.001 plus adversarial rows: a 200k-char single-token doc, a
+    unicode (emoji/CJK/RTL) doc, a whitespace-only doc, a 10k-times
+    repeated-token doc, and events with extreme double values."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path_factory.mktemp("sf-extreme"))
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        spark.read.parquet(os.path.join(src, f"{t}.parquet")) \
+            .write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    base = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    extreme = [
+        (base, "x" * 200_000, "en", "src0", 200_000),
+        (base + 1, "emoji 🙂🚀 汉字 مرحبا עברית mixed", "xx", "srcU", 30),
+        (base + 2, "   \t  \t ", "en", "src0", 8),
+        (base + 3, " ".join(["tok"] * 10_000), "en", "src1", 39_999),
+    ]
+    docs.unionByName(
+        spark.createDataFrame(extreme, docs.schema)
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    emax = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    ts = ev.select("ts").first()[0]
+    dirty = [
+        (emax, ts, 7, "view", 1e308, "{}"),
+        (emax + 1, ts, 7, "click", -1e308, '{"k": 999999999999}'),
+        (emax + 2, ts, 7, "purchase", 0.0, "not json at all"),
+    ]
+    ev.unionByName(
+        spark.createDataFrame(dirty, ev.schema)
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_survives_extreme_rows(spark, extreme_sf_dir, name):
+    """Giant/unicode/degenerate documents and extreme numeric values
+    must not crash any query (slow is acceptable; throwing is not)."""
+    n = QUERIES[name](spark, extreme_sf_dir).count()
+    assert n >= 0
