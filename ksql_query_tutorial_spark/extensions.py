@@ -2683,3 +2683,44 @@ EXTENSION_ORACLES["orders_fulfillment"] = """
              AS max_days_last_ship
     FROM j GROUP BY 1 ORDER BY 1
 """
+
+
+# ----------------------------------------------- DAU / WAU engagement
+
+AU_WINDOW_DAYS = 7
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily + rolling-7-day distinct active users with stickiness —
+    the canonical engagement rollup. See analytics.active_users."""
+    from ksql_query_tutorial_spark.operators.analytics import active_users
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return active_users(e, window_days=AU_WINDOW_DAYS)
+
+
+EXTENSION_QUERIES["events_active_users"] = events_active_users
+
+EXTENSION_ORACLES["events_active_users"] = f"""
+    WITH pairs AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                                     AS day,
+                                   user_id
+                   FROM events),
+    dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM pairs GROUP BY 1),
+    contrib AS (SELECT CAST(unnest(range(CAST(day AS TIMESTAMP),
+                                         CAST(day + {AU_WINDOW_DAYS}
+                                              AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE)
+                         AS target_day,
+                       user_id
+                FROM pairs),
+    wau AS (SELECT target_day AS day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1)
+    SELECT day, dau, wau,
+           ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day
+"""

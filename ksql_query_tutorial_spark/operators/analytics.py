@@ -482,3 +482,59 @@ def scd2_intervals(
             "n_changes_total",
         )
     )
+
+
+def active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """DAU / rolling-WAU engagement metrics: per calendar day, the
+    exact count of distinct active users that day (DAU) and over the
+    trailing ``window_days`` (WAU), plus the DAU/WAU stickiness ratio
+    — the canonical product-engagement rollup.
+
+    Scale shape: the stream first collapses to distinct (day, user)
+    pairs (ONE full-data exchange with map-side dedup partials). The
+    rolling distinct is NOT a windowed set union — each (day, user)
+    pair fans out to the ≤ ``window_days`` target days it makes the
+    user active for (a bounded explode), and one distinct-count
+    aggregate per target day finishes. Exchanges carry (day, user)
+    rows — calendar × users bounded — never raw events. Target days
+    with no activity in their trailing window simply don't appear
+    (metrics over observed days; calendars with gaps join a spine).
+
+    Returns ``day, dau, wau, stickiness (rounded 6)`` per observed
+    day.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col)).cast("date")
+    pairs = (
+        df.select(day.alias("day"), F.col(user_col).alias("user_id"))
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), window_days - 1),
+            )
+        ).alias("target_day"),
+        "day",
+        "user_id",
+    )
+    wau = (
+        contrib.groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("target_day", "day")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -1393,3 +1393,26 @@ def test_scd2_collapses_repeats_and_closes_versions(spark):
     assert out[(1, 1)].n_changes_total == 3
     assert out[(2, 1)].state == "x" and out[(2, 1)].valid_to is None
     assert len(out) == 4
+
+
+def test_active_users_rolling_window(spark):
+    """Hand-built activity: user 1 active days 1 and 3, user 2 day 1
+    only. DAU exact per day; WAU(3) counts users active in the
+    trailing 3 days; stickiness = dau/wau."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import active_users
+
+    def ts(d):
+        return datetime(2026, 1, d, 12, 0, 0)
+
+    rows = [(1, ts(1)), (2, ts(1)), (1, ts(3)), (1, ts(3))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {str(r.day): r for r in active_users(df, window_days=3).collect()}
+    assert out["2026-01-01"].dau == 2 and out["2026-01-01"].wau == 2
+    # day 3 trailing 3-day window covers days 1-3: both users active
+    assert out["2026-01-03"].dau == 1 and out["2026-01-03"].wau == 2
+    assert out["2026-01-03"].stickiness == 0.5
+    # day 2: no activity that day -> no DAU row; day 4-5 appear in the
+    # fan-out only via wau, which the inner join then drops
+    assert "2026-01-02" not in out and "2026-01-04" not in out
