@@ -85,6 +85,7 @@ EXT_NAMES = [
     "events_attribution",
     "events_scd2",
     "orders_fulfillment",
+    "events_active_users",
 ]
 
 
