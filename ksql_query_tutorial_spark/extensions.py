@@ -2724,3 +2724,170 @@ EXTENSION_ORACLES["events_active_users"] = f"""
              AS stickiness
     FROM dau JOIN wau USING (day) ORDER BY day
 """
+
+
+# ------------------------------------------------ HLL distinct sketch
+
+HLL_P = 6
+_HLL_ALPHA_MM = 0.709 * (1 << HLL_P) * (1 << HLL_P)  # alpha_64 * m^2
+_HLL_POW2CAP = float(1 << 50)
+
+
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate via a hand-rolled
+    HyperLogLog sketch — the register-max mergeable-cardinality twin
+    of the KMV estimator (`corpus_kmv_vocab`): max is idempotent, so
+    the sketch needs NO pre-distinct pass and unions across shards for
+    free. Portable integer/string rank arithmetic (length(bin(w)),
+    BIGINT-scaled harmonic sum) makes the estimate bit-reproducible in
+    DuckDB — the usual reason HLL is 'un-oracle-able' is engine-native
+    opaque sketches, not the algorithm."""
+    from ksql_query_tutorial_spark.operators.analytics import hll_distinct
+
+    e = load(spark, sf_dir, "events")
+    return hll_distinct(e, "event_type", "user_id", p=HLL_P).select(
+        F.col("group").alias("event_type"), "n_exact", "est_distinct", "rel_err"
+    )
+
+
+EXTENSION_QUERIES["events_hll_users"] = events_hll_users
+
+def _hll_lane_sql(mult1: int, add1: int, mult2: int, sh1: int, sh2: int) -> str:
+    """DuckDB twin of analytics._hll_lane (multiply-mod / xor-shift /
+    multiply-mod / xor-shift over the Mersenne-31 ring)."""
+    s1 = f"((u * {mult1} + {add1}) % 2147483647)"
+    s2 = f"xor({s1}, {s1} // {1 << sh1})"
+    s3 = f"(({s2} * {mult2}) % 2147483647)"
+    return f"xor({s3}, {s3} // {1 << sh2})"
+
+
+_HLL_LANE_A = _hll_lane_sql(2654435761, 7, 2246822519, 16, 11)
+_HLL_LANE_B = _hll_lane_sql(2246822519, 11, 2654435761, 15, 13)
+
+EXTENSION_ORACLES["events_hll_users"] = f"""
+    WITH h AS (SELECT event_type,
+                      ({_HLL_LANE_A})
+                      + ({_HLL_LANE_B}) * 2147483648 AS hh
+               FROM (SELECT event_type, user_id % 2147483647 AS u
+                     FROM events)),
+    regs AS (SELECT event_type, hh % {1 << HLL_P} AS bucket,
+                    max({62 - HLL_P + 1}
+                        - length(ltrim(bin(hh // {1 << HLL_P}), '0'))) AS r
+             FROM h GROUP BY 1, 2),
+    sk AS (SELECT event_type,
+                  sum(CAST(power(2, 50 - least(r, 50)) AS BIGINT))
+                    AS s_present,
+                  count(*) AS n_present
+           FROM regs GROUP BY 1),
+    e2 AS (SELECT event_type, {1 << HLL_P} - n_present AS zeros,
+                  (CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+                   * CAST({_HLL_POW2CAP!r} AS DOUBLE))
+                  / CAST(s_present + ({1 << HLL_P} - n_present)
+                         * {1 << 50} AS DOUBLE) AS raw
+           FROM sk),
+    fin AS (SELECT event_type,
+                   ROUND(CASE WHEN raw <= {2.5 * (1 << HLL_P)!r}
+                                   AND zeros > 0
+                         THEN {float(1 << HLL_P)!r}
+                              * ln({float(1 << HLL_P)!r}
+                                   / CAST(zeros AS DOUBLE))
+                         ELSE raw END, 6) AS est_distinct
+            FROM e2),
+    ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+           FROM events GROUP BY 1)
+    SELECT event_type, n_exact, est_distinct,
+           ROUND((est_distinct - n_exact) / CAST(n_exact AS DOUBLE), 6)
+             AS rel_err
+    FROM fin JOIN ex USING (event_type) ORDER BY event_type
+"""
+
+
+# ------------------------------------------- top-k / pareto analytics
+
+TOPK_N = 3
+
+
+def orders_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lifetime revenue per nation via hierarchical
+    (salted) rank windows — see retail.top_customers_per_nation."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        top_customers_per_nation,
+    )
+
+    return top_customers_per_nation(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        n=TOPK_N,
+    )
+
+
+EXTENSION_QUERIES["orders_top_customers"] = orders_top_customers
+
+EXTENSION_ORACLES["orders_top_customers"] = f"""
+    WITH rev AS (SELECT o_custkey AS custkey,
+                        ROUND(sum(o_totalprice), 6) AS revenue,
+                        count(*) AS n_orders
+                 FROM orders GROUP BY 1),
+    j AS (SELECT n.n_name AS nation, r.custkey, c.c_name, r.revenue,
+                 r.n_orders
+          FROM rev r
+          JOIN customer c ON c.c_custkey = r.custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY nation
+                       ORDER BY revenue DESC, custkey) AS rank
+           FROM j)
+    SELECT nation, CAST(rank AS BIGINT) AS rank, custkey, c_name,
+           revenue, CAST(n_orders AS BIGINT) AS n_orders
+    FROM rk WHERE rank <= {TOPK_N} ORDER BY nation, rank
+"""
+
+
+def orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report per region (top-decile share, #
+    customers covering 80%) — see retail.revenue_pareto."""
+    from ksql_query_tutorial_spark.operators.retail import revenue_pareto
+
+    return revenue_pareto(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+EXTENSION_QUERIES["orders_pareto"] = orders_pareto
+
+EXTENSION_ORACLES["orders_pareto"] = """
+    WITH rev AS (SELECT o_custkey AS custkey,
+                        ROUND(sum(o_totalprice), 6) AS revenue
+                 FROM orders GROUP BY 1),
+    geo AS (SELECT c.c_custkey AS custkey, rg.r_name AS region
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region rg ON rg.r_regionkey = n.n_regionkey),
+    pc AS (SELECT g.region, r.revenue, r.custkey
+           FROM rev r JOIN geo g USING (custkey)),
+    rkd AS (SELECT region, revenue,
+                   row_number() OVER (PARTITION BY region
+                     ORDER BY revenue DESC, custkey) AS rnk,
+                   sum(revenue) OVER (PARTITION BY region
+                     ORDER BY revenue DESC, custkey
+                     ROWS UNBOUNDED PRECEDING) AS cum
+            FROM pc),
+    st AS (SELECT region, max(cum) AS total, count(*) AS n_customers
+           FROM rkd GROUP BY 1),
+    agg AS (SELECT r.region, s.n_customers, s.total,
+                   max(CASE WHEN r.rnk = (s.n_customers + 9) // 10
+                       THEN r.cum END) AS top_rev,
+                   sum(CASE WHEN r.cum - r.revenue < 0.8 * s.total
+                       THEN 1 ELSE 0 END) AS n80
+            FROM rkd r JOIN st s USING (region) GROUP BY 1, 2, 3)
+    SELECT region, CAST(n_customers AS BIGINT) AS n_customers,
+           ROUND(total, 6) AS total_revenue,
+           ROUND(top_rev / total, 6) AS top_decile_share,
+           CAST(n80 AS BIGINT) AS n_for_80pct,
+           ROUND(CAST(n80 AS DOUBLE) / n_customers, 6) AS pct_for_80pct
+    FROM agg ORDER BY region
+"""

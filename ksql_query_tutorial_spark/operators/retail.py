@@ -193,3 +193,159 @@ def fulfillment_cycle(
             F.max(d_last).alias("max_days_last_ship"),
         )
     )
+
+
+def top_customers_per_nation(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    n: int = 3,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-``n`` customers by lifetime revenue per nation — the
+    canonical top-k-per-group analytic, built as a HIERARCHICAL top-k
+    so no single task ever sorts a whole nation's customers.
+
+    Plan: one custkey-keyed revenue rollup over orders (map-side
+    partials), an equi-join to the customer dim on the same key, a
+    broadcast of the 25-row nation dim, then TWO bounded rank windows:
+    first within (nation, salt) — ``salt_buckets``× smaller sorts, and
+    the overall top-n per nation provably survives every salt split —
+    then a final rank over the <= n·salt_buckets survivors per nation.
+    At 100 TB the per-window sort is |customers| / (25·salt_buckets)
+    rows instead of |customers| / 25. Revenue is rounded to 6 BEFORE
+    ranking and custkey breaks ties, so order is total and
+    engine-independent.
+
+    Returns ``nation, rank, custkey, c_name, revenue, n_orders``.
+    """
+    from pyspark.sql import Window
+
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cust = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_nationkey"
+    )
+    dim = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    joined = rev.join(cust, "custkey").join(dim, "c_nationkey")
+    salted = joined.withColumn(
+        "_salt", F.pmod(F.xxhash64("custkey"), F.lit(salt_buckets))
+    )
+    w_local = Window.partitionBy("nation", "_salt").orderBy(
+        F.desc("revenue"), F.asc("custkey")
+    )
+    cand = (
+        salted.withColumn("_r", F.row_number().over(w_local))
+        .filter(F.col("_r") <= n)
+    )
+    w_final = Window.partitionBy("nation").orderBy(
+        F.desc("revenue"), F.asc("custkey")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= n)
+        .select("nation", "rank", "custkey", "c_name", "revenue", "n_orders")
+    )
+
+
+def revenue_pareto(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Revenue-concentration (Pareto) report per region: how much of
+    the revenue the top decile of customers carries, and how few
+    customers cover 80% of it.
+
+    Plan: revenue collapses to ONE row per customer (custkey rollup,
+    map-side partials) before anything orders-sized touches a window;
+    nation+region are broadcast onto the customer dim; the running
+    share is a cumulative window over the per-region CUSTOMER
+    aggregate, ordered totally (rounded revenue desc, custkey). The
+    region totals come from max(cum) — the cumulative sum's own final
+    value — so Spark and the oracle sum in the IDENTICAL order and the
+    doubles agree bitwise; the 5-row totals broadcast back for the
+    threshold comparison. At extreme scale the per-region window input
+    is |customers|/|regions| rows (already 3-4 orders of magnitude
+    below the fact table); range-partitioned prefix sums (the
+    pack_sequences pattern) are the documented next step if that ever
+    dominates.
+
+    Returns ``region, n_customers, total_revenue, top_decile_share,
+    n_for_80pct, pct_for_80pct`` (shares rounded 6).
+    """
+    from pyspark.sql import Window
+
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 6).alias("revenue")
+    )
+    geo = (
+        customer.select(F.col("c_custkey").alias("custkey"), "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(
+                region.select(
+                    F.col("r_regionkey").alias("n_regionkey"),
+                    F.col("r_name").alias("region"),
+                )
+            ),
+            "n_regionkey",
+        )
+        .select("custkey", "region")
+    )
+    per_cust = rev.join(geo, "custkey")
+    w = Window.partitionBy("region").orderBy(F.desc("revenue"), F.asc("custkey"))
+    ranked = per_cust.select(
+        "region",
+        "revenue",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    stats = ranked.groupBy("region").agg(
+        F.max("cum").alias("total"), F.count(F.lit(1)).alias("n_customers")
+    )
+    joined = ranked.join(F.broadcast(stats), "region")
+    return (
+        joined.groupBy("region", "total", "n_customers")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rnk") == F.floor((F.col("n_customers") + 9) / 10),
+                    F.col("cum"),
+                )
+            ).alias("_top_rev"),
+            F.sum(
+                F.when(
+                    F.col("cum") - F.col("revenue") < F.lit(0.8) * F.col("total"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_for_80pct"),
+        )
+        .select(
+            "region",
+            "n_customers",
+            F.round("total", 6).alias("total_revenue"),
+            F.round(F.col("_top_rev") / F.col("total"), 6).alias(
+                "top_decile_share"
+            ),
+            "n_for_80pct",
+            F.round(
+                F.col("n_for_80pct") / F.col("n_customers").cast("double"), 6
+            ).alias("pct_for_80pct"),
+        )
+    )

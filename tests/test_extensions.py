@@ -1416,3 +1416,102 @@ def test_active_users_rolling_window(spark):
     # day 2: no activity that day -> no DAU row; day 4-5 appear in the
     # fan-out only via wau, which the inner join then drops
     assert "2026-01-02" not in out and "2026-01-04" not in out
+
+
+def test_hll_distinct_estimate_within_flajolet_bound(spark):
+    """HLL (m=64) on synthetic cardinalities: the estimate must land
+    within ~3 sigma of exact (sigma = 1.04/sqrt(64) = 13%) — the gate
+    that caught the affine-hash lattice bias (+86% before the
+    xor-shift rounds were added to the lane)."""
+    from ksql_query_tutorial_spark.operators.analytics import hll_distinct
+
+    df = spark.range(1, 20_001).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("item"),
+    )
+    for r in hll_distinct(df, "g", "item", p=6).collect():
+        assert abs(r.rel_err) < 0.40, (r.group, r.rel_err)
+        assert r.n_exact == 5000
+
+
+def test_hll_registers_are_duplicate_insensitive(spark):
+    """max-register sketches never need a pre-distinct: replicating
+    every item 7x must give the IDENTICAL estimate."""
+    from ksql_query_tutorial_spark.operators.analytics import hll_distinct
+
+    base = spark.range(1, 2_001).select(
+        F.lit("g").alias("g"), F.col("id").alias("item")
+    )
+    dup = base.crossJoin(spark.range(7)).select("g", "item")
+    one = hll_distinct(base, "g", "item").collect()[0]
+    many = hll_distinct(dup, "g", "item").collect()[0]
+    assert one.est_distinct == many.est_distinct
+    assert one.n_exact == many.n_exact == 2000
+
+
+def test_top_customers_salted_rank_matches_flat_rank(spark):
+    """The hierarchical (salted) top-k must equal a single flat rank
+    window — the survival property: every nation's overall top-n is in
+    some salt bucket's local top-n."""
+    from pyspark.sql import Window
+
+    from ksql_query_tutorial_spark.operators.retail import (
+        top_customers_per_nation,
+    )
+
+    orders = load(spark, SF_ORACLE, "orders")
+    customer = load(spark, SF_ORACLE, "customer")
+    nation = load(spark, SF_ORACLE, "nation")
+    got = {
+        (r.nation, r.rank): r.custkey
+        for r in top_customers_per_nation(
+            orders, customer, nation, n=3, salt_buckets=4
+        ).collect()
+    }
+    rev = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.round(F.sum("o_totalprice"), 6).alias("revenue")
+    )
+    flat = (
+        rev.join(
+            customer.select(
+                F.col("c_custkey").alias("custkey"), "c_nationkey"
+            ),
+            "custkey",
+        )
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("nation"),
+            ),
+            "c_nationkey",
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("nation").orderBy(
+                    F.desc("revenue"), F.asc("custkey")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+    want = {(r.nation, r.rank): r.custkey for r in flat.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_revenue_pareto_invariants(spark):
+    """Top-decile share and the 80%-coverage count obey their
+    definitional bounds on the fixture."""
+    from ksql_query_tutorial_spark.extensions import orders_pareto
+
+    rows = orders_pareto(spark, SF_ORACLE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # a decile of customers carries at least a decile of revenue
+        # (top-ranked first), at most everything
+        assert 0.1 <= r.top_decile_share <= 1.0, r
+        assert 1 <= r.n_for_80pct <= r.n_customers, r
+        assert 0 < r.pct_for_80pct <= 1.0, r
+        # concentration: covering 80% of revenue never needs more than
+        # 80% of customers unless revenue is perfectly uniform
+        assert r.pct_for_80pct <= 0.9, r
