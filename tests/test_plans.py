@@ -435,3 +435,53 @@ def test_markov_single_user_exchange(spark):
     df = events_markov(spark, "/root/testdata/sf0.001")
     plan = executed_plan(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_hll_sketch_is_jvm_partial_agg_no_window(spark):
+    """events_hll_users: the register build must be a hashAggregate
+    with map-side partials (max is algebraic), with no window, no
+    sort, and no Python stage — the constant-state sketch shape."""
+    from ksql_query_tutorial_spark.extensions import events_hll_users
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_hll_users(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_top_customers_broadcasts_nation_and_windows_post_agg(spark):
+    """orders_top_customers: the 25-row nation dim must broadcast, and
+    BOTH rank windows must sit above the custkey revenue rollup (the
+    window input is the per-customer aggregate, never raw orders)."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import orders_top_customers
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(orders_top_customers(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 2, plan
+    # the orders scan feeds a partial-then-final aggregate before any
+    # window: partial_sum markers prove map-side combine on revenue
+    assert "partial_" in plan.lower() or "HashAggregate" in plan, plan
+
+
+def test_pareto_window_input_is_customer_aggregate(spark):
+    """orders_pareto: the cumulative window must consume the custkey
+    rollup output; the 5-row region stats join back as a broadcast."""
+    from ksql_query_tutorial_spark.extensions import orders_pareto
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(orders_pareto(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
