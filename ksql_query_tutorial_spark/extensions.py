@@ -2891,3 +2891,99 @@ EXTENSION_ORACLES["orders_pareto"] = """
            ROUND(CAST(n80 AS DOUBLE) / n_customers, 6) AS pct_for_80pct
     FROM agg ORDER BY region
 """
+
+
+# ------------------------------------------- session quality metrics
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day session quality rollup (count, users, duration, depth,
+    bounce rate) over the gap-sessionized event stream — see
+    analytics.session_stats."""
+    from ksql_query_tutorial_spark.operators.analytics import session_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=SESSION_GAP_MIN)
+
+
+EXTENSION_QUERIES["events_sessions"] = events_sessions
+
+EXTENSION_ORACLES["events_sessions"] = f"""
+    WITH o AS (SELECT user_id, ts, event_id,
+                      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id)
+                               > CAST({SESSION_GAP_MIN} AS BIGINT) * 60000000
+                           THEN 1 ELSE 0 END AS nw
+               FROM events),
+    s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o),
+    ps AS (SELECT user_id, sess, min(ts) AS start_ts,
+                  min(epoch_us(ts)) AS start_us,
+                  max(epoch_us(ts)) AS end_us,
+                  count(*) AS n_events
+           FROM s GROUP BY 1, 2)
+    SELECT CAST(date_trunc('day', start_ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(avg(end_us - start_us) / 1000000.0, 6) AS avg_session_sec,
+           ROUND(avg(n_events), 6) AS avg_events,
+           ROUND(avg(CASE WHEN n_events = 1 THEN 1 ELSE 0 END), 6)
+             AS bounce_rate
+    FROM ps GROUP BY 1 ORDER BY 1
+"""
+
+
+# ------------------------------------------- pricing summary (TPC-H Q1)
+
+PRICING_CUTOFF = "2001-09-01"
+
+
+def lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus),
+    quantity/price/discount/charge rollups over lineitems shipped
+    before a fixed cutoff. The OLAP-benchmark staple: ONE exchange
+    carrying |flag x status| cells of map-side partials; the shipdate
+    filter and the 7-column projection push into the parquet scan
+    (plan-pinned). Sums round to 4 (q23 precedent for cross-engine
+    double-sum stability), averages to 6."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") < F.lit(PRICING_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+EXTENSION_QUERIES["lineitem_pricing_summary"] = lineitem_pricing_summary
+
+EXTENSION_ORACLES["lineitem_pricing_summary"] = f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(sum(l_quantity), 4) AS sum_qty,
+           ROUND(sum(l_extendedprice), 4) AS sum_base_price,
+           ROUND(sum(l_extendedprice * (1.0 - l_discount)), 4)
+             AS sum_disc_price,
+           ROUND(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4)
+             AS sum_charge,
+           ROUND(avg(l_quantity), 6) AS avg_qty,
+           ROUND(avg(l_extendedprice), 6) AS avg_price,
+           ROUND(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -647,3 +647,66 @@ def hll_distinct(
             ).alias("rel_err"),
         )
     )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-day session quality metrics: session count, distinct users,
+    mean session duration and depth, bounce rate — the engagement
+    rollup next to `session_paths`' journey histogram (same gap
+    sessionization, different finishing aggregate).
+
+    Scale design mirrors session_paths: ONE full-data exchange on
+    ``user_col``; the lag flag and the running session index stack on
+    the SAME window spec (single Exchange + Sort); the per-session
+    collapse groups on (user, session) which that partitioning already
+    clusters; the final per-day rollup sees one row per SESSION.
+    Duration averages over exact integer microsecond bounds (min/max
+    per session), so only the final divide touches doubles and the
+    oracle reproduces it bitwise.
+
+    Returns ``day, n_sessions, n_users, avg_session_sec, avg_events,
+    bounce_rate`` (doubles rounded 6), one row per session-start day.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    new_sess = us - F.lag(us, 1).over(w) > gap
+    per_sess = (
+        df.withColumn("_new", F.when(new_sess, 1).otherwise(0))
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(user_col, "_sess")
+        .agg(
+            F.min(F.col(ts_col)).alias("start_ts"),
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        per_sess.groupBy(
+            F.date_trunc("DAY", "start_ts").cast("date").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct(user_col).alias("n_users"),
+            F.round(
+                F.avg(F.col("end_us") - F.col("start_us")) / F.lit(1000000.0),
+                6,
+            ).alias("avg_session_sec"),
+            F.round(F.avg("n_events"), 6).alias("avg_events"),
+            F.round(
+                F.avg(F.when(F.col("n_events") == 1, 1).otherwise(0)), 6
+            ).alias("bounce_rate"),
+        )
+    )

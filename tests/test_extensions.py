@@ -1515,3 +1515,31 @@ def test_revenue_pareto_invariants(spark):
         # concentration: covering 80% of revenue never needs more than
         # 80% of customers unless revenue is perfectly uniform
         assert r.pct_for_80pct <= 0.9, r
+
+
+def test_session_stats_hand_built_sessions(spark):
+    """User 1: events at 0s, 10s (one session, 2 events, 10s long) and
+    at +2h (a 1-event bounce session). User 2: one event (bounce). Day
+    rollup: 3 sessions, 2 users, bounce_rate 2/3."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import session_stats
+
+    def ts(h, m, s):
+        return datetime(2026, 1, 1, h, m, s)
+
+    rows = [
+        (1, 1, ts(8, 0, 0)),
+        (2, 1, ts(8, 0, 10)),
+        (3, 1, ts(10, 30, 0)),
+        (4, 2, ts(9, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = session_stats(df, gap_minutes=30).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert str(r.day) == "2026-01-01"
+    assert r.n_sessions == 3 and r.n_users == 2
+    assert r.avg_session_sec == round(10 / 3, 6)
+    assert r.avg_events == round(4 / 3, 6)
+    assert r.bounce_rate == round(2 / 3, 6)

@@ -485,3 +485,47 @@ def test_pareto_window_input_is_customer_aggregate(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_pricing_summary_pushes_filter_and_prunes_scan(spark):
+    """lineitem_pricing_summary: the shipdate cutoff must reach the
+    parquet scan as a pushed filter and the scan must read only the 7
+    referenced columns — the TPC-H Q1 plan floor."""
+    from ksql_query_tutorial_spark.extensions import lineitem_pricing_summary
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = lineitem_pricing_summary(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan, plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, cols
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_session_stats_single_user_exchange(spark):
+    """events_sessions: the lag flag, the running session index, and
+    the (user, session) collapse must reuse ONE user-keyed exchange."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import events_sessions
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(events_sessions(spark, SF_ORACLE))
+    # exchanges: one hashpartitioning on user_id for the windows +
+    # (user, _sess) group, one for the final per-day rollup
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 2, plan
