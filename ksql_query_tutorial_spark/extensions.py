@@ -2987,3 +2987,94 @@ EXTENSION_ORACLES["lineitem_pricing_summary"] = f"""
     WHERE l_shipdate < TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------- BPE merge trainer
+
+BPE_N_MERGES = 12
+BPE_MAX_WORD_CHARS = 256  # trainer-side word cap; mirrored in the oracle
+
+
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 12 BPE merge rules learned from the documents corpus
+    (Sennrich subword tokenizer training) — see corpus.bpe_merges.
+    The oracle macro-expands the SAME iteration as 12 nested CTE
+    layers (pair-count -> LIMIT 1 argmax -> greedy run-parity
+    rewrite), so the learned rule SEQUENCE is hash-verified, not just
+    the final vocabulary."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.bpe_merges(
+        d, n_merges=BPE_N_MERGES, max_word_chars=BPE_MAX_WORD_CHARS
+    )
+
+
+EXTENSION_QUERIES["corpus_bpe_merges"] = corpus_bpe_merges
+
+
+def _bpe_layer_sql(k: int) -> str:
+    """One macro-expanded BPE round: count adjacent pairs of s{k},
+    argmax into t{k}, greedy non-overlapping rewrite into s{k+1}
+    (marks -> gaps-and-islands run index -> odd-parity merge -> drop
+    consumed successors -> renumber)."""
+    return f"""
+    p{k} AS (SELECT sym AS l,
+                    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r,
+                    freq
+             FROM s{k}),
+    c{k} AS (SELECT l, r, sum(freq) AS cnt FROM p{k}
+             WHERE r IS NOT NULL GROUP BY 1, 2),
+    t{k} AS MATERIALIZED (SELECT l, r, cnt FROM c{k}
+                           ORDER BY cnt DESC, l, r LIMIT 1),
+    m{k} AS (SELECT word, freq, pos, sym,
+                    CASE WHEN sym = (SELECT l FROM t{k})
+                          AND lead(sym) OVER (PARTITION BY word
+                                              ORDER BY pos)
+                              = (SELECT r FROM t{k})
+                         THEN 1 ELSE 0 END AS mk
+             FROM s{k}),
+    g{k} AS (SELECT *, pos - row_number() OVER (PARTITION BY word, mk
+                                                ORDER BY pos) AS grp
+             FROM m{k}),
+    r{k} AS (SELECT *, CASE WHEN mk = 1
+                            THEN row_number() OVER (PARTITION BY word, grp
+                                                    ORDER BY pos)
+                            ELSE 0 END AS runpos
+             FROM g{k}),
+    k{k} AS (SELECT word, freq, pos, sym,
+                    CASE WHEN mk = 1 AND runpos % 2 = 1
+                         THEN 1 ELSE 0 END AS do_merge
+             FROM r{k}),
+    d{k} AS (SELECT *, COALESCE(lag(do_merge) OVER (PARTITION BY word
+                                                    ORDER BY pos), 0)
+                         AS drop_me
+             FROM k{k}),
+    s{k + 1} AS MATERIALIZED (SELECT word, freq,
+                        row_number() OVER (PARTITION BY word
+                                           ORDER BY pos) AS pos,
+                        CASE WHEN do_merge = 1
+                             THEN sym || (SELECT r FROM t{k})
+                             ELSE sym END AS sym
+                 FROM d{k} WHERE drop_me = 0)"""
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    head = f"""
+    wf AS (SELECT substring(word, 1, {BPE_MAX_WORD_CHARS}) AS word,
+                  count(*) AS freq
+           FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+           WHERE word <> '' GROUP BY 1),
+    s0 AS MATERIALIZED (SELECT word, freq, i AS pos, syms[i] AS sym
+           FROM (SELECT word, freq,
+                        list_append(string_split(word, ''), '</w>') AS syms
+                 FROM wf),
+                unnest(range(1, len(syms) + 1)) AS t(i))"""
+    layers = ",".join(_bpe_layer_sql(k) for k in range(n_merges))
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank, l AS left_sym, "
+        f"r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(n_merges)
+    )
+    return f"WITH {head},{layers}\n    {finals} ORDER BY rank"
+
+
+EXTENSION_ORACLES["corpus_bpe_merges"] = _bpe_oracle_sql(BPE_N_MERGES)

@@ -1656,3 +1656,129 @@ def sample_weighted(
         .orderBy(F.col("key").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def _bpe_pair_argmax(state: DataFrame) -> DataFrame:
+    """One BPE round's pair-count + argmax over the vocabulary state
+    (``freq, syms``): explode adjacent symbol pairs, partial-agg the
+    counts, and take the single most frequent pair (ties broken
+    lexicographically so the learned sequence is deterministic).
+    The ``orderBy.limit(1)`` compiles to ``TakeOrderedAndProject`` —
+    no global sort ever materializes (plan-pinned in
+    tests/test_plans.py)."""
+    return (
+        state.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(syms, 1, size(syms) - 1), "
+                    "slice(syms, 2, size(syms) - 1), "
+                    "(a, b) -> struct(a AS l, b AS r))"
+                )
+            ).alias("pr"),
+        )
+        .groupBy("pr.l", "pr.r")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    max_word_chars: int = 256,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus
+    (Sennrich et al. 2016: iterated most-frequent-adjacent-pair over
+    the word-frequency table, words terminated with '</w>').
+
+    Scale design — the trainer never touches corpus-sized data after
+    round 0: the ONLY full-data pass is the word-frequency rollup
+    (word-count plan, map-side partials); every merge round then runs
+    over the VOCABULARY (|distinct words| rows, each holding its
+    symbol array). Per round: one pair-explode + groupBy whose output
+    is |distinct adjacent pairs| (alphabet²-bounded), an
+    ``orderBy.limit(1)`` for the argmax (AQE collapses it to a
+    TakeOrdered — no global sort materializes), a ONE-ROW driver
+    collect (the same bounded-scalar pattern as the JDBC watermark),
+    and a narrow JVM array fold applying the rule. State persists
+    each round and unpersists the previous (the pagerank lazy-
+    checkpoint pattern), so lineage and recompute stay O(1) per round.
+
+    The rewrite fold is greedy left-to-right non-overlapping (merge
+    when the accumulator's last symbol is ``l`` and the current is
+    ``r``) — for runs like 'aaaa' with rule (a,a) this yields
+    [aa, aa], matching the reference implementation. Ties on pair
+    count break lexicographically on (l, r), so the learned sequence
+    is deterministic and engine-independent.
+
+    Words are truncated to ``max_word_chars`` before symbolization
+    (the standard BPE-trainer guard — cf. SentencePiece's
+    max_sentencepiece_length / sentence-length caps): the greedy
+    rewrite fold copies its accumulator per element, so cost is
+    O(L²) per word type — bounded and trivial at L ≤ 256, a hang on
+    an adversarial 200k-char single-token document. The oracle SQL
+    applies the identical truncation, so the learned sequence stays
+    hash-verified.
+
+    Returns ``rank, left_sym, right_sym, pair_count`` — one row per
+    learned merge, in learning order (may be fewer than ``n_merges``
+    when the corpus runs dry).
+    """
+    schema = (
+        "rank long, left_sym string, right_sym string, pair_count long"
+    )
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .select(
+            F.substring("word", 1, max_word_chars).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.concat(F.split("word", ""), F.array(F.lit("</w>"))),
+        )
+        .select("freq", "syms")
+    )
+    state = words.persist()
+    prev: DataFrame | None = None
+    rules: list[tuple] = []
+    try:
+        for k in range(n_merges):
+            top = _bpe_pair_argmax(state).collect()
+            # the collect above just materialized `state`'s cache, so
+            # the round BEFORE it is now safe to release — deferring
+            # the unpersist by one round avoids a dedicated count()
+            # materialization job per merge (12 fewer jobs).
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break
+            a, b, cnt = top[0].l, top[0].r, top[0].cnt
+            rules.append((k + 1, a, b, int(cnt)))
+            merged = F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.element_at(acc, -1), s)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+            nxt = state.withColumn("syms", merged).persist()
+            prev, state = state, nxt
+    finally:
+        state.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    return spark.createDataFrame(rules, schema)

@@ -1543,3 +1543,89 @@ def test_session_stats_hand_built_sessions(spark):
     assert r.avg_session_sec == round(10 / 3, 6)
     assert r.avg_events == round(4 / 3, 6)
     assert r.bounce_rate == round(2 / 3, 6)
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """The learned merge SEQUENCE must equal the classic reference
+    implementation (Sennrich et al. 2016) on a corpus exercising ties
+    (lexicographic break) and overlap runs ('aaaa' with rule (a,a) ->
+    greedy non-overlapping [aa, aa])."""
+    from ksql_query_tutorial_spark.operators.corpus import bpe_merges
+
+    rows = [
+        ("low low low low low lower lower newest newest newest "
+         "newest newest newest widest widest widest",),
+        ("aaaa aaaa aaaa ab",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in sorted(bpe_merges(df, n_merges=8).collect(),
+                        key=lambda r: r.rank)
+    ]
+
+    def ref(wf, n):
+        words = {tuple(list(w) + ["</w>"]): f for w, f in wf}
+        out = []
+        for _ in range(n):
+            counts = {}
+            for syms, f in words.items():
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((a, b, c))
+            new = {}
+            for syms, f in words.items():
+                s, i, n_ = [], 0, len(syms)
+                while i < n_:
+                    if i < n_ - 1 and syms[i] == a and syms[i + 1] == b:
+                        s.append(a + b)
+                        i += 2
+                    else:
+                        s.append(syms[i])
+                        i += 1
+                new[tuple(s)] = new.get(tuple(s), 0) + f
+            words = new
+        return out
+
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+          ("aaaa", 3), ("ab", 1)]
+    assert got == ref(wf, 8)
+    assert got[0] == ("a", "a", 9)  # the overlap-run merge leads
+
+
+def test_bpe_merges_caps_pathological_word_length(spark):
+    """A 20k-char single-token document must not hang the greedy
+    rewrite fold (O(L²) per word type): the trainer truncates words
+    to max_word_chars before symbolization, so the adversarial token
+    contributes only its prefix — and the learned rules match the
+    python reference run on the SAME truncated word-frequency table."""
+    from ksql_query_tutorial_spark.operators.corpus import bpe_merges
+
+    df = spark.createDataFrame(
+        [("x" * 20_000,), ("ab ab ab",)], "text string"
+    )
+    got = [
+        (r.left_sym, r.right_sym, r.pair_count)
+        for r in sorted(
+            bpe_merges(df, n_merges=2, max_word_chars=8).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    # truncated table: {'xxxxxxxx': 1, 'ab': 3} -> (x,x) runs first
+    # (7 adjacent pairs -> greedy non-overlap leaves 4 'xx' islands),
+    # then (a,b) at 3.
+    assert got == [("x", "x", 7), ("a", "b", 3)]
+
+
+def test_bpe_merges_empty_corpus_returns_schema_only(spark):
+    from ksql_query_tutorial_spark.operators.corpus import bpe_merges
+
+    out = bpe_merges(
+        spark.createDataFrame([], "text string"), n_merges=4
+    )
+    assert out.columns == ["rank", "left_sym", "right_sym", "pair_count"]
+    assert out.count() == 0

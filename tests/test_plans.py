@@ -529,3 +529,37 @@ def test_session_stats_single_user_exchange(spark):
     # (user, _sess) group, one for the final per-day rollup
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges <= 2, plan
+
+
+def test_bpe_pair_argmax_is_take_ordered_no_global_sort(spark):
+    """The BPE trainer's per-round argmax must compile to
+    TakeOrderedAndProject over a partial+final pair-count aggregate —
+    never a global Sort — and stay JVM-only (the zip_with pair explode
+    is a codegen HOF, not Python)."""
+    from pyspark.sql import functions as F
+
+    from ksql_query_tutorial_spark.operators.corpus import (
+        _bpe_pair_argmax, tokens,
+    )
+    from ksql_query_tutorial_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    state = (
+        load(spark, SF_ORACLE, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(
+                F.split("word", ""), F.array(F.lit("</w>"))
+            ).alias("syms"),
+        )
+    )
+    df = _bpe_pair_argmax(state)
+    plan = checks.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "\n   Sort " not in plan, plan  # no standalone global sort
+    checks.assert_partial_aggregation(df)
+    checks.assert_no_python(df)

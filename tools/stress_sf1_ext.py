@@ -86,6 +86,15 @@ EXT_NAMES = [
     "events_scd2",
     "orders_fulfillment",
     "events_active_users",
+    # r5 final additions: HLL sketch, per-group top-k, Pareto
+    # concentration, session stats, the Q1-style pricing summary, and
+    # the BPE merge trainer (iterative; vocab-bounded after round 0).
+    "events_hll_users",
+    "orders_top_customers",
+    "orders_pareto",
+    "events_sessions",
+    "lineitem_pricing_summary",
+    "corpus_bpe_merges",
 ]
 
 
