@@ -3078,3 +3078,191 @@ def _bpe_oracle_sql(n_merges: int) -> str:
 
 
 EXTENSION_ORACLES["corpus_bpe_merges"] = _bpe_oracle_sql(BPE_N_MERGES)
+
+
+# ------------------------------------------------- r5: profiling / linkage
+
+PROFILE_COLUMNS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table (row /
+    null / distinct counts, typed min-max) — the ingest-audit header.
+    See analytics.column_profile."""
+    from ksql_query_tutorial_spark.operators.analytics import column_profile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = load(spark, sf_dir, "orders")
+    return column_profile(o, list(PROFILE_COLUMNS))
+
+
+EXTENSION_QUERIES["profile_orders"] = profile_orders
+
+
+def _profile_branch(col: str, render: str) -> str:
+    return f"""
+    SELECT '{col}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {render.format(agg=f"min({col})")} AS min_value,
+           {render.format(agg=f"max({col})")} AS max_value
+    FROM orders"""
+
+
+_PROFILE_RENDER = {
+    "o_orderkey": "CAST({agg} AS VARCHAR)",
+    "o_custkey": "CAST({agg} AS VARCHAR)",
+    "o_orderstatus": "{agg}",
+    "o_totalprice": "printf('%.6f', {agg})",
+    "o_orderdate": "strftime({agg}, '%Y-%m-%d %H:%M:%S')",
+    "o_orderpriority": "{agg}",
+}
+
+EXTENSION_ORACLES["profile_orders"] = (
+    " UNION ALL ".join(
+        _profile_branch(c, _PROFILE_RENDER[c]) for c in PROFILE_COLUMNS
+    )
+    + ' ORDER BY "column"'
+)
+
+
+DECAY_HALFLIFE_DAYS = 7.0
+
+
+def events_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score (half-life
+    7 days back from the corpus-wide latest event). See
+    analytics.decayed_engagement."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        decayed_engagement,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return decayed_engagement(e, halflife_days=DECAY_HALFLIFE_DAYS)
+
+
+EXTENSION_QUERIES["events_decay"] = events_decay
+
+EXTENSION_ORACLES["events_decay"] = f"""
+    WITH tm AS (SELECT max(ts) AS t_max FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value * pow(2.0,
+                 -((epoch_us((SELECT t_max FROM tm)) - epoch_us(ts)) / 1e6)
+                  / (86400.0 * {DECAY_HALFLIFE_DAYS}))), 6) AS decayed_value,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+LEV_BLOCK_CHARS = 12
+LEV_PREFIX_CHARS = 64
+LEV_MAX_DIST = 8
+
+
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking (record-linkage
+    classic; catches character-level noise the set-based families
+    under-weight). See dedup.levenshtein_pairs."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.levenshtein_pairs(
+        d,
+        block_chars=LEV_BLOCK_CHARS,
+        prefix_chars=LEV_PREFIX_CHARS,
+        max_dist=LEV_MAX_DIST,
+    )
+
+
+EXTENSION_QUERIES["dedup_levenshtein"] = dedup_levenshtein
+
+EXTENSION_ORACLES["dedup_levenshtein"] = f"""
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                        AS nt
+               FROM documents WHERE text IS NOT NULL),
+    k AS (SELECT doc_id,
+                 substr(nt, 1, {LEV_BLOCK_CHARS}) AS block,
+                 substr(nt, 1, {LEV_PREFIX_CHARS}) AS prefix
+          FROM n WHERE length(substr(nt, 1, {LEV_BLOCK_CHARS})) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
+    FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX_DIST}
+    ORDER BY id_a, id_b
+"""
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-03-15"
+Q3_LIMIT = 10
+
+
+def orders_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-N unshipped revenue for one market segment.
+    See retail.shipping_priority."""
+    from ksql_query_tutorial_spark.operators.retail import shipping_priority
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return shipping_priority(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        segment=Q3_SEGMENT,
+        cutoff=Q3_CUTOFF,
+        limit=Q3_LIMIT,
+    )
+
+
+EXTENSION_QUERIES["orders_shipping_priority"] = orders_shipping_priority
+
+EXTENSION_ORACLES["orders_shipping_priority"] = f"""
+    SELECT l_orderkey,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = '{Q3_SEGMENT}'
+      AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+      AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT {Q3_LIMIT}
+"""
+
+
+INDEX_K_POSTINGS = 10
+INDEX_MIN_DF = 2
+
+
+def corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized inverted index (df / cf / first-k postings per
+    term) — the lexical-retrieval artifact. See
+    corpus.inverted_index."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.inverted_index(
+        d, k_postings=INDEX_K_POSTINGS, min_df=INDEX_MIN_DF
+    )
+
+
+EXTENSION_QUERIES["corpus_index"] = corpus_index
+
+EXTENSION_ORACLES["corpus_index"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    post AS (SELECT DISTINCT doc_id, term FROM tok),
+    st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                  array_to_string(list_slice(list_sort(list(doc_id)), 1,
+                             {INDEX_K_POSTINGS}), ',') AS postings
+           FROM post GROUP BY term),
+    cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf
+           FROM tok GROUP BY term)
+    SELECT st.term, df, cf.cf, postings
+    FROM st JOIN cf USING (term)
+    WHERE df >= {INDEX_MIN_DF}
+    ORDER BY st.term
+"""

@@ -710,3 +710,116 @@ def session_stats(
             ).alias("bounce_rate"),
         )
     )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None,
+                   exact_distinct: bool = True) -> DataFrame:
+    """Per-column data-quality profile: row count, NULL count, distinct
+    count, min / max — the schema-drift / ingest-audit header a 100 TB
+    pipeline computes before trusting a new snapshot.
+
+    Scale design: ONE aggregate pass over the table produces a single
+    wide row (4 partials per column); the per-column unpivot runs on
+    that one row, so there is exactly one exchange and its payload is
+    |cols|·4 cells regardless of data size. ``exact_distinct=True``
+    uses ``count(distinct)`` (Catalyst expands to one Expand + two-phase
+    agg — the oracle-parity mode); at extreme widths flip to
+    ``approx_count_distinct`` (HLL partials, no Expand) — same plan
+    shape, sketched cardinality.
+
+    min / max are rendered to strings per type (doubles via
+    ``%.6f``, timestamps as ``yyyy-MM-dd HH:mm:ss``) so the output
+    schema is uniform and engine-portable.
+    """
+    cols = cols or df.columns
+    distinct = (
+        (lambda c: F.countDistinct(F.col(c))) if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+
+    def render(c: str) -> tuple:
+        t = dict(df.dtypes)[c]
+        if t == "double" or t == "float":
+            lo = F.format_string("%.6f", F.min(c))
+            hi = F.format_string("%.6f", F.max(c))
+        elif t.startswith("timestamp"):
+            lo = F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss")
+            hi = F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss")
+        else:
+            lo = F.min(c).cast("string")
+            hi = F.max(c).cast("string")
+        return lo, hi
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        lo, hi = render(c)
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            distinct(c).alias(f"__nd_{c}"),
+            lo.alias(f"__lo_{c}"),
+            hi.alias(f"__hi_{c}"),
+        ]
+    wide = df.agg(*aggs)
+
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"__nn_{c}"),
+            F.col(f"__nd_{c}"),
+            F.col(f"__lo_{c}"),
+            F.col(f"__hi_{c}"),
+        ]
+    unpivoted = wide.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_non_null", "n_distinct", "min_value",
+                "max_value"),
+    )
+    return unpivoted.select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    ).orderBy("column")
+
+
+def decayed_engagement(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    halflife_days: float = 7.0,
+) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score — the
+    feature-store staple ``sum(value · 2^(-age/halflife))`` where age
+    is measured back from the corpus-wide latest event (deterministic,
+    unlike ``now()``).
+
+    Scale design: the reference timestamp is a 1-row aggregate
+    broadcast back over the table (no second full pass through a
+    window), then ONE user-keyed exchange with map-side partial sums.
+    Weights are computed in codegen (``pow``), timestamps via the
+    microsecond-precision ``cast(double)`` so the oracle's
+    ``epoch_us/1e6`` matches bit-for-bit.
+    """
+    t_max = events.agg(F.max(ts_col).alias("__t_max"))
+    # ts is TIMESTAMP_NTZ in the fixture; route through a tz-cast (the
+    # caller pins session tz = UTC) so unix_micros matches the oracle's
+    # epoch_us over the naive timestamp exactly — no sub-second loss.
+    sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+    max_sec = F.unix_micros(F.col("__t_max").cast("timestamp")) / F.lit(1e6)
+    w = F.pow(F.lit(2.0), -(max_sec - sec) / F.lit(86400.0 * halflife_days))
+    return (
+        events.crossJoin(F.broadcast(t_max))
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col(value_col) * w), 6).alias("decayed_value"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .orderBy(user_col)
+    )

@@ -1782,3 +1782,74 @@ def bpe_merges(
         if prev is not None:
             prev.unpersist()
     return spark.createDataFrame(rules, schema)
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k_postings: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Materialized inverted index: per term, document frequency,
+    collection frequency, and the first ``k_postings`` doc ids (sorted,
+    comma-joined — engine-portable scalar output) — the retrieval-side
+    artifact a search/RAG pipeline persists next to the embedding
+    index.
+
+    Scale design: term stats ride the word-count plan (one term-keyed
+    exchange, map-side partials). The posting sample uses the same
+    TWO-LEVEL k-smallest merge as the KMV sketch — level 1 keys on
+    ``(term, spark_partition_id())`` so no single task ever holds a
+    stopword's full posting list; level 2 merges the bounded
+    per-partition lists at ``k_postings`` ids per term. A naive
+    ``collect_list`` + slice would buffer the whole posting list of
+    every hot term in one aggregation task.
+    """
+    posting = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "term"
+            ),
+        )
+        .select(
+            "term",
+            "__id",
+            F.spark_partition_id().alias("__pid"),
+        )
+    )
+    lvl1 = (
+        posting.groupBy("term", "__pid")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("__id")), 1, k_postings
+            ).alias("__ids"),
+            F.count(F.lit(1)).cast("long").alias("__df"),
+        )
+    )
+    merged = (
+        lvl1.groupBy("term")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.flatten(F.collect_list("__ids"))),
+                    1,
+                    k_postings,
+                ),
+                ",",
+            ).alias("postings"),
+            F.sum("__df").cast("long").alias("df"),
+        )
+    )
+    cf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    )
+    return (
+        merged.join(cf, "term")
+        .filter(F.col("df") >= min_df)
+        .select("term", "df", "cf", "postings")
+        .orderBy("term")
+    )

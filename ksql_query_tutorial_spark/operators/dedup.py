@@ -1096,3 +1096,60 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "containment", "direction")
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 12,
+    prefix_chars: int = 64,
+    max_dist: int = 8,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking — the record-
+    linkage classic (blocking + pairwise verify), complementing the
+    set-based families: Levenshtein catches character-level edits
+    (typos, OCR noise) that shingle Jaccard under-weights.
+
+    Pipeline: normalize (lower, collapse whitespace) → block on the
+    first ``block_chars`` chars → candidate pairs by equality self-join
+    on the block key (id_a < id_b) → verify
+    ``levenshtein(prefix_a, prefix_b) <= max_dist`` on the
+    ``prefix_chars``-char normalized prefix.
+
+    Scale design: the only shuffle is the equality join on the block
+    key; verification cost is bounded at ``O(prefix_chars²)`` per
+    candidate regardless of document length (the adversarial 200k-char
+    doc costs the same as a tweet). ``max_block`` is the mega-bucket
+    relief valve (see :func:`_cap_bucket_width`) for boilerplate
+    corpora where one prefix block would go quadratic. Levenshtein is
+    a JVM built-in — no Python in the loop.
+    """
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col))), r"\s+", " "
+    )
+    keyed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.substring(norm, 1, block_chars).alias("__block"),
+        F.substring(norm, 1, prefix_chars).alias("__prefix"),
+    ).filter(F.length("__block") > 0)
+    keyed = _cap_bucket_width(keyed, max_block, "__block")
+
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    dist = F.levenshtein(F.col("a.__prefix"), F.col("b.__prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+        .orderBy("id_a", "id_b")
+    )

@@ -349,3 +349,55 @@ def revenue_pareto(
             ).alias("pct_for_80pct"),
         )
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    limit: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: revenue of not-yet-shipped orders for one market
+    segment, top-N by revenue — the classic filtered
+    dim ⋈ fact ⋈ fact rollup.
+
+    Scale design: the segment filter lands on the customer scan
+    (pushed predicate) and the filtered dim is explicitly broadcast, so
+    the orders join is shuffle-free; the date filters land on both fact
+    scans (partition-prunable on a date-partitioned layout). The only
+    exchange is the (orderkey, date, priority) rollup — keyed by
+    orderkey, so partial aggregation collapses each order's lineitems
+    map-side. Top-N is ``ORDER BY + LIMIT`` → TakeOrderedAndProject
+    (per-partition heaps + driver merge of N rows), never a global
+    sort.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    o = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+        .orderBy(
+            F.col("revenue").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(limit)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

@@ -1629,3 +1629,97 @@ def test_bpe_merges_empty_corpus_returns_schema_only(spark):
     )
     assert out.columns == ["rank", "left_sym", "right_sym", "pair_count"]
     assert out.count() == 0
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    """column_profile: exact per-column rows/nulls/distincts and typed
+    min-max rendering on a toy frame with planted NULLs."""
+    from ksql_query_tutorial_spark.operators.analytics import column_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.25, "a"), (4, None, None)],
+        "k long, v double, s string",
+    )
+    rows = {r["column"]: r for r in column_profile(df).collect()}
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_null"] == 0
+    assert rows["k"]["n_distinct"] == 4
+    assert rows["k"]["min_value"] == "1" and rows["k"]["max_value"] == "4"
+    assert rows["v"]["n_null"] == 2
+    assert rows["v"]["n_distinct"] == 2
+    assert rows["v"]["min_value"] == "2.500000"
+    assert rows["v"]["max_value"] == "7.250000"
+    assert rows["s"]["n_null"] == 1
+    assert rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+
+
+def test_decayed_engagement_halflife_weights(spark):
+    """decayed_engagement: an event exactly one half-life before the
+    corpus max weighs 0.5; the latest event weighs 1.0."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        decayed_engagement,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-08 00:00:00", 10.0),
+            (1, "2024-01-01 00:00:00", 4.0),
+            (2, "2024-01-08 00:00:00", 6.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r["user_id"]: r for r in
+           decayed_engagement(df, halflife_days=7.0).collect()}
+    # user 1: 10*1.0 + 4*0.5 = 12.0 ; user 2: 6*1.0
+    assert out[1]["decayed_value"] == 12.0
+    assert out[1]["n_events"] == 2
+    assert out[2]["decayed_value"] == 6.0
+
+
+def test_levenshtein_pairs_blocking_and_cap(spark):
+    """levenshtein_pairs: same-block small-edit pairs surface with the
+    right distance; cross-block edits are (by design) not candidates;
+    the max_block valve drops a planted mega-block."""
+    from ksql_query_tutorial_spark.operators.dedup import levenshtein_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),          # same block, dist 1
+        (3, "zzz " + base),                         # different block
+        (4, None),                                  # null text survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = levenshtein_pairs(df, max_dist=8).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_distance"]) for r in got] == [
+        (1, 2, 1)
+    ]
+
+    mega = [(i, "constant prefix shared by every doc " + ("x" * (i % 3)))
+            for i in range(10, 30)]
+    df2 = spark.createDataFrame(mega, "doc_id long, text string")
+    capped = levenshtein_pairs(df2, max_block=5)
+    assert capped.count() == 0
+    uncapped = levenshtein_pairs(df2)
+    assert uncapped.count() > 0
+
+
+def test_inverted_index_postings_capped_and_sorted(spark):
+    """inverted_index: postings are the k SMALLEST doc ids in sorted
+    order regardless of partitioning; df counts docs, cf counts
+    occurrences; min_df prunes singletons."""
+    from ksql_query_tutorial_spark.operators.corpus import inverted_index
+
+    docs = [(i, "alpha beta " + ("alpha " if i % 2 == 0 else "gamma "))
+            for i in range(1, 21)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+    out = {r["term"]: r for r in
+           inverted_index(df, k_postings=5, min_df=2).collect()}
+    assert out["alpha"]["df"] == 20
+    assert out["alpha"]["cf"] == 30          # doubled in 10 even docs
+    assert out["alpha"]["postings"] == "1,2,3,4,5"
+    assert out["gamma"]["df"] == 10
+    assert out["gamma"]["postings"] == "1,3,5,7,9"
+    assert "beta" in out and out["beta"]["postings"] == "1,2,3,4,5"

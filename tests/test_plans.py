@@ -563,3 +563,109 @@ def test_bpe_pair_argmax_is_take_ordered_no_global_sort(spark):
     assert "\n   Sort " not in plan, plan  # no standalone global sort
     checks.assert_partial_aggregation(df)
     checks.assert_no_python(df)
+
+
+def test_profile_single_aggregate_pass(spark):
+    """profile_orders: the whole profile must come from ONE aggregate
+    pass over the table (Expand + two-phase agg for the exact distinct
+    lanes) — never one scan per column — and the unpivot must run on
+    the single wide row."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import profile_orders
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = profile_orders(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # count numbered operator nodes, not detail-section title repeats
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, plan
+    assert "Expand" in plan, plan
+    assert_no_python(df)
+
+
+def test_decay_broadcasts_tmax_single_user_exchange(spark):
+    """events_decay: the corpus-max timestamp is a broadcast 1-row
+    aggregate; the only hash exchange is the user rollup; weights stay
+    in codegen."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import events_decay
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_decay(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 1, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_levenshtein_pairs_is_block_equijoin(spark):
+    """dedup_levenshtein: candidates must come from an equality join on
+    the block key — no cartesian/nested-loop — with the verify as a
+    JVM levenshtein on bounded prefixes."""
+    from ksql_query_tutorial_spark.extensions import dedup_levenshtein
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = dedup_levenshtein(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "levenshtein" in plan, plan
+    assert_no_python(df)
+
+
+def test_shipping_priority_q3_plan_floor(spark):
+    """orders_shipping_priority: segment dim broadcast, date filters
+    pushed to both fact scans, top-N via TakeOrderedAndProject (never a
+    global sort)."""
+    from ksql_query_tutorial_spark.extensions import orders_shipping_priority
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_shipping_priority(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "TakeOrderedAndProject" in plan
+    assert_broadcast_join(df)
+    assert_pushed_filter(df, "LessThan(o_orderdate", "GreaterThan(l_shipdate")
+    assert_no_python(df)
+
+
+def test_inverted_index_two_level_no_window(spark):
+    """corpus_index: the posting sample must ride the two-level
+    k-smallest merge (grouped aggregates, map-side partials) — no
+    Window sort over full posting lists, no Python."""
+    from ksql_query_tutorial_spark.extensions import corpus_index
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = corpus_index(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
