@@ -75,7 +75,8 @@ _GATE_PRIORITY = [
     # embedding_outliers, customer_rfm, orders_basket, events_markov,
     # corpus_clean, hybrid_search, mm_frame_dedup, sample_weighted,
     # events_attribution, profile_orders, events_decay,
-    # dedup_levenshtein, orders_shipping_priority, corpus_index — all
+    # dedup_levenshtein, orders_shipping_priority, corpus_index,
+    # corpus_bpe_encode — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.

@@ -3266,3 +3266,44 @@ EXTENSION_ORACLES["corpus_index"] = f"""
     WHERE df >= {INDEX_MIN_DF}
     ORDER BY st.term
 """
+
+
+BPE_ENCODE_MERGES = 8  # prefix of the trainer's 12 (merge sequences
+                       # are prefix-stable) — keeps the encoder's
+                       # bench cost proportionate
+
+
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus vocabulary with self-learned BPE merges —
+    the encoder half of the tokenizer pair. See corpus.bpe_encode."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.bpe_encode(
+        d, n_merges=BPE_ENCODE_MERGES, max_word_chars=BPE_MAX_WORD_CHARS
+    )
+
+
+EXTENSION_QUERIES["corpus_bpe_encode"] = corpus_bpe_encode
+
+
+def _bpe_encode_oracle_sql(n_merges: int) -> str:
+    head = f"""
+    wf AS (SELECT substring(word, 1, {BPE_MAX_WORD_CHARS}) AS word,
+                  count(*) AS freq
+           FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+           WHERE word <> '' GROUP BY 1),
+    s0 AS MATERIALIZED (SELECT word, freq, i AS pos, syms[i] AS sym
+           FROM (SELECT word, freq,
+                        list_append(string_split(word, ''), '</w>') AS syms
+                 FROM wf),
+                unnest(range(1, len(syms) + 1)) AS t(i))"""
+    layers = ",".join(_bpe_layer_sql(k) for k in range(n_merges))
+    return f"""WITH {head},{layers}
+    SELECT word, CAST(freq AS BIGINT) AS freq,
+           CAST(count(*) AS INT) AS n_syms,
+           string_agg(sym, ' ' ORDER BY pos) AS encoded
+    FROM s{n_merges} GROUP BY word, freq ORDER BY word"""
+
+
+EXTENSION_ORACLES["corpus_bpe_encode"] = _bpe_encode_oracle_sql(
+    BPE_ENCODE_MERGES
+)

@@ -1684,6 +1684,45 @@ def _bpe_pair_argmax(state: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_words(
+    df: DataFrame, text_col: str, max_word_chars: int
+) -> DataFrame:
+    """Word-frequency rollup + initial symbolization shared by the BPE
+    trainer and encoder — the ONLY corpus-sized pass either makes."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
+        .select(
+            F.substring("word", 1, max_word_chars).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.concat(F.split("word", ""), F.array(F.lit("</w>"))),
+        )
+    )
+
+
+def _bpe_apply_rule(a: str, b: str):
+    """Greedy left-to-right non-overlapping rewrite of one merge rule
+    over the ``syms`` array (JVM higher-order fold; see bpe_merges
+    docstring for the 'aaaa' semantics)."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.element_at(acc, -1), s)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str = "text",
@@ -1731,20 +1770,7 @@ def bpe_merges(
         "rank long, left_sym string, right_sym string, pair_count long"
     )
     spark = df.sparkSession
-    words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .filter(F.length("word") > 0)
-        .select(
-            F.substring("word", 1, max_word_chars).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .withColumn(
-            "syms",
-            F.concat(F.split("word", ""), F.array(F.lit("</w>"))),
-        )
-        .select("freq", "syms")
-    )
+    words = _bpe_words(df, text_col, max_word_chars).select("freq", "syms")
     state = words.persist()
     prev: DataFrame | None = None
     rules: list[tuple] = []
@@ -1762,19 +1788,7 @@ def bpe_merges(
                 break
             a, b, cnt = top[0].l, top[0].r, top[0].cnt
             rules.append((k + 1, a, b, int(cnt)))
-            merged = F.aggregate(
-                F.col("syms"),
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (s == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1),
-                        F.array(F.concat(F.element_at(acc, -1), s)),
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            )
+            merged = _bpe_apply_rule(a, b)
             nxt = state.withColumn("syms", merged).persist()
             prev, state = state, nxt
     finally:
@@ -1782,6 +1796,55 @@ def bpe_merges(
         if prev is not None:
             prev.unpersist()
     return spark.createDataFrame(rules, schema)
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    max_word_chars: int = 256,
+) -> DataFrame:
+    """Tokenize the corpus VOCABULARY with BPE merges learned from the
+    same corpus — the encoder half of the tokenizer story
+    (:func:`bpe_merges` is the trainer). Rules are applied
+    sequentially in rank order with the identical greedy fold the
+    trainer uses, so on the training vocabulary this reproduces the
+    trainer's final symbolization exactly. BPE merge sequences are
+    prefix-stable, so an ``n_merges`` smaller than the trainer's
+    yields the trainer's first ``n_merges`` rules.
+
+    Scale design matches the trainer: one corpus-sized word-frequency
+    rollup, then every round runs over |distinct words| rows with
+    per-round persist/unpersist. The returned frame's final state
+    stays persisted (it IS the materialized artifact; callers that
+    are done with it unpersist via ``df.unpersist()`` on the
+    returned frame's cached parent — harmless to leak at vocabulary
+    size).
+
+    Returns ``word, freq, n_syms, encoded`` (symbols space-joined,
+    including the '</w>' terminator), ordered by word.
+    """
+    words = _bpe_words(df, text_col, max_word_chars)
+    state = words.persist()
+    prev: DataFrame | None = None
+    for _ in range(n_merges):
+        top = _bpe_pair_argmax(state.select("freq", "syms")).collect()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
+        if not top:
+            break
+        a, b = top[0].l, top[0].r
+        nxt = state.withColumn("syms", _bpe_apply_rule(a, b)).persist()
+        prev, state = state, nxt
+    if prev is not None:
+        prev.unpersist()
+    return state.select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        F.size("syms").cast("int").alias("n_syms"),
+        F.array_join("syms", " ").alias("encoded"),
+    ).orderBy("word")
 
 
 def inverted_index(

@@ -632,3 +632,45 @@ def test_sample_weighted_bias_and_determinism(spark):
     med = sorted(r.n_chars for r in d.collect())[d.count() // 2]
     heavy = sum(1 for r in a if r.weight > med)
     assert heavy > k // 2, (heavy, med)
+
+
+def test_bpe_encode_applies_learned_rules_greedily(spark):
+    """bpe_encode on a toy corpus: rule learning ties break
+    lexicographically ((a,</w>) beats (a,a) at count 2), and the
+    greedy fold rewrites every word of the vocabulary."""
+    from ksql_query_tutorial_spark.operators.corpus import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "aa aa"), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r["word"]: r for r in bpe_encode(df, n_merges=1).collect()}
+    assert out["aa"]["freq"] == 2
+    assert out["aa"]["encoded"] == "a a</w>"
+    assert out["aa"]["n_syms"] == 2
+    assert out["ab"]["encoded"] == "a b </w>"
+    assert out["ab"]["n_syms"] == 3
+
+
+def test_bpe_encode_prefix_consistent_with_trainer(spark):
+    """The encoder's implicit ruleset is a prefix of the trainer's:
+    re-deriving pair counts from the encoder's round-k state is the
+    trainer's round-k argmax, so symbol inventories must nest."""
+    from ksql_query_tutorial_spark.operators.corpus import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest newest widest")],
+        "doc_id long, text string",
+    )
+    rules = bpe_merges(df, n_merges=4).collect()
+    enc = bpe_encode(df, n_merges=4).collect()
+    merged_syms = {
+        r.left_sym + r.right_sym for r in rules
+    }
+    produced = {s for r in enc for s in r.encoded.split(" ")}
+    # every learned merge's output symbol either appears in the final
+    # encoding or was consumed by a later merge built on top of it
+    for m in merged_syms:
+        assert any(m in p for p in produced), (m, produced)

@@ -95,6 +95,15 @@ EXT_NAMES = [
     "events_sessions",
     "lineitem_pricing_summary",
     "corpus_bpe_merges",
+    # r5 closing batch: single-pass column profile, time-decay
+    # engagement, Levenshtein blocking dedup, Q3-shape top-N, and the
+    # inverted-index materialization.
+    "profile_orders",
+    "events_decay",
+    "dedup_levenshtein",
+    "orders_shipping_priority",
+    "corpus_index",
+    "corpus_bpe_encode",
 ]
 
 
