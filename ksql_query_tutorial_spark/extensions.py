@@ -3163,6 +3163,12 @@ EXTENSION_ORACLES["events_decay"] = f"""
 LEV_BLOCK_CHARS = 12
 LEV_PREFIX_CHARS = 64
 LEV_MAX_DIST = 8
+# Mega-block relief valve ON by default: fixture block widths top out
+# at 13 (sf0.1), so 32 never binds on the oracle fixtures, but it
+# bounds any block's join contribution at 32² pairs on boilerplate-
+# heavy corpora (the 10x-replicated sf1 stress fixture drove the
+# uncapped join to a 55x scaling ratio). Mirrored in the oracle SQL.
+LEV_MAX_BLOCK = 32
 
 
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3175,6 +3181,7 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_chars=LEV_BLOCK_CHARS,
         prefix_chars=LEV_PREFIX_CHARS,
         max_dist=LEV_MAX_DIST,
+        max_block=LEV_MAX_BLOCK,
     )
 
 
@@ -3185,10 +3192,13 @@ EXTENSION_ORACLES["dedup_levenshtein"] = f"""
                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
                         AS nt
                FROM documents WHERE text IS NOT NULL),
-    k AS (SELECT doc_id,
-                 substr(nt, 1, {LEV_BLOCK_CHARS}) AS block,
-                 substr(nt, 1, {LEV_PREFIX_CHARS}) AS prefix
-          FROM n WHERE length(substr(nt, 1, {LEV_BLOCK_CHARS})) > 0)
+    k0 AS (SELECT doc_id,
+                  substr(nt, 1, {LEV_BLOCK_CHARS}) AS block,
+                  substr(nt, 1, {LEV_PREFIX_CHARS}) AS prefix
+           FROM n WHERE length(substr(nt, 1, {LEV_BLOCK_CHARS})) > 0),
+    wide AS (SELECT block FROM k0 GROUP BY block
+             HAVING count(*) <= {LEV_MAX_BLOCK}),
+    k AS (SELECT k0.* FROM k0 JOIN wide USING (block))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_distance
     FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id
@@ -3307,3 +3317,72 @@ def _bpe_encode_oracle_sql(n_merges: int) -> str:
 EXTENSION_ORACLES["corpus_bpe_encode"] = _bpe_encode_oracle_sql(
     BPE_ENCODE_MERGES
 )
+
+
+Q13_EXCLUDE_PRIORITY = "5-LOW"
+
+
+def orders_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution including the
+    zero-order bucket. See retail.order_count_distribution."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        order_count_distribution,
+    )
+
+    return order_count_distribution(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        exclude_priority=Q13_EXCLUDE_PRIORITY,
+    )
+
+
+EXTENSION_QUERIES["orders_count_distribution"] = orders_count_distribution
+
+EXTENSION_ORACLES["orders_count_distribution"] = f"""
+    WITH per AS (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN (
+            SELECT o_custkey, o_orderkey FROM orders
+            WHERE o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+        ) o ON c_custkey = o.o_custkey
+        GROUP BY c_custkey)
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+Q6_DATE_FROM = "1996-01-01"
+Q6_DATE_TO = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_MAX_QTY = 24.0
+
+
+def lineitem_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: one-row what-if revenue delta — the pure
+    filter-aggregate scan anchor. See retail.revenue_delta."""
+    from ksql_query_tutorial_spark.operators.retail import revenue_delta
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return revenue_delta(
+        load(spark, sf_dir, "lineitem"),
+        date_from=Q6_DATE_FROM,
+        date_to=Q6_DATE_TO,
+        discount_lo=Q6_DISC_LO,
+        discount_hi=Q6_DISC_HI,
+        max_quantity=Q6_MAX_QTY,
+    )
+
+
+EXTENSION_QUERIES["lineitem_revenue_delta"] = lineitem_revenue_delta
+
+EXTENSION_ORACLES["lineitem_revenue_delta"] = f"""
+    SELECT ROUND(sum(l_extendedprice * l_discount), 4) AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_FROM}'
+      AND l_shipdate < TIMESTAMP '{Q6_DATE_TO}'
+      AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+      AND l_quantity < {Q6_MAX_QTY}
+"""

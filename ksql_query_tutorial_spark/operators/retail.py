@@ -401,3 +401,72 @@ def shipping_priority(
         .limit(limit)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+def order_count_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    exclude_priority: str | None = "5-LOW",
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer,
+    INCLUDING zero-order customers — the left-join + double-aggregate
+    idiom (a histogram over a grouped count).
+
+    Scale design: the per-customer count is the only full-data
+    exchange; the second aggregate runs over |customers| rows keyed on
+    a count value whose cardinality is tiny (max orders per customer),
+    so its exchange is negligible and partial aggregation collapses it
+    map-side. The left join preserves customers with no orders — an
+    inner join + COALESCE would silently drop the zero bucket.
+    """
+    o = orders
+    if exclude_priority is not None:
+        o = o.filter(F.col("o_orderpriority") != exclude_priority)
+    per_cust = (
+        customer.join(
+            o.select("o_custkey", "o_orderkey"),
+            customer.c_custkey == o.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def revenue_delta(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount_lo: float = 0.05,
+    discount_hi: float = 0.07,
+    max_quantity: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: the one-row what-if revenue delta from
+    eliminating a discount band in a date window — the pure
+    filter-and-aggregate scan anchor.
+
+    Scale design: every predicate reaches the parquet scan (pushed
+    filters on date, discount, quantity), the scan reads only the
+    three referenced columns, and the aggregate carries ONE cell of
+    partials — wall time tracks raw IO at any corpus size.
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= discount_lo)
+            & (F.col("l_discount") <= discount_hi)
+            & (F.col("l_quantity") < max_quantity)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )

@@ -669,3 +669,53 @@ def test_inverted_index_two_level_no_window(spark):
     assert "Window" not in plan, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_count_distribution_q13_plan_floor(spark):
+    """orders_count_distribution: left join preserved (zero bucket),
+    the histogram re-aggregate keyed on the tiny count domain, no
+    cartesian, all JVM."""
+    from ksql_query_tutorial_spark.extensions import orders_count_distribution
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_count_distribution(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_revenue_delta_q6_scan_anchor(spark):
+    """lineitem_revenue_delta: every predicate pushed to the scan, the
+    scan pruned to the three referenced columns, one-row aggregate."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import lineitem_revenue_delta
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = lineitem_revenue_delta(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert_pushed_filter(
+        df,
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount",
+                    "l_shipdate"}, cols
+    assert_no_python(df)

@@ -104,6 +104,8 @@ EXT_NAMES = [
     "orders_shipping_priority",
     "corpus_index",
     "corpus_bpe_encode",
+    "orders_count_distribution",
+    "lineitem_revenue_delta",
 ]
 
 
