@@ -3386,3 +3386,41 @@ EXTENSION_ORACLES["lineitem_revenue_delta"] = f"""
       AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
       AND l_quantity < {Q6_MAX_QTY}
 """
+
+
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-valid language-distribution drift (smoothed KL + TV per
+    category) over the deterministic hash split. See
+    corpus.distribution_drift."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.distribution_drift(d, category_col="lang")
+
+
+EXTENSION_QUERIES["corpus_drift"] = corpus_drift
+
+EXTENSION_ORACLES["corpus_drift"] = """
+    WITH u AS (SELECT lang,
+                      (doc_id % 1048573) * 2654435761 % 1000000 AS u
+               FROM documents),
+    s AS (SELECT lang,
+                 CASE WHEN u < 900000 THEN 'train'
+                      WHEN u < 950000 THEN 'valid'
+                      ELSE 'test' END AS split
+          FROM u),
+    c AS (SELECT lang,
+                 CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b
+          FROM s WHERE split IN ('train', 'valid') GROUP BY lang),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM c)
+    SELECT lang, n_a, n_b,
+           ROUND((n_a + 1.0) / (ta + k), 6) AS p,
+           ROUND((n_b + 1.0) / (tb + k), 6) AS q,
+           ROUND(((n_a + 1.0) / (ta + k))
+                 * ln(((n_a + 1.0) / (ta + k))
+                      / ((n_b + 1.0) / (tb + k))), 6) AS kl_term,
+           ROUND(0.5 * abs((n_a + 1.0) / (ta + k)
+                           - (n_b + 1.0) / (tb + k)), 6) AS tv_term
+    FROM c CROSS JOIN t ORDER BY lang
+"""

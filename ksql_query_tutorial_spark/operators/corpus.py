@@ -1916,3 +1916,63 @@ def inverted_index(
         .select("term", "df", "cf", "postings")
         .orderBy("term")
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    category_col: str = "lang",
+    split_a: str = "train",
+    split_b: str = "valid",
+) -> DataFrame:
+    """Per-category drift between the category distributions of two
+    deterministic corpus splits — Laplace-smoothed KL contribution and
+    total-variation term per category, the dataset-card check that a
+    hash split did not skew languages/sources between train and valid.
+
+    Scale design: one category-keyed exchange (conditional-sum rollup
+    over the split assignment, map-side partials — no per-split scans,
+    no join between the split tables); totals and the category count
+    come from an UNPARTITIONED window over the |categories| rollup —
+    its single-task input is bounded by the category domain, and it
+    keeps the plan to ONE scan (a separate totals aggregate would
+    re-scan: Catalyst does not reuse the rollup subtree across two
+    aggregate consumers). Everything downstream of the rollup is
+    |categories|-sized.
+
+    Returns ``<category_col>, n_a, n_b, p, q, kl_term, tv_term``
+    ordered by category. Sum the ``kl_term`` / ``tv_term`` columns for
+    the scalar divergences.
+    """
+    cat = F.col(category_col)
+    counts = (
+        split_assign(df)
+        .filter(F.col("split").isin(split_a, split_b))
+        .groupBy(category_col)
+        .agg(
+            F.sum(F.when(F.col("split") == split_a, 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(F.when(F.col("split") == split_b, 1).otherwise(0))
+            .cast("long").alias("n_b"),
+        )
+    )
+    w = Window.partitionBy()
+    with_totals = (
+        counts.withColumn("__ta", F.sum("n_a").over(w))
+        .withColumn("__tb", F.sum("n_b").over(w))
+        .withColumn("__k", F.count(F.lit(1)).over(w))
+    )
+    p = (F.col("n_a") + F.lit(1.0)) / (F.col("__ta") + F.col("__k"))
+    q = (F.col("n_b") + F.lit(1.0)) / (F.col("__tb") + F.col("__k"))
+    return (
+        with_totals
+        .select(
+            cat,
+            "n_a",
+            "n_b",
+            F.round(p, 6).alias("p"),
+            F.round(q, 6).alias("q"),
+            F.round(p * F.log(p / q), 6).alias("kl_term"),
+            F.round(F.lit(0.5) * F.abs(p - q), 6).alias("tv_term"),
+        )
+        .orderBy(category_col)
+    )

@@ -719,3 +719,25 @@ def test_revenue_delta_q6_scan_anchor(spark):
     assert cols == {"l_quantity", "l_extendedprice", "l_discount",
                     "l_shipdate"}, cols
     assert_no_python(df)
+
+
+def test_corpus_drift_single_category_exchange(spark):
+    """corpus_drift: one conditional-sum rollup on the category key —
+    ONE scan, no per-split scans, no join; the totals window's
+    single-task input is the |categories| rollup, never row data."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import corpus_drift
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = corpus_drift(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -106,6 +106,7 @@ EXT_NAMES = [
     "corpus_bpe_encode",
     "orders_count_distribution",
     "lineitem_revenue_delta",
+    "corpus_drift",
 ]
 
 
