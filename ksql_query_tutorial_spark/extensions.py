@@ -3424,3 +3424,32 @@ EXTENSION_ORACLES["corpus_drift"] = """
                            - (n_b + 1.0) / (tb + k)), 6) AS tv_term
     FROM c CROSS JOIN t ORDER BY lang
 """
+
+
+MATRYOSHKA_HALF_DIM = 32
+
+
+def embedding_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label energy retention of 32-of-64-dim truncated embeddings
+    (Matryoshka tiering check). See similarity.matryoshka_stats."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.matryoshka_stats(e, half_dim=MATRYOSHKA_HALF_DIM)
+
+
+EXTENSION_QUERIES["embedding_matryoshka"] = embedding_matryoshka
+
+EXTENSION_ORACLES["embedding_matryoshka"] = f"""
+    WITH v AS (SELECT label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    r AS (SELECT label,
+                 list_sum(list_transform(v[1:{MATRYOSHKA_HALF_DIM}],
+                                         x -> x * x))
+                   / GREATEST(list_sum(list_transform(v, x -> x * x)),
+                              1e-30) AS keep
+          FROM v)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           ROUND(avg(keep), 6) AS avg_keep,
+           ROUND(min(keep), 6) AS min_keep
+    FROM r GROUP BY label ORDER BY label
+"""

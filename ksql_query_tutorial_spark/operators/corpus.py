@@ -811,9 +811,13 @@ def tf_idf(
     Term/document frequencies are exact-integer aggregations; the
     corpus size ``N`` rides in via a broadcast 1-row cross join (NO
     driver-side ``count()`` action — the plan stays lazy end-to-end).
-    The doc-frequency table joins back to the postings on the term
-    key; partial aggregation bounds the hot-term skew exactly as in
-    :func:`vocab`.
+    The doc-frequency table is its own per-doc-distinct explode pass
+    (the :func:`vocab` plan: one term-keyed exchange whose partial
+    aggregation bounds hot-term skew) joined back broadcast onto the
+    postings — deriving it FROM the postings subtree would re-execute
+    the (doc, term) exchange a second time (Catalyst does not reuse
+    the stage across the two consumers), paying scan + explode + TWO
+    exchanges where this pays scan + explode + one.
 
     Returns ``doc_id, term, tf, df, tfidf`` (tfidf rounded to 6
     decimals), one row per (document, distinct term).
@@ -826,7 +830,13 @@ def tf_idf(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dfreq = (
+        df.select(
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
     n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     return (
         postings.join(dfreq, "term")

@@ -1020,3 +1020,41 @@ def hybrid_search_rrf(
         "vec_rank",
         F.round(leg("lex_rank") + leg("vec_rank"), 6).alias("rrf"),
     )
+
+
+def matryoshka_stats(
+    df: DataFrame,
+    half_dim: int = 32,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label energy retention of prefix-truncated embeddings — the
+    Matryoshka-representation check (how much of each vector's squared
+    norm the first ``half_dim`` dimensions keep) that decides whether
+    the cheap truncated tier is usable for coarse ANN routing.
+
+    Scale design: a narrow per-row JVM fold (sum of squares over the
+    bounded embedding array — no Python, no shuffle) followed by one
+    label-keyed rollup with map-side partials. Floats are cast to
+    double before squaring so the fold is bit-portable across engines.
+
+    Returns ``label, n_vecs, avg_keep, min_keep`` ordered by label,
+    where ``keep`` = prefix energy / total energy per vector.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    full = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    half = F.aggregate(
+        F.slice(v, 1, half_dim), F.lit(0.0), lambda a, x: a + x * x
+    )
+    keep = half / F.greatest(full, F.lit(1e-30))
+    return (
+        df.select(F.col(label_col).alias("label"), keep.alias("__keep"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("__keep"), 6).alias("avg_keep"),
+            F.round(F.min("__keep"), 6).alias("min_keep"),
+        )
+        .orderBy("label")
+    )

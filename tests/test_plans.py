@@ -741,3 +741,38 @@ def test_corpus_drift_single_category_exchange(spark):
     assert "Join" not in plan, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_matryoshka_single_label_exchange_jvm(spark):
+    """embedding_matryoshka: per-row JVM fold + one label-keyed rollup
+    — no Python stage, no second scan."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import embedding_matryoshka
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = embedding_matryoshka(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_tfidf_df_pass_has_no_second_doc_term_exchange(spark):
+    """corpus_tfidf: the df table must come from the per-doc-distinct
+    explode (one term-keyed exchange), not from re-executing the
+    (doc, term) postings exchange — exactly 2 hash exchanges total."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import corpus_tfidf
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(corpus_tfidf(spark, SF_ORACLE))
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 2, plan

@@ -107,6 +107,7 @@ EXT_NAMES = [
     "orders_count_distribution",
     "lineitem_revenue_delta",
     "corpus_drift",
+    "embedding_matryoshka",
 ]
 
 
