@@ -793,11 +793,22 @@ def decayed_engagement(
     ts_col: str = "ts",
     value_col: str = "value",
     halflife_days: float = 7.0,
+    t_ref: str | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-user exponentially time-decayed engagement score — the
     feature-store staple ``sum(value · 2^(-age/halflife))`` where age
     is measured back from the corpus-wide latest event (deterministic,
-    unlike ``now()``).
+    unlike ``now()``) or, with ``t_ref`` ('YYYY-MM-DD HH:MM:SS'), from
+    a caller-fixed reference time.
+
+    The ``t_ref`` form is also the STREAMING operator: with the
+    reference pinned (no corpus-max subquery) and ``ordered=False``
+    (sorts are unsupported in update mode), the same plan runs
+    unchanged on a stream — a stateful keyed aggregation whose state is
+    one (count, sum, max) triple per user, and whose weighted partial
+    sums merge associatively. Proven by replay in
+    tests/test_streaming_replay.py.
 
     Scale design: the reference timestamp is a 1-row aggregate
     broadcast back over the table (no second full pass through a
@@ -806,20 +817,30 @@ def decayed_engagement(
     microsecond-precision ``cast(double)`` so the oracle's
     ``epoch_us/1e6`` matches bit-for-bit.
     """
-    t_max = events.agg(F.max(ts_col).alias("__t_max"))
     # ts is TIMESTAMP_NTZ in the fixture; route through a tz-cast (the
     # caller pins session tz = UTC) so unix_micros matches the oracle's
     # epoch_us over the naive timestamp exactly — no sub-second loss.
     sec = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
-    max_sec = F.unix_micros(F.col("__t_max").cast("timestamp")) / F.lit(1e6)
-    w = F.pow(F.lit(2.0), -(max_sec - sec) / F.lit(86400.0 * halflife_days))
-    return (
-        events.crossJoin(F.broadcast(t_max))
+    if t_ref is not None:
+        src = events
+        ref_sec = (
+            F.unix_micros(F.lit(t_ref).cast("timestamp")) / F.lit(1e6)
+        )
+    else:
+        src = events.crossJoin(
+            F.broadcast(events.agg(F.max(ts_col).alias("__t_max")))
+        )
+        ref_sec = (
+            F.unix_micros(F.col("__t_max").cast("timestamp")) / F.lit(1e6)
+        )
+    w = F.pow(F.lit(2.0), -(ref_sec - sec) / F.lit(86400.0 * halflife_days))
+    out = (
+        src
         .groupBy(user_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(F.col(value_col) * w), 6).alias("decayed_value"),
             F.max(ts_col).alias("last_ts"),
         )
-        .orderBy(user_col)
     )
+    return out.orderBy(user_col) if ordered else out
