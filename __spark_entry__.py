@@ -77,7 +77,8 @@ _GATE_PRIORITY = [
     # events_attribution, profile_orders, events_decay,
     # dedup_levenshtein, orders_shipping_priority, corpus_index,
     # corpus_bpe_encode, orders_count_distribution,
-    # lineitem_revenue_delta, corpus_drift, embedding_matryoshka — all
+    # lineitem_revenue_delta, corpus_drift, embedding_matryoshka,
+    # orders_winsorized — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.

@@ -3453,3 +3453,40 @@ EXTENSION_ORACLES["embedding_matryoshka"] = f"""
            ROUND(min(keep), 6) AS min_keep
     FROM r GROUP BY label ORDER BY label
 """
+
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def orders_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority winsorized order-value statistics (robust means,
+    clip counts at group p01/p99). See retail.winsorized_stats."""
+    from ksql_query_tutorial_spark.operators.retail import winsorized_stats
+
+    return winsorized_stats(
+        load(spark, sf_dir, "orders"), lo_q=WINSOR_LO, hi_q=WINSOR_HI
+    )
+
+
+EXTENSION_QUERIES["orders_winsorized"] = orders_winsorized
+
+EXTENSION_ORACLES["orders_winsorized"] = f"""
+    WITH b AS (SELECT o_orderpriority AS grp,
+                      quantile_cont(o_totalprice, {WINSOR_LO}) AS p_lo,
+                      quantile_cont(o_totalprice, {WINSOR_HI}) AS p_hi
+               FROM orders GROUP BY 1),
+    c AS (SELECT o.o_orderpriority AS grp, o.o_totalprice AS amt,
+                 b.p_lo, b.p_hi,
+                 GREATEST(LEAST(o.o_totalprice, b.p_hi), b.p_lo) AS wamt
+          FROM orders o JOIN b ON o.o_orderpriority = b.grp)
+    SELECT grp AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(min(p_lo), 6) AS p_lo,
+           ROUND(min(p_hi), 6) AS p_hi,
+           ROUND(avg(amt), 6) AS mean_raw,
+           ROUND(avg(wamt), 6) AS mean_winsorized,
+           CAST(sum(CASE WHEN amt <> wamt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped
+    FROM c GROUP BY grp ORDER BY grp
+"""

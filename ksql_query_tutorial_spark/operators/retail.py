@@ -470,3 +470,53 @@ def revenue_delta(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
     )
+
+
+def winsorized_stats(
+    orders: DataFrame,
+    group_col: str = "o_orderpriority",
+    amount_col: str = "o_totalprice",
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized amount statistics: clip each group's
+    amounts at its own interpolated [lo_q, hi_q] percentiles and
+    report raw vs winsorized means plus the clip count — the robust
+    aggregate that keeps a few fat-finger orders from dominating a
+    revenue mean.
+
+    Scale design: group percentiles are ONE grouped aggregate
+    (|groups| rows — Spark ``percentile`` == DuckDB ``quantile_cont``,
+    the q26/RFM parity) broadcast back onto the fact table; the final
+    rollup is a second grouped aggregate on the same key, so partial
+    aggregation absorbs both passes map-side. No windows, no sorts.
+    """
+    amounts = orders.select(
+        F.col(group_col).alias("grp"), F.col(amount_col).alias("amt")
+    )
+    bounds = amounts.groupBy("grp").agg(
+        F.expr(f"percentile(amt, {lo_q}D)").alias("p_lo"),
+        F.expr(f"percentile(amt, {hi_q}D)").alias("p_hi"),
+    )
+    clipped = amounts.join(F.broadcast(bounds), "grp").select(
+        "grp",
+        "amt",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.least(F.col("amt"), F.col("p_hi")), F.col("p_lo"))
+        .alias("wamt"),
+    )
+    return (
+        clipped.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.min("p_lo"), 6).alias("p_lo"),
+            F.round(F.min("p_hi"), 6).alias("p_hi"),
+            F.round(F.avg("amt"), 6).alias("mean_raw"),
+            F.round(F.avg("wamt"), 6).alias("mean_winsorized"),
+            F.sum(
+                F.when(F.col("amt") != F.col("wamt"), 1).otherwise(0)
+            ).cast("long").alias("n_clipped"),
+        )
+        .orderBy(group_col)
+    )

@@ -776,3 +776,24 @@ def test_tfidf_df_pass_has_no_second_doc_term_exchange(spark):
     plan = formatted_plan(corpus_tfidf(spark, SF_ORACLE))
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 2, plan
+
+
+def test_winsorized_two_grouped_aggs_broadcast_bounds(spark):
+    """orders_winsorized: group percentiles broadcast back (|groups|
+    rows), both rollups partial-aggregated, no window/sort over fact
+    rows, all JVM."""
+    from ksql_query_tutorial_spark.extensions import orders_winsorized
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_winsorized(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -108,6 +108,7 @@ EXT_NAMES = [
     "lineitem_revenue_delta",
     "corpus_drift",
     "embedding_matryoshka",
+    "orders_winsorized",
 ]
 
 
