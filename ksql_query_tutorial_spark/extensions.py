@@ -3490,3 +3490,62 @@ EXTENSION_ORACLES["orders_winsorized"] = f"""
              AS n_clipped
     FROM c GROUP BY grp ORDER BY grp
 """
+
+
+KANON_K = 5
+KANON_QUASI = ("c_nationkey", "c_mktsegment")
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table over the
+    (nation, market segment) quasi-identifier tuple. See
+    analytics.k_anonymity."""
+    from ksql_query_tutorial_spark.operators.analytics import k_anonymity
+
+    c = load(spark, sf_dir, "customer")
+    return k_anonymity(c, list(KANON_QUASI), k=KANON_K)
+
+
+EXTENSION_QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
+
+EXTENSION_ORACLES["privacy_k_anonymity"] = f"""
+    WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(sz AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(sz) AS BIGINT) AS n_rows,
+           sz < {KANON_K} AS at_risk
+    FROM c GROUP BY sz ORDER BY class_size
+"""
+
+
+SEASONAL_PERIOD_HOURS = 168
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (week-ago) hourly-volume forecast backtest per
+    event type. See analytics.seasonal_baseline_error."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        seasonal_baseline_error,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return seasonal_baseline_error(e, period_hours=SEASONAL_PERIOD_HOURS)
+
+
+EXTENSION_QUERIES["events_seasonal_baseline"] = events_seasonal_baseline
+
+EXTENSION_ORACLES["events_seasonal_baseline"] = f"""
+    WITH h AS (SELECT event_type AS etype, date_trunc('hour', ts) AS hh,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT a.etype AS event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           ROUND(avg(abs(a.c - b.c)), 6) AS mae,
+           ROUND(avg(a.c - b.c), 6) AS bias
+    FROM h a JOIN h b
+      ON a.etype = b.etype
+     AND a.hh = b.hh + INTERVAL {SEASONAL_PERIOD_HOURS} HOURS
+    GROUP BY 1 ORDER BY 1
+"""

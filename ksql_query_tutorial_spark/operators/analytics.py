@@ -844,3 +844,90 @@ def decayed_engagement(
         )
     )
     return out.orderBy(user_col) if ordered else out
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple: the histogram
+    of equivalence-class sizes plus the at-risk flag (class smaller
+    than ``k`` — rows a linkage attack can single out) — the
+    data-governance check run before releasing or joining a dataset.
+
+    Scale design: one exchange on the quasi-identifier key (map-side
+    partials), then a second aggregate keyed on the class SIZE — a
+    domain bounded by the largest class, so its exchange is
+    negligible. No windows, no self-joins.
+
+    Returns ``class_size, n_classes, n_rows, at_risk`` ordered by
+    class size.
+    """
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    return (
+        classes.groupBy(F.col("__sz").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("__sz").cast("long").alias("n_rows"),
+        )
+        .withColumn("at_risk", F.col("class_size") < k)
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            "n_classes", "n_rows", "at_risk",
+        )
+        .orderBy("class_size")
+    )
+
+
+def seasonal_baseline_error(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    period_hours: int = 168,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (type, hour)'s
+    event count with the count one period (default: one week) earlier
+    and report per-type MAE / bias — the zero-parameter baseline every
+    volume-forecasting model must beat, and a drift alarm when the
+    error jumps.
+
+    Scale design: ONE hourly rollup (tiny: |types × hours| rows), then
+    a self-equi-join of that bounded table on the shifted hour — the
+    corpus-sized data is touched once. Hours with no events on either
+    side are absent rows and simply don't score (documented; a dense
+    calendar spine would impute zeros).
+
+    Returns ``event_type, n_hours, mae, bias`` (rounded 6) ordered by
+    type.
+    """
+    hour = F.date_trunc("HOUR", F.col(ts_col))
+    hourly = (
+        events.groupBy(
+            F.col(type_col).alias("etype"), hour.alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    prev = hourly.select(
+        F.col("etype").alias("p_etype"),
+        (F.col("h") + F.expr(f"INTERVAL {period_hours} HOURS")).alias(
+            "p_h"
+        ),
+        F.col("c").alias("c_prev"),
+    )
+    scored = hourly.join(
+        prev,
+        (F.col("etype") == F.col("p_etype")) & (F.col("h") == F.col("p_h")),
+    )
+    err = F.col("c") - F.col("c_prev")
+    return (
+        scored.groupBy(F.col("etype").alias(type_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(F.avg(F.abs(err)), 6).alias("mae"),
+            F.round(F.avg(err), 6).alias("bias"),
+        )
+        .orderBy(type_col)
+    )

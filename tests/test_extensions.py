@@ -1723,3 +1723,45 @@ def test_inverted_index_postings_capped_and_sorted(spark):
     assert out["gamma"]["df"] == 10
     assert out["gamma"]["postings"] == "1,3,5,7,9"
     assert "beta" in out and out["beta"]["postings"] == "1,2,3,4,5"
+
+
+def test_k_anonymity_histogram_and_flags(spark):
+    """k_anonymity on a toy frame: class sizes, histogram counts, and
+    the at-risk flag at the k threshold."""
+    from ksql_query_tutorial_spark.operators.analytics import k_anonymity
+
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "A"), (2, "B"), (2, "B"), (3, "C")],
+        "q1 int, q2 string",
+    )
+    rows = {r["class_size"]: r for r in
+            k_anonymity(df, ["q1", "q2"], k=3).collect()}
+    assert rows[1]["n_classes"] == 1 and rows[1]["n_rows"] == 1
+    assert rows[1]["at_risk"] is True
+    assert rows[2]["at_risk"] is True
+    assert rows[3]["n_classes"] == 1 and rows[3]["at_risk"] is False
+
+
+def test_seasonal_baseline_known_errors(spark):
+    """seasonal_baseline_error with a 2-hour period on a hand-built
+    series: scored hours and MAE/bias match hand computation."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        seasonal_baseline_error,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 0)
+    rows = []
+    # type 'a': hour 0 -> 2 events, hour 2 -> 3 events, hour 4 -> 1
+    for h, n in [(0, 2), (2, 3), (4, 1)]:
+        rows += [("a", t0 + dt.timedelta(hours=h))] * n
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp_ntz")
+    out = seasonal_baseline_error(df, period_hours=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # scored: hour2 (pred 2, actual 3, err +1), hour4 (pred 3, actual 1, err -2)
+    assert r["n_hours"] == 2
+    assert r["mae"] == 1.5
+    assert r["bias"] == -0.5

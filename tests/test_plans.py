@@ -797,3 +797,39 @@ def test_winsorized_two_grouped_aggs_broadcast_bounds(spark):
     assert_broadcast_join(df)
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_k_anonymity_two_bounded_aggregates(spark):
+    """privacy_k_anonymity: quasi-key rollup then a class-size-keyed
+    re-aggregate (bounded domain) — no windows, no joins, all JVM."""
+    from ksql_query_tutorial_spark.extensions import privacy_k_anonymity
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = privacy_k_anonymity(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_seasonal_baseline_joins_bounded_hourly_table(spark):
+    """events_seasonal_baseline: the self-join runs over the hourly
+    rollup (|types × hours| rows), never over raw events — both join
+    inputs must sit above aggregates; equality join only."""
+    from ksql_query_tutorial_spark.extensions import events_seasonal_baseline
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_seasonal_baseline(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert_no_python(df)

@@ -109,6 +109,8 @@ EXT_NAMES = [
     "corpus_drift",
     "embedding_matryoshka",
     "orders_winsorized",
+    "privacy_k_anonymity",
+    "events_seasonal_baseline",
 ]
 
 
