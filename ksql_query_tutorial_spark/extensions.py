@@ -3549,3 +3549,81 @@ EXTENSION_ORACLES["events_seasonal_baseline"] = f"""
      AND a.hh = b.hh + INTERVAL {SEASONAL_PERIOD_HOURS} HOURS
     GROUP BY 1 ORDER BY 1
 """
+
+
+LP_ITERATIONS = 3
+LP_SEED_MOD = 3
+
+
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped-seed label propagation over the near-dup similarity
+    graph: every third document's lang is the seed set; the rest take
+    neighborhood majority votes for 3 rounds. Same recall-1 LSH edge
+    regime as graph_pagerank, so the exact-Jaccard oracle applies.
+    See operators.graph.label_propagation."""
+    from ksql_query_tutorial_spark.operators.graph import label_propagation
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+    seeds = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % LP_SEED_MOD == 0, F.col("lang")).alias(
+            "seed_label"
+        ),
+    )
+    return label_propagation(pairs, seeds, iterations=LP_ITERATIONS)
+
+
+EXTENSION_QUERIES["graph_label_prop"] = graph_label_prop
+
+
+def _label_prop_oracle_sql(iterations: int = LP_ITERATIONS) -> str:
+    """DuckDB twin of graph.label_propagation over exact-Jaccard
+    pairs, iterations unrolled as chained CTEs (the PageRank
+    pattern); the argmax is row_number ORDER BY c DESC, lab — the
+    SQL spelling of min(struct(-c, lab))."""
+    cte = [f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM post a JOIN post b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON id_a = sa.doc_id
+                         JOIN sizes sb ON id_b = sb.doc_id
+              WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                    >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    seeds AS (SELECT n.id, d.lang AS seed
+              FROM nodes n LEFT JOIN documents d
+                ON n.id = d.doc_id AND d.doc_id % {LP_SEED_MOD} = 0),
+    lab0 AS (SELECT id, seed, seed AS lab FROM seeds)"""]
+    for it in range(1, iterations + 1):
+        cte.append(f"""
+    v{it} AS (SELECT e.dst AS id, p.lab AS lab, count(*) AS c
+              FROM edges e JOIN lab{it - 1} p ON e.src = p.id
+              WHERE p.lab IS NOT NULL GROUP BY 1, 2),
+    b{it} AS (SELECT id, lab FROM (
+                SELECT id, lab,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY c DESC, lab) AS rn
+                FROM v{it}) WHERE rn = 1),
+    lab{it} AS (SELECT s.id, s.seed,
+                       COALESCE(s.seed, b.lab, p.lab) AS lab
+                FROM seeds s
+                LEFT JOIN b{it} b ON s.id = b.id
+                JOIN lab{it - 1} p ON s.id = p.id)""")
+    return (
+        "WITH " + ",".join(cte) + f"""
+    SELECT id, lab AS label, seed IS NOT NULL AS is_seed
+    FROM lab{iterations} ORDER BY id
+    """
+    )
+
+
+EXTENSION_ORACLES["graph_label_prop"] = _label_prop_oracle_sql()

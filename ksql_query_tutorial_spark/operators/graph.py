@@ -108,3 +108,88 @@ def pagerank_fixed_point(
             "pr_norm"
         ),
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation over the UNDIRECTED graph
+    given as ``id_a``/``id_b`` pairs: seeded nodes keep their label
+    (clamped), unlabeled nodes take the majority label of their
+    neighbors each round (ties → lexicographically smallest label;
+    no labeled neighbor → keep the previous state). The standard
+    cheap way to extend a small labeled set across a similarity
+    graph — here, spreading known document metadata through the
+    near-dup neighborhood.
+
+    Determinism design: votes are exact integer counts and the argmax
+    is ``min(struct(-count, label))`` — order-independent and
+    reproducible in SQL as ``row_number() OVER (ORDER BY c DESC,
+    label)``; no floats anywhere, so the fixed iteration count is
+    fully oracle-able via unrolled CTEs (the PageRank pattern).
+
+    Scale design mirrors PageRank: edges checkpointed once; per
+    iteration ONE labels→edges join on src plus a (dst, label)-keyed
+    aggregate with map-side partials whose output is bounded by
+    |nodes × labels|; each round's frame is a LAZY local checkpoint so
+    lineage stays O(1) deep.
+
+    ``seeds``: DataFrame ``(id, seed_label)`` — NULL labels mean
+    unseeded. Returns ``id, label, is_seed`` for every node WITH at
+    least one edge, ordered by id.
+    """
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    edges = directed.union(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .join(seeds, "id", "left")
+        .select("id", F.col("seed_label").alias("__seed"))
+        .localCheckpoint()
+    )
+    lab = nodes.select("id", "__seed", F.col("__seed").alias("__lab"))
+    for _ in range(iterations):
+        votes = (
+            edges.join(
+                lab.filter(F.col("__lab").isNotNull()).select(
+                    F.col("id").alias("src"), F.col("__lab").alias("__nl")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"), "__nl")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = (
+            votes.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("__nl").alias("lab"),
+                    )
+                ).alias("__b")
+            )
+            .select("id", F.col("__b.lab").alias("__best"))
+        )
+        lab = (
+            nodes.join(best, "id", "left")
+            .join(lab.select("id", F.col("__lab").alias("__prev")), "id")
+            .select(
+                "id",
+                "__seed",
+                F.coalesce(
+                    F.col("__seed"), F.col("__best"), F.col("__prev")
+                ).alias("__lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return lab.select(
+        "id",
+        F.col("__lab").alias("label"),
+        F.col("__seed").isNotNull().alias("is_seed"),
+    ).orderBy("id")

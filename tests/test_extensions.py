@@ -1765,3 +1765,28 @@ def test_seasonal_baseline_known_errors(spark):
     assert r["n_hours"] == 2
     assert r["mae"] == 1.5
     assert r["bias"] == -0.5
+
+
+def test_label_propagation_clamps_votes_and_tiebreaks(spark):
+    """label_propagation on a hand-built path graph: seeds stay
+    clamped, majorities propagate, ties break to the smallest label,
+    and components with no labeled node stay NULL."""
+    from ksql_query_tutorial_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None), (4, "fr"), (5, None), (6, None)],
+        "id long, seed_label string",
+    )
+    out = {r["id"]: r for r in
+           label_propagation(pairs, seeds, iterations=3).collect()}
+    assert out[1]["label"] == "en" and out[1]["is_seed"]
+    assert out[4]["label"] == "fr" and out[4]["is_seed"]
+    # node 2: round-2 tie {en, fr} -> 'en' (lexicographic); stays en
+    assert out[2]["label"] == "en" and not out[2]["is_seed"]
+    # node 3: round-2 tie {en, fr} -> 'en'
+    assert out[3]["label"] == "en"
+    # unlabeled component stays NULL
+    assert out[5]["label"] is None and out[6]["label"] is None

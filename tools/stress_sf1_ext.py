@@ -111,6 +111,7 @@ EXT_NAMES = [
     "orders_winsorized",
     "privacy_k_anonymity",
     "events_seasonal_baseline",
+    "graph_label_prop",
 ]
 
 
