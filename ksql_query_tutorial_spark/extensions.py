@@ -3627,3 +3627,57 @@ def _label_prop_oracle_sql(iterations: int = LP_ITERATIONS) -> str:
 
 
 EXTENSION_ORACLES["graph_label_prop"] = _label_prop_oracle_sql()
+
+
+def events_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution totals (credit split equally
+    over in-TTL touches; range-frame windows, no join). See
+    analytics.linear_attribution."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return linear_attribution(e)
+
+
+EXTENSION_QUERIES["events_multitouch"] = events_multitouch
+
+EXTENSION_ORACLES["events_multitouch"] = """
+    WITH t AS (SELECT user_id, event_type,
+                      epoch_us(ts) AS us
+               FROM events),
+    conv AS (SELECT *,
+                    COALESCE(sum(CASE WHEN event_type = 'click'
+                                      THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND 1 PRECEDING), 0) AS n0,
+                    COALESCE(sum(CASE WHEN event_type = 'view'
+                                      THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND 1 PRECEDING), 0) AS n1
+             FROM t),
+    c AS (SELECT n0, n1, n0 + n1 AS tot FROM conv
+          WHERE event_type = 'purchase'),
+    wide AS (SELECT
+        CAST(count(CASE WHEN n0 > 0 THEN 1 END) AS BIGINT) AS r0,
+        ROUND(sum(CASE WHEN tot > 0
+                       THEN CAST(n0 AS DOUBLE) / tot ELSE 0 END), 6)
+          AS c0,
+        CAST(count(CASE WHEN n1 > 0 THEN 1 END) AS BIGINT) AS r1,
+        ROUND(sum(CASE WHEN tot > 0
+                       THEN CAST(n1 AS DOUBLE) / tot ELSE 0 END), 6)
+          AS c1,
+        CAST(count(CASE WHEN tot = 0 THEN 1 END) AS BIGINT) AS rn
+      FROM c)
+    SELECT 'click' AS touch_type, r0 AS reached_conversions,
+           c0 AS credit FROM wide
+    UNION ALL
+    SELECT 'view', r1, c1 FROM wide
+    UNION ALL
+    SELECT '(none)', rn, 0.0 FROM wide
+    ORDER BY touch_type
+"""

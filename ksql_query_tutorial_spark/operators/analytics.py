@@ -931,3 +931,88 @@ def seasonal_baseline_error(
         )
         .orderBy(type_col)
     )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    ttl_minutes: int = 1440,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion splits one
+    unit of credit EQUALLY across all of the user's touch events in
+    the strictly-preceding TTL window (the companion model to
+    last-touch — last-touch rewards closers, linear rewards the whole
+    journey).
+
+    Spark-first design: NO conversion→touch join anywhere. Per-touch-
+    type counts per conversion come from RANGE-frame windows over the
+    microsecond timestamp on ONE user-keyed exchange (frame =
+    ``[ts−TTL, ts−1µs]``, so same-instant touches are excluded
+    exactly like last-touch's ``-1`` row frame); the credit rollup is
+    a single tiny aggregate stacked to one row per touch type plus
+    the ``(none)`` bucket for unattributed conversions.
+
+    Returns ``touch_type, reached_conversions, credit`` (credit
+    rounded 6, summing to attributed conversions), ordered by type.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ttl_us = int(ttl_minutes) * 60 * 1_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("__us"))
+        .rangeBetween(-ttl_us, -1)
+    )
+    typed = df.select(
+        F.col(type_col).alias("__t"), us.alias("__us"), user_col
+    )
+    # coalesce: an EMPTY frame (conversion with no preceding events at
+    # all) sums to NULL, which would silently drop the row from every
+    # bucket including "(none)" — it belongs in "(none)".
+    counts = [
+        F.coalesce(
+            F.sum(F.when(F.col("__t") == t, 1).otherwise(0)).over(w),
+            F.lit(0),
+        ).alias(f"__n_{i}")
+        for i, t in enumerate(touch_types)
+    ]
+    conv = typed.select("*", *counts).filter(
+        F.col("__t") == conversion_type
+    )
+    total = sum(F.col(f"__n_{i}") for i in range(len(touch_types)))
+    aggs = []
+    for i, t in enumerate(touch_types):
+        n = F.col(f"__n_{i}")
+        aggs += [
+            F.count(F.when(n > 0, 1)).cast("long")
+            .alias(f"__reached_{i}"),
+            F.round(
+                F.sum(
+                    F.when(total > 0, n.cast("double") / total).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias(f"__credit_{i}"),
+        ]
+    aggs.append(
+        F.count(F.when(total == 0, 1)).cast("long").alias("__none")
+    )
+    wide = conv.agg(*aggs)
+    stack_args = []
+    for i, t in enumerate(touch_types):
+        stack_args += [
+            F.lit(t), F.col(f"__reached_{i}"), F.col(f"__credit_{i}"),
+        ]
+    stack_args += [F.lit("(none)"), F.col("__none"), F.lit(0.0)]
+    return (
+        wide.select(
+            F.stack(
+                F.lit(len(touch_types) + 1), *stack_args
+            ).alias("touch_type", "reached_conversions", "credit")
+        )
+        .orderBy("touch_type")
+    )

@@ -1790,3 +1790,36 @@ def test_label_propagation_clamps_votes_and_tiebreaks(spark):
     assert out[3]["label"] == "en"
     # unlabeled component stays NULL
     assert out[5]["label"] is None and out[6]["label"] is None
+
+
+def test_linear_attribution_credit_split_and_none_bucket(spark):
+    """linear_attribution on a hand-built journey: equal split across
+    in-TTL touches, strict same-instant exclusion, and the (none)
+    bucket including conversions with NO preceding events at all."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        linear_attribution,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 12)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: click, view, view -> purchase: credit 1/3 + 2/3
+        (1, "click", t0), (1, "view", t0 + m), (1, "view", t0 + 2 * m),
+        (1, "purchase", t0 + 3 * m),
+        # user 2: purchase with no history -> (none)
+        (2, "purchase", t0),
+        # user 3: touch AT the same instant as conversion -> excluded
+        (3, "click", t0), (3, "purchase", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz"
+    )
+    out = {r["touch_type"]: r for r in linear_attribution(df).collect()}
+    assert out["click"]["reached_conversions"] == 1
+    assert abs(out["click"]["credit"] - 1 / 3) < 1e-6
+    assert out["view"]["reached_conversions"] == 1
+    assert abs(out["view"]["credit"] - 2 / 3) < 1e-6
+    assert out["(none)"]["reached_conversions"] == 2

@@ -833,3 +833,23 @@ def test_seasonal_baseline_joins_bounded_hourly_table(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert_no_python(df)
+
+
+def test_multitouch_no_join_single_user_exchange(spark):
+    """events_multitouch: per-type counts via RANGE windows on one
+    user-keyed exchange — no conversion-to-touch join anywhere."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import events_multitouch
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_multitouch(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash <= 1, plan
+    assert_no_python(df)

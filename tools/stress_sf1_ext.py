@@ -112,6 +112,7 @@ EXT_NAMES = [
     "privacy_k_anonymity",
     "events_seasonal_baseline",
     "graph_label_prop",
+    "events_multitouch",
 ]
 
 
