@@ -3681,3 +3681,26 @@ EXTENSION_ORACLES["events_multitouch"] = """
     SELECT '(none)', rn, 0.0 FROM wide
     ORDER BY touch_type
 """
+
+
+IVM_CUTOFF = "2024-01-20 00:00:00"
+
+
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: base-before-cutoff partials
+    merged with the raw delta batch; the oracle is the PLAIN full
+    aggregate, so the hash match proves the incremental path is
+    result-identical. See rollup.incremental_rollup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return rollup.incremental_rollup(e, cutoff=IVM_CUTOFF)
+
+
+EXTENSION_QUERIES["events_incremental_rollup"] = events_incremental_rollup
+
+EXTENSION_ORACLES["events_incremental_rollup"] = """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY event_type, day
+"""

@@ -853,3 +853,26 @@ def test_multitouch_no_join_single_user_exchange(spark):
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash <= 1, plan
     assert_no_python(df)
+
+
+def test_incremental_rollup_merge_is_bounded(spark):
+    """events_incremental_rollup: the merge re-aggregate consumes the
+    two partial rollups (≤ 2·|keys| rows), both with map-side
+    partials; cutoff filters pushed to both scans; all JVM."""
+    from ksql_query_tutorial_spark.extensions import (
+        events_incremental_rollup,
+    )
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_incremental_rollup(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Union" in plan, plan
+    assert_pushed_filter(df, "LessThan(ts,", "GreaterThanOrEqual(ts,")
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -113,6 +113,7 @@ EXT_NAMES = [
     "events_seasonal_baseline",
     "graph_label_prop",
     "events_multitouch",
+    "events_incremental_rollup",
 ]
 
 
