@@ -80,7 +80,8 @@ _GATE_PRIORITY = [
     # lineitem_revenue_delta, corpus_drift, embedding_matryoshka,
     # orders_winsorized, privacy_k_anonymity,
     # events_seasonal_baseline, graph_label_prop,
-    # events_multitouch, events_incremental_rollup — all
+    # events_multitouch, events_incremental_rollup,
+    # lineitem_correlations, events_ab_test — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.

@@ -3704,3 +3704,93 @@ EXTENSION_ORACLES["events_incremental_rollup"] = """
            ROUND(sum(value), 6) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY event_type, day
 """
+
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlations between the lineitem numeric columns
+    (single-pass sums, closed form). See analytics.column_correlations."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        column_correlations,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return column_correlations(li, CORR_COLS)
+
+
+EXTENSION_QUERIES["lineitem_correlations"] = lineitem_correlations
+
+
+def _corr_oracle_sql(cols: tuple[str, ...]) -> str:
+    sums = ["CAST(count(*) AS DOUBLE) AS n"]
+    for c in cols:
+        sums.append(f"sum({c}) AS s_{c}")
+        sums.append(f"sum({c} * {c}) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        sums.append(f"sum({a} * {b}) AS p_{a}_{b}")
+    branches = []
+    for a, b in pairs:
+        branches.append(f"""
+    SELECT '{a}' AS col_x, '{b}' AS col_y,
+           ROUND((n * p_{a}_{b} - s_{a} * s_{b})
+                 / sqrt((n * q_{a} - s_{a} * s_{a})
+                        * (n * q_{b} - s_{b} * s_{b})), 6) AS corr
+    FROM w""")
+    return (
+        "WITH w AS (SELECT " + ", ".join(sums) + " FROM lineitem)"
+        + " UNION ALL ".join(branches)
+        + " ORDER BY col_x, col_y"
+    )
+
+
+EXTENSION_ORACLES["lineitem_correlations"] = _corr_oracle_sql(CORR_COLS)
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed A/B conversion readout with the
+    two-proportion z statistic. See analytics.ab_test_conversion."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        ab_test_conversion,
+    )
+
+    e = load(spark, sf_dir, "events")
+    return ab_test_conversion(e)
+
+
+EXTENSION_QUERIES["events_ab_test"] = events_ab_test
+
+EXTENSION_ORACLES["events_ab_test"] = """
+    WITH per AS (SELECT user_id,
+                        (user_id % 1048573) * 2654435761 % 2 AS arm,
+                        max(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS conv
+                 FROM events GROUP BY 1),
+    w AS (SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM per),
+    d AS (SELECT *,
+                 CASE WHEN n_a > 0
+                      THEN CAST(conv_a AS DOUBLE) / n_a END AS rate_a,
+                 CASE WHEN n_b > 0
+                      THEN CAST(conv_b AS DOUBLE) / n_b END AS rate_b,
+                 CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   (CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                   * (1.0 / n_a + 1.0 / n_b) END AS se2
+          FROM w)
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(rate_a, 6) AS rate_a,
+           ROUND(rate_b, 6) AS rate_b,
+           ROUND(rate_b - rate_a, 6) AS lift,
+           ROUND(CASE WHEN se2 > 0
+                      THEN (rate_b - rate_a) / sqrt(se2) END, 6) AS z
+    FROM d
+"""

@@ -1016,3 +1016,120 @@ def linear_attribution(
         )
         .orderBy("touch_type")
     )
+
+
+def column_correlations(
+    df: DataFrame,
+    cols: tuple[str, ...],
+) -> DataFrame:
+    """Exact Pearson correlation matrix over numeric fact columns —
+    the feature-audit pass (leakage/collinearity screening) before
+    feeding relational features to a model; the column analog of the
+    embedding covariance operator.
+
+    Scale design: ONE aggregate pass computes every Σx, Σx², Σxy
+    (|cols|·(|cols|+3)/2 cells of partials — order-independent sums),
+    and the |pairs|-row matrix is assembled from that single wide row.
+    No second scan, no `corr()` UDAF whose summation order could
+    differ between engines: the closed form over sums is reproduced
+    verbatim in the oracle.
+
+    Returns ``col_x, col_y, corr`` (rounded 6) for x < y, ordered.
+    """
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__q_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__p_{a}_{b}"))
+    wide = df.agg(*aggs)
+
+    n = F.col("__n")
+
+    def corr(a: str, b: str):
+        cov = n * F.col(f"__p_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        va = n * F.col(f"__q_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        vb = n * F.col(f"__q_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        return F.round(cov / F.sqrt(va * vb), 6)
+
+    stack_args = []
+    for a, b in pairs:
+        stack_args += [F.lit(a), F.lit(b), corr(a, b)]
+    return (
+        wide.select(
+            F.stack(F.lit(len(pairs)), *stack_args).alias(
+                "col_x", "col_y", "corr"
+            )
+        )
+        .orderBy("col_x", "col_y")
+    )
+
+
+def ab_test_conversion(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Deterministic A/B conversion analysis: users are assigned to
+    arms by a pure hash of their id (the experiment-bucketing
+    primitive — stable under re-runs and late events, unlike random
+    assignment), conversion = the user emitted at least one
+    ``conversion_type`` event, and the readout is the classic
+    two-proportion z statistic on the pooled standard error.
+
+    Scale design: ONE user-keyed rollup (map-side partials collapse
+    each task to its distinct users) feeds a two-row arm aggregate;
+    the z arithmetic runs on that single wide row. The hash is the
+    repo's portable multiplicative scheme, reproduced verbatim in the
+    oracle.
+
+    Returns one row: ``n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    lift, z`` (floats rounded 6).
+    """
+    arm = ((F.col(user_col) % 1048573) * 2654435761 % 2).cast("int")
+    per_user = (
+        events.groupBy(user_col)
+        .agg(
+            F.max(
+                F.when(F.col(type_col) == conversion_type, 1).otherwise(0)
+            ).alias("__conv")
+        )
+        .select(arm.alias("__arm"), "__conv")
+    )
+    wide = per_user.agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__arm") == 0, F.col("__conv")).otherwise(0))
+        .cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("__arm") == 1, F.col("__conv")).otherwise(0))
+        .cast("long").alias("conv_b"),
+    )
+    # every division is guarded: an empty arm yields NULL rates, and a
+    # degenerate pooled rate (0 or 1 — e.g. every user converted, which
+    # this fixture's dense event stream produces) yields se = 0 and a
+    # NULL z in BOTH engines, instead of an ANSI divide-by-zero here
+    # and an Inf in the oracle.
+    ra = F.when(F.col("n_a") > 0, F.col("conv_a") / F.col("n_a"))
+    rb = F.when(F.col("n_b") > 0, F.col("conv_b") / F.col("n_b"))
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se2 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b")),
+    )
+    return wide.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("lift"),
+        F.round(
+            F.when(se2 > 0, (rb - ra) / F.sqrt(se2)), 6
+        ).alias("z"),
+    )

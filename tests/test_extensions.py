@@ -1823,3 +1823,54 @@ def test_linear_attribution_credit_split_and_none_bucket(spark):
     assert out["view"]["reached_conversions"] == 1
     assert abs(out["view"]["credit"] - 2 / 3) < 1e-6
     assert out["(none)"]["reached_conversions"] == 2
+
+
+def test_column_correlations_known_values(spark):
+    """column_correlations: y = 2x gives corr exactly 1; an
+    anti-correlated pair gives -1."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        column_correlations,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+        "x double, y double, z double",
+    )
+    out = {(r["col_x"], r["col_y"]): r["corr"] for r in
+           column_correlations(df, ("x", "y", "z")).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+
+
+def test_ab_test_known_z_and_degenerate_guard(spark):
+    """ab_test_conversion: hand-built arms with known rates produce
+    the textbook two-proportion z; an all-converted corpus yields a
+    NULL z (se = 0), never an error."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        ab_test_conversion,
+    )
+
+    # arm = user_id % 2 (the portable hash reduces to parity).
+    # arm0 users 2,4,6,8 (conv: 2,4) -> rate 0.5
+    # arm1 users 1,3,5,7 (conv: 1)   -> rate 0.25
+    rows = []
+    for u in (2, 4, 6, 8, 1, 3, 5, 7):
+        rows.append((u, "view"))
+    for u in (2, 4, 1):
+        rows.append((u, "purchase"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_test_conversion(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert (r["rate_a"], r["rate_b"]) == (0.5, 0.25)
+    p = 3 / 8
+    z = (0.25 - 0.5) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert abs(r["z"] - z) < 1e-6
+
+    all_conv = spark.createDataFrame(
+        [(1, "purchase"), (2, "purchase")], "user_id long, event_type string"
+    )
+    r2 = ab_test_conversion(all_conv).collect()[0]
+    assert r2["z"] is None and r2["lift"] == 0.0

@@ -876,3 +876,27 @@ def test_incremental_rollup_merge_is_bounded(spark):
     assert_pushed_filter(df, "LessThan(ts,", "GreaterThanOrEqual(ts,")
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_correlations_and_ab_test_single_pass(spark):
+    """lineitem_correlations / events_ab_test: one scan, one aggregate
+    pipeline each, matrix/readout assembled from the single wide row;
+    all JVM."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import (
+        events_ab_test,
+        lineitem_correlations,
+    )
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    for fn in (lineitem_correlations, events_ab_test):
+        df = fn(spark, SF_ORACLE)
+        plan = formatted_plan(df)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+        assert "Join" not in plan, plan
+        assert_no_python(df)

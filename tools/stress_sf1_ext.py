@@ -114,6 +114,8 @@ EXT_NAMES = [
     "graph_label_prop",
     "events_multitouch",
     "events_incremental_rollup",
+    "lineitem_correlations",
+    "events_ab_test",
 ]
 
 
