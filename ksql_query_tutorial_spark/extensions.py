@@ -3794,3 +3794,42 @@ EXTENSION_ORACLES["events_ab_test"] = """
                       THEN (rate_b - rate_a) / sqrt(se2) END, 6) AS z
     FROM d
 """
+
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: first-order-month cohorts with cumulative
+    revenue per member. See retail.cohort_ltv."""
+    from ksql_query_tutorial_spark.operators.retail import cohort_ltv
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cohort_ltv(load(spark, sf_dir, "orders"))
+
+
+EXTENSION_QUERIES["orders_cohort_ltv"] = orders_cohort_ltv
+
+EXTENSION_ORACLES["orders_cohort_ltv"] = """
+    WITH m AS (SELECT o_custkey, o_totalprice,
+                      CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+               FROM orders),
+    first AS (SELECT o_custkey AS c, min(mon) AS cohort_month
+              FROM m GROUP BY 1),
+    sz AS (SELECT cohort_month, count(DISTINCT c) AS cohort_n
+           FROM first GROUP BY 1),
+    cells AS (SELECT f.cohort_month,
+                     CAST(datediff('month', f.cohort_month, m.mon)
+                          AS INT) AS month_offset,
+                     CAST(count(DISTINCT m.o_custkey) AS BIGINT)
+                       AS n_customers,
+                     sum(m.o_totalprice) AS rev
+              FROM m JOIN first f ON m.o_custkey = f.c
+              GROUP BY 1, 2)
+    SELECT c.cohort_month, c.month_offset, c.n_customers,
+           ROUND(c.rev, 6) AS revenue,
+           ROUND(sum(c.rev) OVER (PARTITION BY c.cohort_month
+                                  ORDER BY c.month_offset
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)
+                 / s.cohort_n, 6) AS cum_revenue_per_customer
+    FROM cells c JOIN sz s ON c.cohort_month = s.cohort_month
+    ORDER BY c.cohort_month, c.month_offset
+"""

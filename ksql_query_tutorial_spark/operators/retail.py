@@ -25,7 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -519,4 +519,67 @@ def winsorized_stats(
             ).cast("long").alias("n_clipped"),
         )
         .orderBy(group_col)
+    )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curves: customers are cohorted by the
+    month of their FIRST order; each (cohort, month-offset) cell
+    reports active customers, revenue, and the running cumulative
+    revenue per cohort member — the repeat-purchase economics readout
+    behind retention-based LTV forecasts.
+
+    Scale design: one customer-keyed exchange derives the cohort month
+    (min over the customer's orders, map-side partials) and is joined
+    back BROADCAST (|customers| cohort rows are the bounded side at
+    fixture scale; at true 100 TB flip to a shuffle join — the key is
+    the customer id either way); the (cohort, offset) rollup and the
+    cumulative window then run over |months|² cells, so the window's
+    single-task input is calendar-bounded, never order rows.
+
+    Returns ``cohort_month, month_offset, n_customers, revenue,
+    cum_revenue_per_customer`` (floats rounded 6) ordered by cohort,
+    offset.
+    """
+    month = F.date_trunc("MONTH", F.col(date_col)).cast("date")
+    first = (
+        orders.groupBy(F.col(cust_col).alias("__c"))
+        .agg(F.min(month).alias("cohort_month"))
+    )
+    cohort_size = first.groupBy("cohort_month").agg(
+        F.countDistinct("__c").alias("__cohort_n")
+    )
+    offs = F.months_between(month, F.col("cohort_month")).cast("int")
+    cells = (
+        orders.join(
+            F.broadcast(first), orders[cust_col] == F.col("__c")
+        )
+        .groupBy("cohort_month", offs.alias("month_offset"))
+        .agg(
+            F.countDistinct(cust_col).cast("long").alias("n_customers"),
+            F.sum(amount_col).alias("__rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(F.broadcast(cohort_size), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_customers",
+            F.round(F.col("__rev"), 6).alias("revenue"),
+            F.round(
+                F.sum("__rev").over(w) / F.col("__cohort_n"), 6
+            ).alias("cum_revenue_per_customer"),
+        )
+        .orderBy("cohort_month", "month_offset")
     )

@@ -1874,3 +1874,34 @@ def test_ab_test_known_z_and_degenerate_guard(spark):
     )
     r2 = ab_test_conversion(all_conv).collect()[0]
     assert r2["z"] is None and r2["lift"] == 0.0
+
+
+def test_cohort_ltv_hand_built_curve(spark):
+    """cohort_ltv on a toy order log: offsets, actives, and the
+    cumulative per-member revenue match hand computation."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.retail import cohort_ltv
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = dt.datetime
+    rows = [
+        # cohort Jan: customers 1, 2
+        (1, d(2024, 1, 5), 10.0), (2, d(2024, 1, 20), 20.0),
+        (1, d(2024, 2, 1), 30.0),                       # offset 1
+        # cohort Feb: customer 3
+        (3, d(2024, 2, 15), 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp_ntz, o_totalprice double"
+    )
+    out = {(str(r["cohort_month"]), r["month_offset"]): r
+           for r in cohort_ltv(df).collect()}
+    jan0 = out[("2024-01-01", 0)]
+    assert jan0["n_customers"] == 2 and jan0["revenue"] == 30.0
+    assert jan0["cum_revenue_per_customer"] == 15.0
+    jan1 = out[("2024-01-01", 1)]
+    assert jan1["n_customers"] == 1 and jan1["revenue"] == 30.0
+    assert jan1["cum_revenue_per_customer"] == 30.0   # (30+30)/2
+    feb0 = out[("2024-02-01", 0)]
+    assert feb0["cum_revenue_per_customer"] == 40.0

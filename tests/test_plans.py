@@ -900,3 +900,30 @@ def test_correlations_and_ab_test_single_pass(spark):
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
         assert "Join" not in plan, plan
         assert_no_python(df)
+
+
+def test_cohort_ltv_window_over_bounded_cells(spark):
+    """orders_cohort_ltv: the cumulative window's input is the
+    (cohort, offset) aggregate — calendar-bounded cells, never order
+    rows — and the cohort tables ride broadcast joins."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import orders_cohort_ltv
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_cohort_ltv(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    flat = plan.replace("\n", " ")
+    # the ONLY window is partitioned by cohort_month over the
+    # aggregated cells (Window node sits above the HashAggregate)
+    m = re.search(r"windowspecdefinition\(cohort_month", flat)
+    assert m, plan
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -116,6 +116,7 @@ EXT_NAMES = [
     "events_incremental_rollup",
     "lineitem_correlations",
     "events_ab_test",
+    "orders_cohort_ltv",
 ]
 
 
