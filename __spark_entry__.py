@@ -81,7 +81,8 @@ _GATE_PRIORITY = [
     # orders_winsorized, privacy_k_anonymity,
     # events_seasonal_baseline, graph_label_prop,
     # events_multitouch, events_incremental_rollup,
-    # lineitem_correlations, events_ab_test, orders_cohort_ltv — all
+    # lineitem_correlations, events_ab_test, orders_cohort_ltv,
+    # mm_audio_windows — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.

@@ -3833,3 +3833,35 @@ EXTENSION_ORACLES["orders_cohort_ltv"] = """
     FROM cells c JOIN sz s ON c.cohort_month = s.cohort_month
     ORDER BY c.cohort_month, c.month_offset
 """
+
+
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window segmentation plan for audio payloads
+    (PCM16 arithmetic; decode stubbed like the image codecs). See
+    multimodal.audio_windows."""
+    d = load(spark, sf_dir, "documents")
+    m = multimodal.media_from_documents(d)
+    return multimodal.audio_windows(m)
+
+
+EXTENSION_QUERIES["mm_audio_windows"] = mm_audio_windows
+
+EXTENSION_ORACLES["mm_audio_windows"] = """
+    WITH a AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) // 2 AS BIGINT)
+                        AS ns
+               FROM documents WHERE doc_id % 3 = 1),
+    nw AS (SELECT media_id, ns,
+                  GREATEST(1, CAST(ceil((ns - 16000) / 8000.0)
+                                   AS BIGINT) + 1) AS n_win
+           FROM a WHERE ns > 0),
+    w AS (SELECT media_id, ns, unnest(range(0, n_win)) AS window_idx
+          FROM nw)
+    SELECT media_id, CAST(window_idx AS BIGINT) AS window_idx,
+           CAST(window_idx * 8000 * 1000 // 16000 AS BIGINT) AS start_ms,
+           CAST((window_idx * 8000 + 16000) * 1000 // 16000 AS BIGINT)
+             AS end_ms,
+           CAST(LEAST(16000, ns - window_idx * 8000) AS BIGINT)
+             AS n_samples_in_window
+    FROM w ORDER BY media_id, window_idx
+"""

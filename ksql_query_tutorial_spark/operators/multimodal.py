@@ -232,3 +232,57 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
         .repartition(par)
         .mapInPandas(batches, RESIZED_SCHEMA)
     )
+
+
+def audio_windows(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    win_samples: int = 16000,
+    hop_samples: int = 8000,
+) -> DataFrame:
+    """Fixed-length overlapping window plan for audio payloads — the
+    segmentation every speech/audio feature pipeline (fbank, wav2vec
+    chunking) runs first. Payloads are treated as PCM16 mono at
+    ``sample_rate`` (n_samples = bytes // 2); the DECODE of window
+    contents stays stubbed like the image codecs, but the windowing
+    arithmetic, schema, and row fan-out are the real Spark-side
+    plumbing.
+
+    Scale design: a pure narrow map — ``sequence`` + ``explode``
+    generates each clip's window rows inside the scan stage (the
+    corpus_chunk pattern), ZERO shuffles, output bounded by
+    total-duration/hop. Clips shorter than one window emit a single
+    truncated window (they'd be padded downstream, not dropped).
+
+    Returns ``media_id, window_idx, start_ms, end_ms,
+    n_samples_in_window`` for audio-typed media.
+    """
+    n_samples = (F.octet_length("payload") / 2).cast("long")
+    # ceil: the trailing PARTIAL window is emitted (truncated, padded
+    # downstream) — floor would silently drop up to hop-1 samples of
+    # every clip's tail.
+    n_win = F.greatest(
+        F.lit(1),
+        (
+            F.ceil((n_samples - win_samples) / F.lit(hop_samples)) + 1
+        ).cast("long"),
+    )
+    a = media.filter(
+        (F.col("media_type") == "audio") & (n_samples > 0)
+    ).select(
+        "media_id",
+        n_samples.alias("__ns"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_win - 1)
+        ).alias("window_idx"),
+    )
+    start = F.col("window_idx") * hop_samples
+    return a.select(
+        "media_id",
+        "window_idx",
+        (start * 1000 / sample_rate).cast("long").alias("start_ms"),
+        ((start + win_samples) * 1000 / sample_rate)
+        .cast("long").alias("end_ms"),
+        F.least(F.lit(win_samples), F.col("__ns") - start)
+        .cast("long").alias("n_samples_in_window"),
+    ).orderBy("media_id", "window_idx")

@@ -1905,3 +1905,30 @@ def test_cohort_ltv_hand_built_curve(spark):
     assert jan1["cum_revenue_per_customer"] == 30.0   # (30+30)/2
     feb0 = out[("2024-02-01", 0)]
     assert feb0["cum_revenue_per_customer"] == 40.0
+
+
+def test_audio_windows_boundaries_and_short_clip(spark):
+    """audio_windows: window count, overlap boundaries, and the
+    single-truncated-window short-clip rule on hand-built payloads."""
+    from ksql_query_tutorial_spark.operators import multimodal
+
+    # 40000 bytes -> 20000 samples -> windows at 0 and 8000 (idx 0, 1);
+    # 2000 bytes -> 1000 samples -> one truncated window.
+    docs = spark.createDataFrame(
+        [(1, "x" * 40000), (4, "y" * 2000), (2, "not audio")],
+        "doc_id long, text string",
+    )
+    m = multimodal.media_from_documents(docs)
+    out = multimodal.audio_windows(m).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert sorted(by_media) == [1, 4]          # doc 2 % 3 == 2 -> video
+    w1 = sorted(by_media[1], key=lambda r: r["window_idx"])
+    assert [r["window_idx"] for r in w1] == [0, 1]
+    assert (w1[0]["start_ms"], w1[0]["end_ms"]) == (0, 1000)
+    assert (w1[1]["start_ms"], w1[1]["end_ms"]) == (500, 1500)
+    assert w1[0]["n_samples_in_window"] == 16000
+    assert w1[1]["n_samples_in_window"] == 12000   # 20000 - 8000
+    w4 = by_media[4]
+    assert len(w4) == 1 and w4[0]["n_samples_in_window"] == 1000

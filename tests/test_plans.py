@@ -927,3 +927,23 @@ def test_cohort_ltv_window_over_bounded_cells(spark):
     assert_broadcast_join(df)
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_audio_windows_zero_shuffle_generator(spark):
+    """mm_audio_windows: window fan-out is a sequence+explode
+    generator fused into the scan stage — no Exchange anywhere except
+    the final presentation sort, no Python."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import mm_audio_windows
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = mm_audio_windows(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+    assert_no_python(df)

@@ -117,6 +117,7 @@ EXT_NAMES = [
     "lineitem_correlations",
     "events_ab_test",
     "orders_cohort_ltv",
+    "mm_audio_windows",
 ]
 
 
