@@ -82,7 +82,7 @@ _GATE_PRIORITY = [
     # events_seasonal_baseline, graph_label_prop,
     # events_multitouch, events_incremental_rollup,
     # lineitem_correlations, events_ab_test, orders_cohort_ltv,
-    # mm_audio_windows — all
+    # mm_audio_windows, orders_returned_revenue — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.

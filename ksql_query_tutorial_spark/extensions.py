@@ -3865,3 +3865,49 @@ EXTENSION_ORACLES["mm_audio_windows"] = """
              AS n_samples_in_window
     FROM w ORDER BY media_id, window_idx
 """
+
+
+Q10_FROM = "1997-01-01"
+Q10_TO = "1997-04-01"
+Q10_LIMIT = 20
+
+
+def orders_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top returned-revenue customers in a quarter.
+    See retail.returned_revenue_top_customers."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        returned_revenue_top_customers,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return returned_revenue_top_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+        date_from=Q10_FROM,
+        date_to=Q10_TO,
+        limit=Q10_LIMIT,
+    )
+
+
+EXTENSION_QUERIES["orders_returned_revenue"] = orders_returned_revenue
+
+EXTENSION_ORACLES["orders_returned_revenue"] = f"""
+    WITH per AS (
+        SELECT o_custkey,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_return_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '{Q10_FROM}'
+          AND o_orderdate < TIMESTAMP '{Q10_TO}'
+        GROUP BY 1)
+    SELECT c_custkey AS custkey, c_name, n_name AS nation,
+           revenue, n_return_items
+    FROM per
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY revenue DESC, custkey
+    LIMIT {Q10_LIMIT}
+"""

@@ -583,3 +583,62 @@ def cohort_ltv(
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+def returned_revenue_top_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    limit: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a
+    quarter (returnflag = 'R'), with their nation — the
+    churn-risk/fraud review list.
+
+    Scale design: the return and date filters are pushed to the two
+    fact scans; lineitem⋈orders shuffles on the order key; the
+    per-customer rollup re-keys once; customer and nation dims ride
+    broadcast joins AFTER the rollup (|customers-in-window| rows, not
+    lineitems). Top-N via TakeOrderedAndProject.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_return_items"),
+        )
+    )
+    return (
+        per_cust.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            per_cust.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+            "n_return_items",
+        )
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(limit)
+    )

@@ -947,3 +947,28 @@ def test_audio_windows_zero_shuffle_generator(spark):
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
     assert_no_python(df)
+
+
+def test_returned_revenue_q10_plan_floor(spark):
+    """orders_returned_revenue: return/date filters pushed, dims
+    broadcast AFTER the per-customer rollup, TakeOrderedAndProject
+    top-N, all JVM."""
+    from ksql_query_tutorial_spark.extensions import orders_returned_revenue
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_returned_revenue(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_pushed_filter(
+        df, "EqualTo(l_returnflag,R)", "GreaterThanOrEqual(o_orderdate"
+    )
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -118,6 +118,7 @@ EXT_NAMES = [
     "events_ab_test",
     "orders_cohort_ltv",
     "mm_audio_windows",
+    "orders_returned_revenue",
 ]
 
 
