@@ -3911,3 +3911,80 @@ EXTENSION_ORACLES["orders_returned_revenue"] = f"""
     ORDER BY revenue DESC, custkey
     LIMIT {Q10_LIMIT}
 """
+
+
+Q18_QTY_THRESHOLD = 250.0
+
+
+def orders_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-then-join-back heavy-order report.
+    See retail.large_volume_orders."""
+    from ksql_query_tutorial_spark.operators.retail import large_volume_orders
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return large_volume_orders(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        qty_threshold=Q18_QTY_THRESHOLD,
+    )
+
+
+EXTENSION_QUERIES["orders_large_volume"] = orders_large_volume
+
+EXTENSION_ORACLES["orders_large_volume"] = f"""
+    WITH big AS (
+        SELECT l_orderkey, ROUND(sum(l_quantity), 6) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING ROUND(sum(l_quantity), 6) > {Q18_QTY_THRESHOLD})
+    SELECT c_custkey AS custkey, c_name, o_orderkey AS orderkey,
+           o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, orderkey
+"""
+
+
+GAP_FILL_EVENT_TYPE = "purchase"
+
+
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-densified per-user daily purchase revenue with
+    forward fill. See analytics.daily_gap_fill."""
+    from ksql_query_tutorial_spark.operators.analytics import daily_gap_fill
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return daily_gap_fill(e, event_type=GAP_FILL_EVENT_TYPE)
+
+
+EXTENSION_QUERIES["events_gap_fill"] = events_gap_fill
+
+EXTENSION_ORACLES["events_gap_fill"] = f"""
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               ROUND(sum(value), 6) AS rev,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE event_type = '{GAP_FILL_EVENT_TYPE}'
+        GROUP BY 1, 2),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(range(CAST(min(day) AS TIMESTAMP),
+                                 CAST(max(day) + 1 AS TIMESTAMP),
+                                 INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id),
+    j AS (
+        SELECT s.user_id, s.day, d.rev, d.n_events,
+               sum(CASE WHEN d.rev IS NOT NULL THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS grp
+        FROM spine s LEFT JOIN daily d
+          ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, day,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           CAST(rev IS NOT NULL AS INTEGER) AS observed,
+           max(rev) OVER (PARTITION BY user_id, grp) AS filled_rev
+    FROM j ORDER BY user_id, day
+"""

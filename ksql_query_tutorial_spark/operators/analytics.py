@@ -1133,3 +1133,61 @@ def ab_test_conversion(
             F.when(se2 > 0, (rb - ra) / F.sqrt(se2)), 6
         ).alias("z"),
     )
+
+
+def daily_gap_fill(
+    events: DataFrame,
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Calendar gap-fill + forward fill: densify a sparse per-user
+    daily series onto a contiguous date spine and carry the last
+    observed value across the gaps — the feature-store prep step for
+    any model that consumes a regular time grid (missing days must be
+    explicit zeros / carried values, not absent rows).
+
+    Scale design: the daily rollup is one user-keyed exchange with
+    map-side partials; the spine is ``sequence(min_day, max_day)``
+    exploded per user — output bounded by |users| x |calendar days|,
+    generated executor-side (never a driver loop). The spine⋈daily
+    join and the forward-fill window reuse the same user keying. The
+    fill itself is the portable two-window trick: a running count of
+    non-null observations partitions each user's timeline into carry
+    groups, then ``max`` over (user, group) propagates the value —
+    identical semantics in ANSI SQL, no ``IGNORE NULLS`` dialect
+    dependency.
+    """
+    daily = (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum("value"), 6).alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("dmin", "dmax")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    order_w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = F.sum(
+        F.when(F.col("rev").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    ).over(order_w)
+    filled = joined.withColumn("__grp", grp).withColumn(
+        "filled_rev", F.max("rev").over(Window.partitionBy("user_id", "__grp"))
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("rev").isNotNull().cast("int").alias("observed"),
+        "filled_rev",
+    ).orderBy("user_id", "day")

@@ -642,3 +642,45 @@ def returned_revenue_top_customers(
         .orderBy(F.col("revenue").desc(), "custkey")
         .limit(limit)
     )
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 250.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, with customer detail — the HAVING-then-join-back
+    pattern (aggregate a fact table, filter on the aggregate, rejoin
+    the survivors to their dimensions).
+
+    Scale design: the per-order rollup is ONE lineitem exchange with
+    map-side partials; the HAVING filter collapses it to the rare
+    heavy tail BEFORE any join, so AQE sees a tiny build side and
+    broadcasts it into orders, then the (tiny) result into customer —
+    neither sf-scaled dimension is ever shuffled against the full
+    fact. l_quantity is integral in TPC-H, so the threshold compare
+    is exact in both engines.
+    """
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .join(
+            customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "orderkey")
+    )

@@ -1932,3 +1932,65 @@ def test_audio_windows_boundaries_and_short_clip(spark):
     assert w1[1]["n_samples_in_window"] == 12000   # 20000 - 8000
     w4 = by_media[4]
     assert len(w4) == 1 and w4[0]["n_samples_in_window"] == 1000
+
+
+def test_large_volume_having_join_back(spark):
+    """large_volume_orders on a toy order log: only orders over the
+    threshold survive, with the right rollup and customer detail."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.retail import large_volume_orders
+
+    d = dt.datetime
+    customer = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, d(2024, 1, 1), 100.0), (11, 2, d(2024, 1, 2), 200.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz,"
+        " o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(10, 30.0), (10, 25.0), (11, 20.0)],
+        "l_orderkey long, l_quantity double",
+    )
+    out = large_volume_orders(
+        customer, orders, lineitem, qty_threshold=50.0
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["orderkey"] == 10 and r["c_name"] == "alice"
+    assert r["total_qty"] == 55.0
+
+
+def test_gap_fill_hand_built_series(spark):
+    """daily_gap_fill: spine densifies missing days, forward fill
+    carries the last observed value, leading gap stays NULL."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.analytics import daily_gap_fill
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 9), "purchase", 10.0),
+        (1, d(2024, 1, 1, 10), "purchase", 5.0),
+        (1, d(2024, 1, 4, 9), "purchase", 7.0),   # 2-day gap before
+        (1, d(2024, 1, 2, 9), "click", 99.0),     # filtered out
+        (2, d(2024, 1, 2, 9), "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, value double"
+    )
+    out = {(r["user_id"], str(r["day"])): r
+           for r in daily_gap_fill(df).collect()}
+    assert len(out) == 5          # user 1: Jan 1-4 (4 days); user 2: 1 day
+    a = out[(1, "2024-01-01")]
+    assert (a["n_events"], a["observed"], a["filled_rev"]) == (2, 1, 15.0)
+    g2 = out[(1, "2024-01-02")]
+    assert (g2["n_events"], g2["observed"], g2["filled_rev"]) == (0, 0, 15.0)
+    g3 = out[(1, "2024-01-03")]
+    assert g3["filled_rev"] == 15.0 and g3["observed"] == 0
+    b = out[(1, "2024-01-04")]
+    assert (b["observed"], b["filled_rev"]) == (1, 7.0)
+    assert out[(2, "2024-01-02")]["filled_rev"] == 3.0

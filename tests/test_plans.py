@@ -972,3 +972,54 @@ def test_returned_revenue_q10_plan_floor(spark):
     assert_broadcast_join(df)
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_large_volume_q18_plan_floor(spark):
+    """orders_large_volume: the HAVING filter sits on the aggregate
+    BEFORE the join-back, partial aggregation on the lineitem rollup,
+    lineitem scan pruned to the two rollup columns, all JVM."""
+    from ksql_query_tutorial_spark.extensions import orders_large_volume
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_large_volume(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    # the lineitem scan reads only the rollup columns
+    assert any(
+        "l_orderkey" in s and "l_quantity" in s and "l_extendedprice" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)
+    # HAVING: a filter on the aggregated column appears in the plan
+    assert "total_qty" in plan and "Filter" in plan, plan
+
+
+def test_gap_fill_plan_floor(spark):
+    """events_gap_fill: executor-side spine generator (Generate
+    explode), event-type filter pushed to the scan, windows keyed on
+    user (no global single-partition window), all JVM."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import events_gap_fill
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_gap_fill(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
+    assert_pushed_filter(df, "EqualTo(event_type,purchase)")
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    # every window is user-keyed: no empty partitionBy specs
+    assert not re.search(r"windowspecdefinition\(day", plan), plan

@@ -119,6 +119,8 @@ EXT_NAMES = [
     "orders_cohort_ltv",
     "mm_audio_windows",
     "orders_returned_revenue",
+    "orders_large_volume",
+    "events_gap_fill",
 ]
 
 
