@@ -3988,3 +3988,80 @@ EXTENSION_ORACLES["events_gap_fill"] = f"""
            max(rev) OVER (PARTITION BY user_id, grp) AS filled_rev
     FROM j ORDER BY user_id, day
 """
+
+
+def orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog concurrency per priority per delta day.
+    See retail.open_order_backlog."""
+    from ksql_query_tutorial_spark.operators.retail import open_order_backlog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return open_order_backlog(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+EXTENSION_QUERIES["orders_backlog"] = orders_backlog
+
+EXTENSION_ORACLES["orders_backlog"] = """
+    WITH span AS (SELECT l_orderkey,
+                         max(CAST(l_shipdate AS DATE)) AS last_ship
+                  FROM lineitem GROUP BY 1),
+    iv AS (SELECT o_orderpriority AS priority,
+                  CAST(o_orderdate AS DATE) AS start_day, last_ship
+           FROM orders JOIN span ON o_orderkey = l_orderkey),
+    deltas AS (SELECT priority, start_day AS day, 1 AS delta FROM iv
+               UNION ALL
+               SELECT priority, last_ship + 1, -1 FROM iv),
+    cells AS (SELECT priority, day,
+                     CAST(sum(delta) AS BIGINT) AS delta_net
+              FROM deltas GROUP BY 1, 2)
+    SELECT priority, day, delta_net,
+           CAST(sum(delta_net) OVER (PARTITION BY priority ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS open_orders
+    FROM cells ORDER BY priority, day
+"""
+
+
+def orders_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth price quartile bins per priority via bounded
+    pre-bin CDF. See retail.equidepth_price_bins."""
+    from ksql_query_tutorial_spark.operators.retail import equidepth_price_bins
+
+    return equidepth_price_bins(load(spark, sf_dir, "orders"))
+
+
+EXTENSION_QUERIES["orders_equidepth_bins"] = orders_equidepth_bins
+
+_EQW = 5000.0
+EXTENSION_ORACLES["orders_equidepth_bins"] = f"""
+    WITH pre AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(o_totalprice / {_EQW}) AS BIGINT) AS pb,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1, 2),
+    cdf AS (
+        SELECT priority, pb,
+               sum(n) OVER (PARTITION BY priority ORDER BY pb
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+               sum(n) OVER (PARTITION BY priority) AS total
+        FROM pre),
+    bounds AS (
+        SELECT priority,
+               min(CASE WHEN cum >= 0.25 * total THEN pb END) AS b1,
+               min(CASE WHEN cum >= 0.5 * total THEN pb END) AS b2,
+               min(CASE WHEN cum >= 0.75 * total THEN pb END) AS b3
+        FROM cdf GROUP BY 1)
+    SELECT o_orderpriority AS priority,
+           (CAST(floor(o_totalprice / {_EQW}) AS BIGINT) > b1)::INT
+           + (CAST(floor(o_totalprice / {_EQW}) AS BIGINT) > b2)::INT
+           + (CAST(floor(o_totalprice / {_EQW}) AS BIGINT) > b3)::INT
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(min(o_totalprice), 4) AS min_price,
+           ROUND(max(o_totalprice), 4) AS max_price
+    FROM orders JOIN bounds ON o_orderpriority = priority
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

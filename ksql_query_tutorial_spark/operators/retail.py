@@ -684,3 +684,125 @@ def large_volume_orders(
         )
         .orderBy(F.col("total_qty").desc(), "orderkey")
     )
+
+
+def open_order_backlog(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Open-order backlog over time: how many orders were open (placed
+    but not fully shipped) on each day, per order priority — the
+    interval-concurrency question behind capacity planning and SLA
+    dashboards.
+
+    Scale design: intervals never explode into per-day rows. Each
+    order becomes exactly TWO delta events (+1 on its start day, -1
+    the day after its last shipment); the (priority, day) rollup is
+    bounded by |priorities| x |calendar days|, and the running sum
+    that reconstructs the open count is a window over that bounded
+    cell table — the same cell-table-window shape as cohort_ltv. The
+    lineitem last-ship rollup is one order-keyed exchange with
+    map-side partials.
+    """
+    span = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    iv = orders.join(span, orders.o_orderkey == span.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("start_day"),
+        "last_ship",
+    )
+    deltas = iv.select(
+        "priority", F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "priority",
+            F.date_add("last_ship", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    cells = deltas.groupBy("priority", "day").agg(
+        F.sum("delta").cast("long").alias("delta_net")
+    )
+    running = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "priority",
+        "day",
+        "delta_net",
+        F.sum("delta_net").over(running).cast("long").alias("open_orders"),
+    ).orderBy("priority", "day")
+
+
+EQUIDEPTH_PRE_BIN_WIDTH = 5000.0
+EQUIDEPTH_QS = (0.25, 0.5, 0.75)
+
+
+def equidepth_price_bins(
+    orders: DataFrame,
+    pre_bin_width: float = EQUIDEPTH_PRE_BIN_WIDTH,
+) -> DataFrame:
+    """Equi-depth (quartile) binning of order value per priority via a
+    bounded pre-bin CDF — the scale-safe quantile-discretizer.
+
+    Contrast with ``rfm_segments``: that one uses exact ``percentile``
+    boundaries, whose aggregation state is O(distinct values per
+    group) — fine for bounded groups, a memory hazard on a 100 TB
+    fact column. Here the state is bounded by construction: a
+    fixed-width pre-bin rollup (|value range| / width cells per
+    group, map-side partials), a cumulative window over that bounded
+    cell table to find the bucket containing each quartile, and bin
+    assignment by INTEGER comparison of ``floor(value/width)``
+    against the boundary bucket ids (broadcast, |groups| rows) — no
+    float-edge ambiguity, identical in ANSI SQL. Boundaries are exact
+    to pre-bin granularity; depth balance degrades gracefully with
+    wider pre-bins.
+    """
+    w = float(pre_bin_width)
+    fv = F.floor(F.col("o_totalprice") / F.lit(w)).cast("long")
+    pre = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"), fv.alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cum_w = (
+        Window.partitionBy("priority")
+        .orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("priority")
+    cdf = pre.select(
+        "priority",
+        "pb",
+        F.sum("n").over(cum_w).alias("cum"),
+        F.sum("n").over(tot_w).alias("total"),
+    )
+    bounds = cdf.groupBy("priority").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.lit(q) * F.col("total"), F.col("pb"))
+            ).alias(f"b{i}")
+            for i, q in enumerate(EQUIDEPTH_QS, start=1)
+        ]
+    )
+    binned = orders.join(
+        F.broadcast(bounds),
+        orders.o_orderpriority == bounds.priority,
+    ).withColumn(
+        "bin",
+        sum(
+            (fv > F.col(f"b{i}")).cast("int")
+            for i in range(1, len(EQUIDEPTH_QS) + 1)
+        ),
+    )
+    return (
+        binned.groupBy("priority", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("priority", "bin")
+    )

@@ -1994,3 +1994,47 @@ def test_gap_fill_hand_built_series(spark):
     b = out[(1, "2024-01-04")]
     assert (b["observed"], b["filled_rev"]) == (1, 7.0)
     assert out[(2, "2024-01-02")]["filled_rev"] == 3.0
+
+
+def test_open_order_backlog_hand_built(spark):
+    """open_order_backlog: +1/-1 delta events reconstruct the open
+    count; the day after the last shipment closes the order."""
+    import datetime as dt
+
+    from ksql_query_tutorial_spark.operators.retail import open_order_backlog
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = dt.datetime
+    orders = spark.createDataFrame(
+        [(1, d(2024, 1, 1), "P"), (2, d(2024, 1, 2), "P")],
+        "o_orderkey long, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, d(2024, 1, 2)), (1, d(2024, 1, 3)), (2, d(2024, 1, 2))],
+        "l_orderkey long, l_shipdate timestamp_ntz",
+    )
+    out = {str(r["day"]): (r["delta_net"], r["open_orders"])
+           for r in open_order_backlog(orders, lineitem).collect()}
+    assert out == {
+        "2024-01-01": (1, 1),   # order 1 opens
+        "2024-01-02": (1, 2),   # order 2 opens
+        "2024-01-03": (-1, 1),  # order 2 closed (last ship Jan 2)
+        "2024-01-04": (-1, 0),  # order 1 closed (last ship Jan 3)
+    }
+
+
+def test_equidepth_bins_uniform_values(spark):
+    """equidepth_price_bins: with unit-width pre-bins over a uniform
+    toy column, the four bins are exactly equal depth."""
+    from ksql_query_tutorial_spark.operators.retail import equidepth_price_bins
+
+    orders = spark.createDataFrame(
+        [("P", float(v) + 0.5) for v in range(1, 9)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    out = {r["bin"]: r for r in
+           equidepth_price_bins(orders, pre_bin_width=1.0).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(out[b]["n_orders"] == 2 for b in out)
+    assert out[0]["min_price"] == 1.5 and out[0]["max_price"] == 2.5
+    assert out[3]["min_price"] == 7.5 and out[3]["max_price"] == 8.5

@@ -1023,3 +1023,46 @@ def test_gap_fill_plan_floor(spark):
     assert_no_python(df)
     # every window is user-keyed: no empty partitionBy specs
     assert not re.search(r"windowspecdefinition\(day", plan), plan
+
+
+def test_backlog_plan_floor(spark):
+    """orders_backlog: two-delta union (never per-day interval
+    explosion), partial aggregation on both rollups, the running-sum
+    window keyed on priority, all JVM."""
+    from ksql_query_tutorial_spark.extensions import orders_backlog
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_backlog(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Union" in plan, plan
+    assert "Generate" not in plan, plan     # no interval explosion
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_equidepth_plan_floor(spark):
+    """orders_equidepth_bins: bounded-boundary broadcast join, pre-bin
+    rollup with map-side partials, orders scan pruned to the two used
+    columns, all JVM."""
+    from ksql_query_tutorial_spark.extensions import orders_equidepth_bins
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_equidepth_bins(spark, SF_ORACLE)
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    assert any(
+        "o_totalprice" in s and "o_orderdate" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)

@@ -121,6 +121,8 @@ EXT_NAMES = [
     "orders_returned_revenue",
     "orders_large_volume",
     "events_gap_fill",
+    "orders_backlog",
+    "orders_equidepth_bins",
 ]
 
 
