@@ -4065,3 +4065,59 @@ EXTENSION_ORACLES["orders_equidepth_bins"] = f"""
     FROM orders JOIN bounds ON o_orderpriority = priority
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment spend ranking suite (rank/dense_rank/percent_rank/
+    cume_dist in one keyed window). See retail.customer_spend_ranks."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        customer_spend_ranks as op,
+    )
+
+    return op(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+EXTENSION_QUERIES["customer_spend_ranks"] = customer_spend_ranks
+
+EXTENSION_ORACLES["customer_spend_ranks"] = """
+    WITH spend AS (SELECT o_custkey,
+                          ROUND(sum(o_totalprice), 4) AS spend,
+                          CAST(count(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1)
+    SELECT c_mktsegment AS segment, c_custkey AS custkey, spend, n_orders,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM spend JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY spend DESC, c_custkey)
+    ORDER BY segment, rnk
+"""
+
+
+def audit_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order values.
+    See analytics.benford_audit."""
+    from ksql_query_tutorial_spark.operators.analytics import benford_audit
+
+    return benford_audit(load(spark, sf_dir, "orders"))
+
+
+EXTENSION_QUERIES["audit_benford"] = audit_benford
+
+EXTENSION_ORACLES["audit_benford"] = """
+    WITH c AS (
+        SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice > 0 GROUP BY 1)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS observed_share,
+           ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS benford_share,
+           ROUND(CAST(n AS DOUBLE) / sum(n) OVER ()
+                 - log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS deviation
+    FROM c ORDER BY digit
+"""

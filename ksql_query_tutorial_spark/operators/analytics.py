@@ -1191,3 +1191,38 @@ def daily_gap_fill(
         F.col("rev").isNotNull().cast("int").alias("observed"),
         "filled_rev",
     ).orderBy("user_id", "day")
+
+
+def benford_audit(
+    orders: DataFrame,
+    value_col: str = "o_totalprice",
+) -> DataFrame:
+    """Benford first-digit audit: the observed leading-digit
+    distribution of a monetary column against Benford's law
+    ``P(d) = log10(1 + 1/d)`` — the classic fabricated-numbers
+    screen in fraud/data-quality pipelines.
+
+    Determinism design: the leading digit comes from STRING
+    inspection of the value in integer cents (``round(v*100)`` →
+    BIGINT → first character), never from ``log10`` of a float whose
+    last-bit placement could disagree across engines at exact powers
+    of ten. One bounded rollup (9 digit cells); expected shares are
+    closed-form constants folded by codegen.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        orders.filter(F.col(value_col) > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total_w = Window.partitionBy()
+    observed = F.col("n").cast("double") / F.sum("n").over(total_w)
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(observed, 6).alias("observed_share"),
+        F.round(expected, 6).alias("benford_share"),
+        F.round(observed - expected, 6).alias("deviation"),
+    ).orderBy("digit")

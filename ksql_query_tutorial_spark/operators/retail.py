@@ -806,3 +806,42 @@ def equidepth_price_bins(
         )
         .orderBy("priority", "bin")
     )
+
+
+def customer_spend_ranks(
+    customer: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """Per-segment customer spend ranking suite: rank, dense_rank,
+    percent_rank, and cume_dist over lifetime spend within each market
+    segment — the full ordered-analytic surface (beyond the row_number
+    / lag / moving-frame ops elsewhere) in one keyed window.
+
+    Scale design: the per-customer rollup is one exchange; all four
+    rank functions share ONE segment-keyed window sort (a single
+    Window node), so the sort cost is paid once and no partition holds
+    more than a segment's customers. Ties rank identically in any
+    engine because the order key is (spend, custkey) — total order,
+    no nondeterministic tie-break.
+    """
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    per_cust = spend.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        spend.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").desc(), F.col("c_custkey")
+    )
+    return per_cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("custkey"),
+        "spend",
+        "n_orders",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("segment", "rnk")

@@ -2038,3 +2038,45 @@ def test_equidepth_bins_uniform_values(spark):
     assert all(out[b]["n_orders"] == 2 for b in out)
     assert out[0]["min_price"] == 1.5 and out[0]["max_price"] == 2.5
     assert out[3]["min_price"] == 7.5 and out[3]["max_price"] == 8.5
+
+
+def test_spend_ranks_tie_semantics(spark):
+    """customer_spend_ranks: rank vs dense_rank across a spend tie,
+    percent_rank/cume_dist textbook values on a 4-customer segment."""
+    from ksql_query_tutorial_spark.operators.retail import customer_spend_ranks
+
+    customer = spark.createDataFrame(
+        [(i, "SEG") for i in (1, 2, 3, 4)],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 50.0), (4, 25.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    out = {r["custkey"]: r for r in
+           customer_spend_ranks(customer, orders).collect()}
+    # order key (spend DESC, custkey) is total: 1, 2 tie on spend
+    assert (out[1]["rnk"], out[2]["rnk"]) == (1, 2)
+    assert out[3]["rnk"] == 3 and out[3]["dense_rnk"] == 3
+    assert out[1]["pct_rank"] == 0.0
+    assert out[4]["pct_rank"] == 1.0 and out[4]["cume"] == 1.0
+    assert out[2]["cume"] == 0.5
+
+
+def test_benford_string_digit_extraction(spark):
+    """benford_audit: leading digits from integer cents (9.99 -> 9,
+    not a log10 float edge), non-positive rows excluded, shares sum
+    to 1."""
+    from ksql_query_tutorial_spark.operators.analytics import benford_audit
+
+    orders = spark.createDataFrame(
+        [(9.99,), (1000.0,), (10.0,), (1.0,), (0.0,), (199.0,)],
+        "o_totalprice double",
+    )
+    rows = benford_audit(orders).collect()
+    got = {r["digit"]: r["n"] for r in rows}
+    assert got == {9: 1, 1: 4}        # 1000.0, 10.0, 1.0, 199.0 lead with 1
+    shares = sum(r["observed_share"] for r in rows)
+    assert abs(shares - 1.0) < 1e-9
+    b1 = [r for r in rows if r["digit"] == 1][0]
+    assert abs(b1["benford_share"] - 0.30103) < 1e-5

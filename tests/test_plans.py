@@ -1066,3 +1066,52 @@ def test_equidepth_plan_floor(spark):
         "o_totalprice" in s and "o_orderdate" not in s
         for s in read_schemas(df)
     ), read_schemas(df)
+
+
+def test_spend_ranks_single_window_plan(spark):
+    """customer_spend_ranks: all four rank functions share ONE keyed
+    Window node (one sort), partial agg on the rollup, all JVM."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import customer_spend_ranks
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        executed_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = customer_spend_ranks(spark, SF_ORACLE)
+    # the AQE dump repeats the tree under "== Initial Plan ==" — count
+    # Window nodes in the final plan section only
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_benford_window_over_bounded_rollup(spark):
+    """audit_benford: the global share window runs over the 9-cell
+    digit rollup (post-aggregate), never over raw orders; the scan is
+    pruned to the value column."""
+    from ksql_query_tutorial_spark.extensions import audit_benford
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = audit_benford(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # Window appears after the HashAggregate pair in the plan tree:
+    # the aggregate is the window's child, so the digit rollup has
+    # already collapsed the data when the share window runs.
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    assert any(
+        "o_totalprice" in s and "o_orderdate" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)

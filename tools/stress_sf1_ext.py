@@ -123,6 +123,8 @@ EXT_NAMES = [
     "events_gap_fill",
     "orders_backlog",
     "orders_equidepth_bins",
+    "customer_spend_ranks",
+    "audit_benford",
 ]
 
 
