@@ -1058,3 +1058,82 @@ def matryoshka_stats(
         )
         .orderBy("label")
     )
+
+
+PCA_POWER_ITERATIONS = 3
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = COV_SCALE,
+    iterations: int = PCA_POWER_ITERATIONS,
+) -> DataFrame:
+    """Dominant PCA component of the embedding column via power
+    iteration over the exact integer covariance — iterative linear
+    algebra that stays fully oracle-able.
+
+    Builds on :func:`covariance_stats`: the covariance cells are
+    order-independent int64 sums finished by one fixed-shape rounded
+    double expression, so BOTH engines start the iteration from a
+    bit-identical 64x64 matrix. The iteration itself
+    (``v <- normalize(C v)`` from the uniform unit start, a fixed
+    ``iterations`` count — the estimate's accuracy depends on the
+    spectral gap, its PARITY does not) is plain bounded relational
+    algebra: each step is a join + 64-way sum + a one-row norm cross
+    join, macro-expandable to SQL CTEs the same way the BPE trainer
+    unrolls its merge rounds.
+
+    Scale design: the corpus is touched exactly once (the Arrow
+    integer-Gram pass inside covariance_stats); everything after is
+    arithmetic on ≤ d² = 4,096-row tables, localCheckpoint'd so the
+    Gram pass never re-executes across iterations. Eigenvalue and
+    trace are reported in unit² (micro-units² / scale²) with the
+    explained-variance share.
+    """
+    cells = covariance_stats(df, vec_col=vec_col, scale=scale).localCheckpoint()
+    c_full = cells.select("i", "j", "cov").unionAll(
+        cells.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint()
+
+    d = c_full.select(F.countDistinct("i")).collect()[0][0]  # bounded: dims
+    v = c_full.select("i").distinct().select(
+        F.col("i").alias("j"), (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("v")
+    )
+    for _ in range(iterations):
+        w = (
+            c_full.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("v")
+        ).localCheckpoint(eager=False)
+
+    w_final = (
+        c_full.join(v, "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+    )
+    lam = (
+        w_final.join(v, w_final.i == v.j)
+        .agg(F.sum(F.col("v") * F.col("w")).alias("lam"))
+    )
+    trace = cells.filter(F.col("i") == F.col("j")).agg(
+        F.sum("cov").alias("tr")
+    )
+    s2 = float(scale) * float(scale)
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            "j",
+            F.round("v", 6).alias("loading"),
+            F.round(F.col("lam") / F.lit(s2), 6).alias("eigenvalue"),
+            F.round(F.col("lam") / F.col("tr"), 6).alias("var_share"),
+        )
+        .orderBy("j")
+    )

@@ -2080,3 +2080,27 @@ def test_benford_string_digit_extraction(spark):
     assert abs(shares - 1.0) < 1e-9
     b1 = [r for r in rows if r["digit"] == 1][0]
     assert abs(b1["benford_share"] - 0.30103) < 1e-5
+
+
+def test_pca_power_recovers_dominant_axis(spark):
+    """pca_top_component: on a toy corpus whose variance is
+    concentrated on axis 0 (large spectral gap), three power
+    iterations recover the axis: |loading_0| ~ 1, unit norm,
+    var_share ~ 1."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    rows = []
+    for k in range(40):
+        spread = (k - 20) / 10.0           # dominant axis 0
+        wiggle = ((k * 7) % 5 - 2) / 100.0  # tiny axis-1 noise
+        rows.append((k, [spread, wiggle, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["j"]: r for r in pca_top_component(df).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert abs(abs(out[0]["loading"]) - 1.0) < 1e-3
+    norm2 = sum(r["loading"] ** 2 for r in out.values())
+    assert abs(norm2 - 1.0) < 1e-6
+    assert out[0]["var_share"] > 0.99
+    assert out[0]["eigenvalue"] > 0

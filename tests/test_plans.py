@@ -1115,3 +1115,21 @@ def test_benford_window_over_bounded_rollup(spark):
         "o_totalprice" in s and "o_orderdate" not in s
         for s in read_schemas(df)
     ), read_schemas(df)
+
+
+def test_pca_power_single_corpus_pass(spark):
+    """embedding_pca_power: the corpus-scale work is ONE Arrow Gram
+    pass (a single ArrowEvalPython/MapInPandas over the embeddings
+    scan, checkpointed); the iteration plan is joins over <=4096-row
+    checkpointed cells with no further embeddings scans."""
+    from ksql_query_tutorial_spark.extensions import embedding_pca_power
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    df = embedding_pca_power(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    # the returned plan must not rescan the embeddings parquet: the
+    # Gram pass ran once into the localCheckpoint
+    assert "embeddings.parquet" not in plan, plan
+    assert "MapInPandas" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan

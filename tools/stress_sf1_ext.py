@@ -125,6 +125,7 @@ EXT_NAMES = [
     "orders_equidepth_bins",
     "customer_spend_ranks",
     "audit_benford",
+    "embedding_pca_power",
 ]
 
 
