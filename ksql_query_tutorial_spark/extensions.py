@@ -4190,3 +4190,63 @@ def _pca_power_oracle_sql(iterations: int, scale: int = 10**6) -> str:
 EXTENSION_ORACLES["embedding_pca_power"] = _pca_power_oracle_sql(
     similarity.PCA_POWER_ITERATIONS
 )
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the dominant PCA component (broadcast
+    loadings, zip_with/aggregate dot product). See
+    similarity.pca_project."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.pca_project(e)
+
+
+EXTENSION_QUERIES["embedding_pca_project"] = embedding_pca_project
+
+EXTENSION_ORACLES["embedding_pca_project"] = f"""
+    WITH loadings AS ({_pca_power_oracle_sql(similarity.PCA_POWER_ITERATIONS)}),
+    e AS (SELECT vec_id,
+                 generate_subscripts(embedding, 1) - 1 AS i,
+                 CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS x
+          FROM embeddings)
+    SELECT e.vec_id, ROUND(sum(e.x * l.loading), 6) AS proj
+    FROM e JOIN loadings l ON e.i = l.j
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def lineitem_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of quantity on discount (slope,
+    intercept, R²). See analytics.ols_regression."""
+    from ksql_query_tutorial_spark.operators.analytics import ols_regression
+
+    li = load(spark, sf_dir, "lineitem")
+    return ols_regression(
+        li, x_col="l_discount", y_col="l_quantity", group_col="l_returnflag"
+    )
+
+
+EXTENSION_QUERIES["lineitem_elasticity"] = lineitem_elasticity
+
+EXTENSION_ORACLES["lineitem_elasticity"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(l_discount) AS sx, sum(l_quantity) AS sy,
+               sum(l_discount * l_quantity) AS sxy,
+               sum(l_discount * l_discount) AS sxx,
+               sum(l_quantity * l_quantity) AS syy
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (sy - (n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx) * sx) / n
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM m ORDER BY l_returnflag
+"""

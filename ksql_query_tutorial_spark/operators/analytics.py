@@ -1226,3 +1226,47 @@ def benford_audit(
         F.round(expected, 6).alias("benford_share"),
         F.round(observed - expected, 6).alias("deviation"),
     ).orderBy("digit")
+
+
+def ols_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group simple OLS fit (slope, intercept, R²) from the
+    closed-form moment sums — e.g. discount elasticity of quantity:
+    how strongly does quantity respond to discount within each group.
+
+    Scale design: the five moments Σx, Σy, Σxy, Σx², Σy² and n all
+    come from ONE aggregate pass with map-side partials (the
+    lineitem_correlations move); the closed form is a fixed-shape
+    expression over the group rollup. Degenerate groups (zero x or y
+    variance) yield NULL slope/R² in both engines via explicit
+    guards, never a divide-by-zero.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx > 0, cov / dx)
+    intercept = F.when(
+        dx > 0, (F.col("sy") - slope * F.col("sx")) / n
+    )
+    r2 = F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
+    return m.select(
+        group_col,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy(group_col)

@@ -1137,3 +1137,48 @@ def pca_top_component(
         )
         .orderBy("j")
     )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = COV_SCALE,
+    iterations: int = PCA_POWER_ITERATIONS,
+) -> DataFrame:
+    """Project every embedding onto the dominant PCA component — the
+    apply step that turns :func:`pca_top_component`'s fit artifact
+    into a per-row feature (1-D reduction / whitening first axis).
+
+    Scale design: the fit side is the bounded power-iteration result
+    (64 rows); it is collapsed to ONE array row with a bounded
+    ``collect_list`` (sorted by dimension index, order-independent)
+    and broadcast-cross-joined onto the corpus. The dot product runs
+    JVM-side via ``zip_with`` + ``aggregate`` higher-order functions
+    inside codegen — no Python stage, no 64x row explosion, no
+    per-row join.
+    """
+    comp = pca_top_component(
+        df, vec_col=vec_col, scale=scale, iterations=iterations
+    )
+    larr = comp.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "loading"))),
+            lambda s: s.loading,
+        ).alias("__loadings")
+    )
+    proj = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__loadings"),
+            lambda x, l: x * l,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(larr))
+        .select(F.col(id_col), F.round(proj, 6).alias("proj"))
+        .orderBy(id_col)
+    )

@@ -2104,3 +2104,50 @@ def test_pca_power_recovers_dominant_axis(spark):
     assert abs(norm2 - 1.0) < 1e-6
     assert out[0]["var_share"] > 0.99
     assert out[0]["eigenvalue"] > 0
+
+
+def test_pca_project_matches_manual_dot(spark):
+    """pca_project: the per-row projection equals the manual dot
+    product with the fit's loadings, and projecting the dominant-axis
+    toy spreads rows in axis-0 order."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        pca_project,
+        pca_top_component,
+    )
+
+    rows = []
+    for k in range(40):
+        spread = (k - 20) / 10.0
+        wiggle = ((k * 7) % 5 - 2) / 100.0
+        rows.append((k, [spread, wiggle, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    loadings = {r["j"]: r["loading"]
+                for r in pca_top_component(df).collect()}
+    projs = {r["vec_id"]: r["proj"] for r in pca_project(df).collect()}
+    assert len(projs) == 40
+    for k, emb in [(0, rows[0][1]), (39, rows[39][1])]:
+        manual = sum(x * loadings[i] for i, x in enumerate(emb))
+        assert abs(projs[k] - round(manual, 6)) <= 1e-6
+    # dominant axis ordering survives projection (up to global sign)
+    ordered = [projs[k] for k in range(40)]
+    assert ordered == sorted(ordered) or ordered == sorted(ordered, reverse=True)
+
+
+def test_ols_textbook_line_and_degenerate_guard(spark):
+    """ols_regression: exact fit on a noiseless line (slope/intercept/
+    R²=1); zero-variance x yields NULL slope, not a crash."""
+    from ksql_query_tutorial_spark.operators.analytics import ols_regression
+
+    line = spark.createDataFrame(
+        [("a", float(x), 2.0 * x + 1.0) for x in range(5)]
+        + [("b", 3.0, 7.0), ("b", 3.0, 9.0)],   # x constant in group b
+        "g string, x double, y double",
+    )
+    out = {r["g"]: r for r in
+           ols_regression(line, "x", "y", "g").collect()}
+    a = out["a"]
+    assert abs(a["slope"] - 2.0) < 1e-9
+    assert abs(a["intercept"] - 1.0) < 1e-9
+    assert abs(a["r2"] - 1.0) < 1e-9
+    b = out["b"]
+    assert b["slope"] is None and b["r2"] is None

@@ -1133,3 +1133,46 @@ def test_pca_power_single_corpus_pass(spark):
     assert "embeddings.parquet" not in plan, plan
     assert "MapInPandas" not in plan, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_pca_project_jvm_dot_product(spark):
+    """embedding_pca_project: the corpus-side dot product is pure JVM
+    higher-order functions over a broadcast one-row loadings array —
+    no Python stage, no per-dimension row explosion (Generate) on the
+    corpus side, exactly one embeddings scan."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import embedding_pca_project
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    df = embedding_pca_project(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "MapInPandas" not in plan and "EvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert len(re.findall(r"embeddings\.parquet", plan)) <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan, plan
+
+
+def test_ols_single_pass_plan(spark):
+    """lineitem_elasticity: one scan, all five moments in a single
+    partial+final aggregate, scan pruned to the three used columns,
+    no joins or windows."""
+    from ksql_query_tutorial_spark.extensions import lineitem_elasticity
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = lineitem_elasticity(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    assert any(
+        "l_discount" in s and "l_quantity" in s and "l_extendedprice" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)

@@ -126,6 +126,8 @@ EXT_NAMES = [
     "customer_spend_ranks",
     "audit_benford",
     "embedding_pca_power",
+    "embedding_pca_project",
+    "lineitem_elasticity",
 ]
 
 
