@@ -4250,3 +4250,66 @@ EXTENSION_ORACLES["lineitem_elasticity"] = """
                  END, 6) AS r2
     FROM m ORDER BY l_returnflag
 """
+
+
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the declared lang column.
+    See text.lang_confusion."""
+    d = load(spark, sf_dir, "documents")
+    return text.lang_confusion(d)
+
+
+EXTENSION_QUERIES["text_lang_confusion"] = text_lang_confusion
+
+EXTENSION_ORACLES["text_lang_confusion"] = f"""
+    WITH pred AS ({{LANG_ID_SQL}}),
+    cells AS (
+        SELECT d.lang AS lang_true, p.lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        GROUP BY 1, 2)
+    SELECT lang_true, lang_pred, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY lang_true), 6) AS share,
+           CAST(lang_true = lang_pred AS INTEGER) AS correct
+    FROM cells ORDER BY lang_true, lang_pred
+""".replace("{LANG_ID_SQL}", EXTENSION_ORACLES["text_lang_id"])
+
+
+def corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-k token frequencies.
+    See corpus.zipf_fit."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.zipf_fit(d)
+
+
+EXTENSION_QUERIES["corpus_zipf"] = corpus_zipf
+
+EXTENSION_ORACLES["corpus_zipf"] = f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY term),
+    top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT {corpus.ZIPF_TOP_K}),
+    pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term)
+                           AS DOUBLE)) AS x,
+                   ln(CAST(n AS DOUBLE)) AS y
+            FROM top),
+    m AS (SELECT 'corpus' AS scope,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts)
+    SELECT scope, n,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (sy - (n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx) * sx) / n
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM m ORDER BY scope
+"""

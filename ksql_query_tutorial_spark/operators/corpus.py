@@ -1986,3 +1986,40 @@ def distribution_drift(
         )
         .orderBy(category_col)
     )
+
+
+ZIPF_TOP_K = 500
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = ZIPF_TOP_K,
+) -> DataFrame:
+    """Zipf-law fit over the token frequency distribution: OLS of
+    ``ln(frequency)`` on ``ln(rank)`` for the top-k terms — slope near
+    −1 is natural language; a flat or broken slope flags synthetic or
+    boilerplate-heavy corpora in a curation dashboard.
+
+    Scale design: term counts are the word-count plan (map-side
+    partials absorb stopword mass before the one exchange); the top-k
+    cut is a ``TakeOrderedAndProject`` (distributed partial top-k,
+    never a global sort), and the rank window + regression run over
+    that ≤ top_k-row table. The fit reuses
+    :func:`analytics.ols_regression`'s closed form.
+    """
+    from ksql_query_tutorial_spark.operators.analytics import ols_regression
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "term").limit(top_k)
+    rank_w = Window.orderBy(F.col("n").desc(), "term")
+    pts = top.select(
+        F.lit("corpus").alias("scope"),
+        F.log(F.row_number().over(rank_w).cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    return ols_regression(pts, x_col="x", y_col="y", group_col="scope")

@@ -331,3 +331,36 @@ def with_char_entropy(df: DataFrame, text_col: str = "text",
             ).alias("char_entropy"),
         )
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic predictor
+    (:func:`with_lang_id`) scored against the declared language
+    column — the calibration report that tells a curation pipeline
+    which language pairs its cheap classifier confuses (and that
+    unsupported languages land in 'xx', not in a wrong bucket).
+
+    Scale design: the predictor is one JVM pass; the confusion rollup
+    is ≤ |langs|² cells with map-side partials, and the per-true-lang
+    share window runs over that bounded cell table.
+    """
+    pred = with_lang_id(df, text_col)
+    cells = pred.groupBy(
+        F.col(lang_col).alias("lang_true"), "lang_pred"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias(
+            "share"
+        ),
+        (F.col("lang_true") == F.col("lang_pred")).cast("int").alias(
+            "correct"
+        ),
+    ).orderBy("lang_true", "lang_pred")

@@ -2151,3 +2151,47 @@ def test_ols_textbook_line_and_degenerate_guard(spark):
     assert abs(a["r2"] - 1.0) < 1e-9
     b = out["b"]
     assert b["slope"] is None and b["r2"] is None
+
+
+def test_lang_confusion_hand_built(spark):
+    """lang_confusion: declared-vs-predicted cells, per-true-lang
+    shares, unsupported language routes to 'xx'."""
+    from ksql_query_tutorial_spark.operators.text import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat and the dog is in a house of to in"),
+            (2, "en", "the dog is a pet and is of the to in"),
+            (3, "de", "der hund und die katze ist nicht ein tier"),
+            (4, "zh", "mao he gou zai fangzi li"),   # no marker words
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r["lang_true"], r["lang_pred"]): r
+           for r in lang_confusion(docs).collect()}
+    assert out[("en", "en")]["n"] == 2
+    assert out[("en", "en")]["share"] == 1.0
+    assert out[("en", "en")]["correct"] == 1
+    assert out[("de", "de")]["n"] == 1
+    assert out[("zh", "xx")]["n"] == 1 and out[("zh", "xx")]["correct"] == 0
+
+
+def test_zipf_fit_on_synthetic_power_law(spark):
+    """zipf_fit: a corpus whose term counts follow freq = C/rank
+    exactly fits slope -1 with R² = 1."""
+    from ksql_query_tutorial_spark.operators.corpus import zipf_fit
+
+    # term t_r appears floor(2^12 / 2^(r-1)) times: counts 4096, 2048,
+    # 1024 ... exact powers so ln-space is perfectly linear in ln(2^k)
+    # — but that's linear in rank EXPONENT, not rank. Instead build
+    # freq = 720/rank for ranks 1..6 (720 divisible by each).
+    words = []
+    for r in range(1, 7):
+        words += [f"w{r}"] * (720 // r)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = zipf_fit(docs, top_k=6).collect()[0]
+    assert row["n"] == 6
+    assert abs(row["slope"] + 1.0) < 1e-6
+    assert abs(row["r2"] - 1.0) < 1e-6

@@ -1176,3 +1176,42 @@ def test_ols_single_pass_plan(spark):
         "l_discount" in s and "l_quantity" in s and "l_extendedprice" not in s
         for s in read_schemas(df)
     ), read_schemas(df)
+
+
+def test_lang_confusion_bounded_share_window(spark):
+    """text_lang_confusion: one documents scan, confusion rollup with
+    partial agg, share window over the bounded cell table, all JVM."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import text_lang_confusion
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = text_lang_confusion(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_zipf_topk_is_take_ordered_not_global_sort(spark):
+    """corpus_zipf: the top-k cut is TakeOrderedAndProject (distributed
+    partial top-k); the only window runs over the ≤ top_k-row result,
+    and the whole plan is JVM."""
+    from ksql_query_tutorial_spark.extensions import corpus_zipf
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = corpus_zipf(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -128,6 +128,8 @@ EXT_NAMES = [
     "embedding_pca_power",
     "embedding_pca_project",
     "lineitem_elasticity",
+    "text_lang_confusion",
+    "corpus_zipf",
 ]
 
 
