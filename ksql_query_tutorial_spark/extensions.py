@@ -4313,3 +4313,179 @@ EXTENSION_ORACLES["corpus_zipf"] = f"""
                  END, 6) AS r2
     FROM m ORDER BY scope
 """
+
+
+Q15_FROM = "1997-01-01"
+Q15_TO = "1997-04-01"
+
+
+def supplier_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: tie-safe max-revenue supplier(s) in a quarter.
+    See retail.top_revenue_suppliers."""
+    from ksql_query_tutorial_spark.operators.retail import top_revenue_suppliers
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return top_revenue_suppliers(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "lineitem"),
+        date_from=Q15_FROM,
+        date_to=Q15_TO,
+    )
+
+
+EXTENSION_QUERIES["supplier_top_revenue"] = supplier_top_revenue
+
+EXTENSION_ORACLES["supplier_top_revenue"] = f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+          AND l_shipdate < TIMESTAMP '{Q15_TO}'
+        GROUP BY 1)
+    SELECT s_suppkey AS suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY suppkey
+"""
+
+
+def customer_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    orders, rolled up per segment. See retail.rich_inactive_customers."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        rich_inactive_customers,
+    )
+
+    return rich_inactive_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+    )
+
+
+EXTENSION_QUERIES["customer_rich_inactive"] = customer_rich_inactive
+
+EXTENSION_ORACLES["customer_rich_inactive"] = """
+    WITH thr AS (
+        SELECT ROUND(avg(c_acctbal), 4) AS avg_bal
+        FROM customer WHERE c_acctbal > 0)
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(sum(c_acctbal), 4) AS total_acctbal
+    FROM customer, thr
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def part_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly promotional-revenue share.
+    See retail.promo_revenue_share."""
+    from ksql_query_tutorial_spark.operators.retail import promo_revenue_share
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return promo_revenue_share(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+EXTENSION_QUERIES["part_promo_share"] = part_promo_share
+
+EXTENSION_ORACLES["part_promo_share"] = """
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           ROUND(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 4) AS promo_revenue,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 4)
+             AS total_revenue,
+           ROUND(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation → customer-nation revenue per
+    ship year. See retail.nation_trade_flows."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.nation_trade_flows(
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "nation"),
+        date_from=Q7_FROM,
+        date_to=Q7_TO,
+    )
+
+
+EXTENSION_QUERIES["nation_trade_flows"] = nation_trade_flows
+
+EXTENSION_ORACLES["nation_trade_flows"] = f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '{Q7_FROM}'
+      AND l_shipdate < TIMESTAMP '{Q7_TO}'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+
+def part_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs banded revenue.
+    See retail.disjunctive_band_revenue."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        disjunctive_band_revenue,
+    )
+
+    return disjunctive_band_revenue(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+EXTENSION_QUERIES["part_band_revenue"] = part_band_revenue
+
+
+def _band_case_sql() -> str:
+    from ksql_query_tutorial_spark.operators.retail import DISJUNCTIVE_BANDS
+
+    whens = "\n".join(
+        f"             WHEN p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity BETWEEN {qlo} AND {qhi} THEN '{b}'"
+        for b, slo, shi, qlo, qhi in DISJUNCTIVE_BANDS
+    )
+    return f"CASE\n{whens}\n           END"
+
+
+EXTENSION_ORACLES["part_band_revenue"] = f"""
+    SELECT band,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+        SELECT {_band_case_sql()} AS band,
+               l_extendedprice, l_discount
+        FROM lineitem JOIN part ON l_partkey = p_partkey) t
+    WHERE band IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+"""

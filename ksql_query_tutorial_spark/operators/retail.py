@@ -845,3 +845,240 @@ def customer_spend_ranks(
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).orderBy("segment", "rnk")
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose shipped revenue over a
+    quarter equals the global maximum — tie-safe (every supplier at
+    the max is returned, the reference Q15 semantics, NOT a LIMIT 1).
+
+    Scale design: the date filter is pushed to the lineitem scan; the
+    per-supplier rollup is ONE exchange with map-side partials; the
+    global max over that |suppliers|-row table is a 1-row aggregate
+    broadcast back via an equality cross-filter (BroadcastNestedLoop
+    over a single row — constant cost), so the fact table is never
+    re-scanned and nothing global-sorts. The supplier dim joins
+    broadcast AFTER the max filter (≥1 surviving rows). Revenue is
+    rounded to 4dp BEFORE the max compare so the equality is on the
+    same value both engines hash.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    rev = (
+        lineitem.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("__max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("suppkey")
+    )
+
+
+def rich_inactive_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+) -> DataFrame:
+    """TPC-H Q22 shape: per market segment, customers whose account
+    balance beats the positive-balance average but who have never
+    placed an order — the dormant-high-value outreach report
+    (scalar-subquery threshold + NOT EXISTS anti join + rollup).
+
+    Scale design: the threshold is a 1-row aggregate cross-joined in
+    (broadcast nested loop over one row); the NOT EXISTS is a LEFT
+    ANTI join shuffling only (custkey) pairs — orders is projected to
+    its join key at the scan, so the anti probe carries one column;
+    the final segment rollup is ≤|segments| cells with map-side
+    partials. The threshold is rounded to 4dp so both engines compare
+    against the identical constant.
+    """
+    thr = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("__avg_bal")
+    )
+    cand = (
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+    )
+    inactive = cand.join(
+        orders.select("o_custkey"),
+        cand.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        inactive.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
+def promo_revenue_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    promo_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q14 shape: per ship month, the percentage of revenue that
+    came from promotional parts — the marketing-effect time series
+    (join + conditional-share aggregate).
+
+    Scale design: lineitem⋈part is an equi-join on the part key; part
+    is projected to (key, type) at the scan so the build side is two
+    columns (broadcastable while the part dim fits, shuffle-join with
+    AQE beyond). The month rollup aggregates the joined rows once with
+    map-side partials; the share is computed inside the same aggregate
+    (sum(CASE)/sum), no second pass, no window.
+    """
+    li = lineitem.select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    p = part.select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == promo_type, F.col("__rev")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.groupBy("ship_month")
+        .agg(
+            F.round(F.sum(promo), 4).alias("promo_revenue"),
+            F.round(F.sum("__rev"), 4).alias("total_revenue"),
+            F.round(100.0 * F.sum(promo) / F.sum("__rev"), 6).alias(
+                "promo_pct"
+            ),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def nation_trade_flows(
+    supplier: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between every (supplier nation,
+    customer nation) pair per ship year — the cross-border trade-flow
+    matrix (two independent dimension paths meeting at the fact row).
+
+    Scale design: the date filter is pushed to the lineitem scan; the
+    supplier path (supplier⋈nation, pre-joined dim-side — |suppliers|
+    rows, 2 columns) broadcasts into the fact; the customer path joins
+    orders on the order key (fact-to-fact, one shuffle each) then
+    broadcasts customer⋈nation the same way. The final rollup is
+    ≤|nations|²·|years| cells with map-side partials — the output is
+    bounded no matter the fact scale.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    n = nation.select("n_nationkey", "n_name")
+    supp_n = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = orders.select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_n), o.o_custkey == cust_n.c_custkey)
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.round(F.sum("__rev"), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+DISJUNCTIVE_BANDS = (
+    # (brand, min_size, max_size, min_qty, max_qty)
+    ("Brand#12", 1, 15, 1.0, 21.0),
+    ("Brand#23", 10, 30, 10.0, 30.0),
+    ("Brand#34", 20, 50, 20.0, 40.0),
+)
+
+
+def disjunctive_band_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    bands: tuple = DISJUNCTIVE_BANDS,
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs predicate over
+    joined fact+dim attributes (three brand/size/quantity bands) —
+    the classic disjunctive-pushdown stress: each disjunct constrains
+    BOTH sides of the join, per band.
+
+    Scale design: the union of the per-side implications is pushed to
+    each scan (quantity range to lineitem, brand/size union to part —
+    visible as PushedFilters), the join is a single equi-join on the
+    part key with the 2-column part projection broadcast, and the full
+    OR evaluates post-join inside codegen. One aggregate row per band
+    (bounded output), map-side partials.
+    """
+    qty_lo = min(b[3] for b in bands)
+    qty_hi = max(b[4] for b in bands)
+    brands = [b[0] for b in bands]
+    li = lineitem.filter(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = part.filter(F.col("p_brand").isin(brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band_col = F.lit(None).cast("string")
+    for brand, size_lo, size_hi, b_qlo, b_qhi in reversed(bands):
+        cond = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= size_lo)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= b_qlo)
+            & (F.col("l_quantity") <= b_qhi)
+        )
+        band_col = F.when(cond, F.lit(brand)).otherwise(band_col)
+    return (
+        joined.withColumn("band", band_col)
+        .filter(F.col("band").isNotNull())
+        .groupBy("band")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("band")
+    )

@@ -2195,3 +2195,146 @@ def test_zipf_fit_on_synthetic_power_law(spark):
     assert row["n"] == 6
     assert abs(row["slope"] + 1.0) < 1e-6
     assert abs(row["r2"] - 1.0) < 1e-6
+
+
+def test_top_revenue_suppliers_tie_safe(spark):
+    """supplier_top_revenue: every supplier at the max survives (ties
+    kept), and the max is over the window-filtered revenue only."""
+    from ksql_query_tutorial_spark.operators.retail import top_revenue_suppliers
+
+    sup = spark.createDataFrame(
+        [(1, "Sup A"), (2, "Sup B"), (3, "Sup C")],
+        "s_suppkey long, s_name string",
+    )
+    li = spark.createDataFrame(
+        [
+            # inside the window: suppliers 1 and 2 tie at 100.0
+            (1, 100.0, 0.0, "1997-02-01"),
+            (2, 50.0, 0.0, "1997-02-01"),
+            (2, 50.0, 0.0, "1997-03-01"),
+            (3, 30.0, 0.0, "1997-02-01"),
+            # outside the window: would make supplier 3 the max
+            (3, 500.0, 0.0, "1998-01-01"),
+        ],
+        "l_suppkey long, l_extendedprice double, l_discount double, d string",
+    ).selectExpr(
+        "l_suppkey", "l_extendedprice", "l_discount",
+        "cast(d as timestamp) as l_shipdate",
+    )
+    rows = top_revenue_suppliers(
+        sup, li, date_from="1997-01-01", date_to="1997-04-01"
+    ).collect()
+    assert [(r["suppkey"], r["total_revenue"]) for r in rows] == [
+        (1, 100.0),
+        (2, 100.0),
+    ]
+
+
+def test_rich_inactive_customers_threshold_and_anti(spark):
+    """customer_rich_inactive: negative balances excluded from the
+    threshold, order placers excluded from the result."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        rich_inactive_customers,
+    )
+
+    cust = spark.createDataFrame(
+        [
+            # positive-average = (100 + 300 + 200) / 3 = 200
+            (1, "SEG_A", 100.0),
+            (2, "SEG_A", 300.0),   # above, no orders -> kept
+            (3, "SEG_B", 200.0),   # not strictly above -> dropped
+            (4, "SEG_B", -500.0),  # negative: not in threshold
+            (5, "SEG_B", 250.0),   # above but HAS an order -> dropped
+        ],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    orders = spark.createDataFrame([(5,)], "o_custkey long")
+    rows = rich_inactive_customers(cust, orders).collect()
+    assert [(r["segment"], r["n_customers"], r["total_acctbal"])
+            for r in rows] == [("SEG_A", 1, 300.0)]
+
+
+def test_promo_revenue_share_hand_built(spark):
+    """part_promo_share: per-month promo share of discounted revenue."""
+    from ksql_query_tutorial_spark.operators.retail import promo_revenue_share
+
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.0, "1997-01-05"),
+            (2, 300.0, 0.0, "1997-01-20"),
+            (2, 80.0, 0.5, "1997-02-01"),
+        ],
+        "l_partkey long, l_extendedprice double, l_discount double, d string",
+    ).selectExpr(
+        "l_partkey", "l_extendedprice", "l_discount",
+        "cast(d as timestamp) as l_shipdate",
+    )
+    rows = promo_revenue_share(part, li).collect()
+    jan, feb = rows
+    assert jan["promo_revenue"] == 100.0 and jan["total_revenue"] == 400.0
+    assert jan["promo_pct"] == 25.0
+    assert feb["promo_revenue"] == 0.0 and feb["total_revenue"] == 40.0
+    assert feb["promo_pct"] == 0.0
+
+
+def test_nation_trade_flows_routes_both_paths(spark):
+    """nation_trade_flows: the supplier nation comes from the lineitem
+    side, the customer nation from the orders side."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    nation = spark.createDataFrame(
+        [(10, "FRANCE"), (20, "GERMANY")], "n_nationkey long, n_name string"
+    )
+    sup = spark.createDataFrame([(1, 10)], "s_suppkey long, s_nationkey long")
+    cust = spark.createDataFrame([(7, 20)], "c_custkey long, c_nationkey long")
+    orders = spark.createDataFrame([(500, 7)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(500, 1, 200.0, 0.1, "1996-06-15")],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double, d string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "cast(d as timestamp) as l_shipdate",
+    )
+    rows = retail.nation_trade_flows(sup, cust, orders, li, nation).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["supp_nation"], r["cust_nation"], r["ship_year"]) == (
+        "FRANCE", "GERMANY", 1996,
+    )
+    assert r["revenue"] == 180.0 and r["n_items"] == 1
+
+
+def test_disjunctive_band_revenue_band_isolation(spark):
+    """part_band_revenue: a row counts only when BOTH its part band
+    attributes and its own quantity fall in the same band."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        disjunctive_band_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#12", 5),    # band 1 part
+            (2, "Brand#23", 20),   # band 2 part
+            (3, "Brand#12", 40),   # band-1 brand, size outside -> never
+        ],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10.0, 100.0, 0.0),   # qty in band-1 range -> counted
+            (1, 30.0, 100.0, 0.0),   # qty outside band 1 -> dropped
+            (2, 25.0, 50.0, 0.0),    # band 2 -> counted
+            (3, 10.0, 70.0, 0.0),    # size mismatch -> dropped
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double",
+    )
+    rows = disjunctive_band_revenue(part, li).collect()
+    assert [(r["band"], r["revenue"], r["n_items"]) for r in rows] == [
+        ("Brand#12", 100.0, 1),
+        ("Brand#23", 50.0, 1),
+    ]

@@ -1215,3 +1215,115 @@ def test_zipf_topk_is_take_ordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_supplier_top_revenue_no_fact_rescan(spark):
+    """supplier_top_revenue: the date filter reaches the lineitem scan,
+    the rollup has map-side partials, and the max-filter join does NOT
+    rescan lineitem — Spark reuses/re-aggregates the supplier-level
+    table, never the fact, and the dims ride broadcast."""
+    import re
+
+    from ksql_query_tutorial_spark.extensions import supplier_top_revenue
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = supplier_top_revenue(spark, SF_ORACLE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_partial_aggregation(df)
+    assert_broadcast_join(df)
+    assert_no_python(df)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"lineitem\.parquet", plan)) <= 2, plan
+
+
+def test_customer_rich_inactive_anti_join_single_column_probe(spark):
+    """customer_rich_inactive: the NOT EXISTS compiles to a LEFT ANTI
+    join and the orders scan is pruned to the single join key."""
+    from ksql_query_tutorial_spark.extensions import customer_rich_inactive
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = customer_rich_inactive(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert any(
+        "o_custkey" in s and "o_totalprice" not in s and "o_orderdate" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)
+    assert_no_python(df)
+
+
+def test_part_promo_share_broadcast_and_pruned_part(spark):
+    """part_promo_share: part broadcasts as a 2-column build side and
+    the share computes inside one aggregate (no second exchange)."""
+    from ksql_query_tutorial_spark.extensions import part_promo_share
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = part_promo_share(spark, SF_ORACLE)
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    assert any(
+        "p_type" in s and "p_retailprice" not in s and "p_name" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)
+
+
+def test_nation_trade_flows_one_fact_shuffle_pair(spark):
+    """nation_trade_flows: both dimension paths broadcast; the only
+    sort-merge/shuffle join is lineitem⋈orders on the order key; the
+    date filter is pushed to the fact scan."""
+    from ksql_query_tutorial_spark.extensions import nation_trade_flows
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = nation_trade_flows(spark, SF_ORACLE)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+    plan = formatted_plan(df)
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= 2, plan
+
+
+def test_part_band_revenue_pushes_disjunct_implications(spark):
+    """part_band_revenue: the quantity envelope reaches the lineitem
+    scan and the brand union reaches the part scan (per-side
+    implications of the OR-of-ANDs), with the part build broadcast."""
+    from ksql_query_tutorial_spark.extensions import part_band_revenue
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_pushed_filter,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = part_band_revenue(spark, SF_ORACLE)
+    assert_pushed_filter(df, "l_quantity")
+    assert_pushed_filter(df, "p_brand")
+    assert_broadcast_join(df)
+    assert_no_python(df)

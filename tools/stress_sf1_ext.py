@@ -130,6 +130,12 @@ EXT_NAMES = [
     "lineitem_elasticity",
     "text_lang_confusion",
     "corpus_zipf",
+    # r5 decision-support batch: Q15/Q22/Q14/Q7/Q19 shapes.
+    "supplier_top_revenue",
+    "customer_rich_inactive",
+    "part_promo_share",
+    "nation_trade_flows",
+    "part_band_revenue",
 ]
 
 
