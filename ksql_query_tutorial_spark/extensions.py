@@ -4351,22 +4351,28 @@ EXTENSION_ORACLES["supplier_top_revenue"] = f"""
 """
 
 
+Q22_SINCE = "1999-01-01"
+
+
 def customer_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: above-average-balance customers with no
-    orders, rolled up per segment. See retail.rich_inactive_customers."""
+    """TPC-H Q22 shape: above-average-balance customers with no order
+    since the cutoff, rolled up per segment.
+    See retail.rich_inactive_customers."""
     from ksql_query_tutorial_spark.operators.retail import (
         rich_inactive_customers,
     )
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return rich_inactive_customers(
         load(spark, sf_dir, "customer"),
         load(spark, sf_dir, "orders"),
+        since=Q22_SINCE,
     )
 
 
 EXTENSION_QUERIES["customer_rich_inactive"] = customer_rich_inactive
 
-EXTENSION_ORACLES["customer_rich_inactive"] = """
+EXTENSION_ORACLES["customer_rich_inactive"] = f"""
     WITH thr AS (
         SELECT ROUND(avg(c_acctbal), 4) AS avg_bal
         FROM customer WHERE c_acctbal > 0)
@@ -4375,7 +4381,9 @@ EXTENSION_ORACLES["customer_rich_inactive"] = """
            ROUND(sum(c_acctbal), 4) AS total_acctbal
     FROM customer, thr
     WHERE c_acctbal > avg_bal
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{Q22_SINCE}')
     GROUP BY 1 ORDER BY 1
 """
 

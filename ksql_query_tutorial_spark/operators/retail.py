@@ -897,19 +897,21 @@ def top_revenue_suppliers(
 def rich_inactive_customers(
     customer: DataFrame,
     orders: DataFrame,
+    since: str = "1999-01-01",
 ) -> DataFrame:
     """TPC-H Q22 shape: per market segment, customers whose account
-    balance beats the positive-balance average but who have never
-    placed an order — the dormant-high-value outreach report
+    balance beats the positive-balance average but who have placed no
+    order since the cutoff — the lapsed-high-value outreach report
     (scalar-subquery threshold + NOT EXISTS anti join + rollup).
 
     Scale design: the threshold is a 1-row aggregate cross-joined in
     (broadcast nested loop over one row); the NOT EXISTS is a LEFT
-    ANTI join shuffling only (custkey) pairs — orders is projected to
-    its join key at the scan, so the anti probe carries one column;
-    the final segment rollup is ≤|segments| cells with map-side
-    partials. The threshold is rounded to 4dp so both engines compare
-    against the identical constant.
+    ANTI join shuffling only (custkey) pairs — the recency cutoff and
+    the key projection are both pushed to the orders scan, so the
+    anti probe carries one column of the recent slice only; the final
+    segment rollup is ≤|segments| cells with map-side partials. The
+    threshold is rounded to 4dp so both engines compare against the
+    identical constant.
     """
     thr = customer.filter(F.col("c_acctbal") > 0).agg(
         F.round(F.avg("c_acctbal"), 4).alias("__avg_bal")
@@ -919,8 +921,11 @@ def rich_inactive_customers(
         .crossJoin(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("__avg_bal"))
     )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
     inactive = cand.join(
-        orders.select("o_custkey"),
+        recent,
         cand.c_custkey == F.col("o_custkey"),
         "left_anti",
     )

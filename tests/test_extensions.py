@@ -2232,26 +2232,30 @@ def test_top_revenue_suppliers_tie_safe(spark):
 
 def test_rich_inactive_customers_threshold_and_anti(spark):
     """customer_rich_inactive: negative balances excluded from the
-    threshold, order placers excluded from the result."""
+    threshold, recent-order placers excluded, stale orders ignored."""
     from ksql_query_tutorial_spark.operators.retail import (
         rich_inactive_customers,
     )
 
     cust = spark.createDataFrame(
         [
-            # positive-average = (100 + 300 + 200) / 3 = 200
-            (1, "SEG_A", 100.0),
-            (2, "SEG_A", 300.0),   # above, no orders -> kept
-            (3, "SEG_B", 200.0),   # not strictly above -> dropped
+            # positive-average = (100 + 300 + 200 + 250 + 260) / 5 = 222
+            (1, "SEG_A", 100.0),   # below threshold -> dropped
+            (2, "SEG_A", 300.0),   # above, no orders at all -> kept
+            (3, "SEG_B", 200.0),   # below threshold -> dropped
             (4, "SEG_B", -500.0),  # negative: not in threshold
-            (5, "SEG_B", 250.0),   # above but HAS an order -> dropped
+            (5, "SEG_B", 250.0),   # above but ordered RECENTLY -> dropped
+            (6, "SEG_B", 260.0),   # above, only a STALE order -> kept
         ],
         "c_custkey long, c_mktsegment string, c_acctbal double",
     )
-    orders = spark.createDataFrame([(5,)], "o_custkey long")
-    rows = rich_inactive_customers(cust, orders).collect()
+    orders = spark.createDataFrame(
+        [(5, "1999-06-01"), (6, "1997-01-01")],
+        "o_custkey long, d string",
+    ).selectExpr("o_custkey", "cast(d as timestamp) as o_orderdate")
+    rows = rich_inactive_customers(cust, orders, since="1999-01-01").collect()
     assert [(r["segment"], r["n_customers"], r["total_acctbal"])
-            for r in rows] == [("SEG_A", 1, 300.0)]
+            for r in rows] == [("SEG_A", 1, 300.0), ("SEG_B", 1, 260.0)]
 
 
 def test_promo_revenue_share_hand_built(spark):

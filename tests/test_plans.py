@@ -1245,10 +1245,12 @@ def test_supplier_top_revenue_no_fact_rescan(spark):
 
 def test_customer_rich_inactive_anti_join_single_column_probe(spark):
     """customer_rich_inactive: the NOT EXISTS compiles to a LEFT ANTI
-    join and the orders scan is pruned to the single join key."""
+    join, the recency cutoff is pushed to the orders scan, and the
+    probe carries only (o_custkey, o_orderdate)."""
     from ksql_query_tutorial_spark.extensions import customer_rich_inactive
     from ksql_query_tutorial_spark.plans.checks import (
         assert_no_python,
+        assert_pushed_filter,
         formatted_plan,
         read_schemas,
     )
@@ -1257,8 +1259,9 @@ def test_customer_rich_inactive_anti_join_single_column_probe(spark):
     df = customer_rich_inactive(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "LeftAnti" in plan, plan
+    assert_pushed_filter(df, "o_orderdate")
     assert any(
-        "o_custkey" in s and "o_totalprice" not in s and "o_orderdate" not in s
+        "o_custkey" in s and "o_totalprice" not in s and "o_orderstatus" not in s
         for s in read_schemas(df)
     ), read_schemas(df)
     assert_no_python(df)
