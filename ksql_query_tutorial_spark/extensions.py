@@ -4497,3 +4497,288 @@ EXTENSION_ORACLES["part_band_revenue"] = f"""
     WHERE band IS NOT NULL
     GROUP BY 1 ORDER BY 1
 """
+
+
+Q4_FROM = "1997-01-01"
+Q4_TO = "1997-04-01"
+Q4_LAG_DAYS = 60
+
+
+def orders_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: SLA-breach order counts per priority.
+    See retail.order_priority_check."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.order_priority_check(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        date_from=Q4_FROM,
+        date_to=Q4_TO,
+        lag_days=Q4_LAG_DAYS,
+    )
+
+
+EXTENSION_QUERIES["orders_priority_check"] = orders_priority_check
+
+EXTENSION_ORACLES["orders_priority_check"] = f"""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q4_FROM}'
+      AND o_orderdate < TIMESTAMP '{Q4_TO}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate
+                        + INTERVAL {Q4_LAG_DAYS} DAY)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1997-01-01"
+
+
+def nation_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: same-nation supplier revenue per nation of one
+    region. See retail.local_supplier_volume."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.local_supplier_volume(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        region_name=Q5_REGION,
+        date_from=Q5_FROM,
+        date_to=Q5_TO,
+    )
+
+
+EXTENSION_QUERIES["nation_local_volume"] = nation_local_volume
+
+EXTENSION_ORACLES["nation_local_volume"] = f"""
+    SELECT n_name AS nation,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+      AND o_orderdate < TIMESTAMP '{Q5_TO}'
+    GROUP BY 1 ORDER BY revenue DESC, nation
+"""
+
+
+Q8_NATION = "NATION_7"
+Q8_REGION = "ASIA"
+Q8_TYPE = "PROMO"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: target nation's supply share of one region's
+    part-type revenue per order year.
+    See retail.national_market_share."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.national_market_share(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "part"),
+        target_nation=Q8_NATION,
+        region_name=Q8_REGION,
+        part_type=Q8_TYPE,
+    )
+
+
+EXTENSION_QUERIES["nation_market_share"] = nation_market_share
+
+EXTENSION_ORACLES["nation_market_share"] = f"""
+    SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+           ROUND(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END), 4) AS target_revenue,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 4)
+             AS total_revenue,
+           ROUND(sum(CASE WHEN sn.n_name = '{Q8_NATION}'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+Q9_TOKEN = "red"
+
+
+def supplier_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation per-year profit on token-named
+    parts. See retail.supplier_nation_profit."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.supplier_nation_profit(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "part"),
+        name_token=Q9_TOKEN,
+    )
+
+
+EXTENSION_QUERIES["supplier_profit"] = supplier_profit
+
+EXTENSION_ORACLES["supplier_profit"] = f"""
+    SELECT n_name AS nation,
+           CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+           ROUND(sum(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity), 4) AS profit,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%{Q9_TOKEN}%'
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+Q12_FROM = "1996-01-01"
+Q12_TO = "1998-01-01"
+
+
+def orders_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low priority line counts per ship-lag
+    band. See retail.ship_lag_priority."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.ship_lag_priority(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        date_from=Q12_FROM,
+        date_to=Q12_TO,
+    )
+
+
+EXTENSION_QUERIES["orders_ship_lag"] = orders_ship_lag
+
+EXTENSION_ORACLES["orders_ship_lag"] = f"""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                THEN '1_under_30d'
+                WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                THEN '2_under_90d'
+                ELSE '3_over_90d' END AS lag_band,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_priority_lines,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_priority_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_FROM}'
+      AND l_shipdate < TIMESTAMP '{Q12_TO}'
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+Q17_BRAND = "Brand#23"
+Q17_FACTOR = 0.5
+
+
+def part_small_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: weekly revenue of below-half-average-quantity
+    lines of one brand. See retail.small_quantity_revenue."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    return retail.small_quantity_revenue(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+        brand=Q17_BRAND,
+        qty_factor=Q17_FACTOR,
+    )
+
+
+EXTENSION_QUERIES["part_small_lots"] = part_small_lots
+
+EXTENSION_ORACLES["part_small_lots"] = f"""
+    WITH thr AS (
+        SELECT l_partkey AS pk, ROUND(avg(l_quantity), 4) AS avg_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = '{Q17_BRAND}'
+        GROUP BY 1)
+    SELECT ROUND(sum(l_extendedprice) / 52.0, 4) AS weekly_revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN thr ON l_partkey = pk
+    WHERE p_brand = '{Q17_BRAND}'
+      AND l_quantity < {Q17_FACTOR} * avg_qty
+"""
+
+
+Q21_NATION = "NATION_3"
+Q21_LAG_DAYS = 90
+
+
+def supplier_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-late-supplier order counts for one
+    nation's suppliers. See retail.sole_late_suppliers."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.sole_late_suppliers(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        nation_name=Q21_NATION,
+        lag_days=Q21_LAG_DAYS,
+    )
+
+
+EXTENSION_QUERIES["supplier_sole_late"] = supplier_sole_late
+
+EXTENSION_ORACLES["supplier_sole_late"] = f"""
+    SELECT s_name,
+           CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = '{Q21_NATION}'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL {Q21_LAG_DAYS} DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate
+                            + INTERVAL {Q21_LAG_DAYS} DAY)
+    GROUP BY 1 ORDER BY numwait DESC, s_name
+"""

@@ -1087,3 +1087,393 @@ def disjunctive_band_revenue(
         )
         .orderBy("band")
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+    lag_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders of a quarter
+    had at least one line shipped more than ``lag_days`` after the
+    order date — the fulfillment-SLA breach report (EXISTS with a
+    correlated non-equi predicate).
+
+    Scale design: the quarter filter is pushed to the orders scan; the
+    EXISTS compiles to a LEFT SEMI join on the order key — the probe
+    short-circuits at the first matching line per order and carries
+    only (l_orderkey, l_shipdate); the correlated ``l_shipdate >
+    o_orderdate + lag`` comparison rides the semi join as an extra
+    condition evaluated in codegen. The rollup output is bounded at
+    |priorities| cells with map-side partials.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > o.o_orderdate + F.expr(f"INTERVAL {int(lag_days)} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("priority")
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: per nation of one region, the revenue of the
+    year's order lines where the supplier and the ordering customer
+    share that nation — the "local fulfillment volume" report (the
+    classic 6-table join with a same-nation equality tying the two
+    dimension paths together).
+
+    Scale design: the year filter is pushed to the orders scan and the
+    nation⋈region dimension path (≤|nations| rows after the region
+    filter) broadcasts into BOTH the customer and supplier paths. The
+    two fact-fact joins (orders⋈customer is fact-dim but
+    customer-proportional; lineitem⋈orders) shuffle on their keys once
+    each; the supplier side joins broadcast (bounded dim) with the
+    same-nation constraint evaluated inside the join condition, so no
+    post-join filter re-materializes the row. Output is ≤|nations|
+    cells, map-side partials.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    n = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    c = customer.join(
+        F.broadcast(n), customer.c_nationkey == n.n_nationkey
+    ).select("c_custkey", F.col("n_nationkey").alias("__c_nk"), "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select("o_orderkey", "o_custkey")
+    s = supplier.select("s_suppkey", "s_nationkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("__c_nk")),
+        )
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("__rev"), 4).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+def national_market_share(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_7",
+    region_name: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: per order year, the share of one region's
+    revenue in a part type that was supplied by the target nation —
+    the national-market-share trend (share computed INSIDE one
+    aggregate, no second pass).
+
+    Scale design: the part-type filter cuts the fact at its scan via
+    the broadcast part join (2-column build side); the customer path
+    restricts to the region through the broadcast nation⋈region dim;
+    the supplier path broadcasts (suppkey → nation name). The only
+    full-width shuffles are lineitem⋈orders and orders⋈customer on
+    their keys. The target-nation share is a sum(CASE)/sum in the same
+    |years|-cell rollup — the fact is aggregated exactly once.
+    """
+    n = nation.select("n_nationkey", "n_name")
+    region_nk = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    c = customer.join(
+        F.broadcast(region_nk), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+    )
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey, "left_semi")
+    )
+    tgt = F.when(
+        F.col("supp_nation") == target_nation, F.col("__rev")
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy("order_year")
+        .agg(
+            F.round(F.sum(tgt), 4).alias("target_revenue"),
+            F.round(F.sum("__rev"), 4).alias("total_revenue"),
+            F.round(F.sum(tgt) / F.sum("__rev"), 6).alias("mkt_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+COST_FACTOR = 0.6
+
+
+def supplier_nation_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_token: str = "red",
+    cost_factor: float = COST_FACTOR,
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year over
+    the parts whose name contains a token — the product-line profit
+    ledger. The reference schema prices cost off partsupp; this corpus
+    has no partsupp table, so cost is proxied as ``cost_factor *
+    p_retailprice * l_quantity`` (same shape: a per-part attribute
+    priced into every matching line).
+
+    Scale design: the name-token filter cuts the fact through the
+    broadcast part join (build side carries key + retailprice only);
+    the supplier⋈nation path broadcasts; the single full shuffle is
+    lineitem⋈orders on the order key (orders projected to key + year).
+    Output is |nations|·|years| cells, map-side partials.
+    """
+    p = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = nation.select("n_nationkey", "n_name")
+    s = supplier.join(
+        F.broadcast(n), supplier.s_nationkey == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    o = orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("order_year")
+    )
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        cost_factor
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", "order_year")
+        .agg(
+            F.round(F.sum(amount), 4).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy("nation", "order_year")
+    )
+
+
+SHIP_LAG_BANDS = (30, 90)  # day boundaries: fast / normal / slow
+
+
+def ship_lag_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+    bands: tuple = SHIP_LAG_BANDS,
+) -> DataFrame:
+    """TPC-H Q12 shape: per ship-lag band (days between order and
+    ship), how many lines belonged to high-priority vs low-priority
+    orders — the logistics-mode audit re-expressed over ship lag
+    (this corpus has no l_shipmode column; the lag band plays the
+    mode's role as the grouping attribute).
+
+    Scale design: the ship-date window is pushed to the lineitem scan;
+    the single shuffle is lineitem⋈orders on the order key with orders
+    projected to (key, priority, date); the band CASE and the priority
+    CASE both fold into the same |bands|-cell rollup with map-side
+    partials — one pass, no window.
+    """
+    lo = F.lit(date_from).cast("timestamp")
+    hi = F.lit(date_to).cast("timestamp")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    ).select("l_orderkey", "l_shipdate")
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    b_fast, b_slow = int(bands[0]), int(bands[1])
+    band = (
+        F.when(lag <= b_fast, F.lit(f"1_under_{b_fast}d"))
+        .when(lag <= b_slow, F.lit(f"2_under_{b_slow}d"))
+        .otherwise(F.lit(f"3_over_{b_slow}d"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(band.alias("lag_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_priority_lines"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_priority_lines"
+            ),
+        )
+        .orderBy("lag_band")
+    )
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#23",
+    qty_factor: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q17 shape: weekly-averaged revenue of the brand's order
+    lines whose quantity is below ``qty_factor`` of that part's average
+    quantity — the small-lot pricing probe (correlated per-part scalar
+    threshold).
+
+    Scale design: the brand filter cuts the fact through the broadcast
+    part join (1-column build side), so BOTH passes touch only the
+    brand's lines; the per-part average is a bounded rollup (≤ brand
+    part count rows) broadcast back as the threshold — the correlated
+    subquery never re-scans the fact per row, and no per-part window
+    sort happens. Averages are rounded to 4dp so both engines compare
+    against the identical threshold. Output is one row.
+    """
+    p = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(
+        F.broadcast(p), lineitem.l_partkey == p.p_partkey
+    ).select("p_partkey", "l_quantity", "l_extendedprice")
+    thr = li.groupBy("p_partkey").agg(
+        F.round(F.avg("l_quantity"), 4).alias("__avg_qty")
+    )
+    small = li.join(
+        F.broadcast(thr.withColumnRenamed("p_partkey", "__pk")),
+        (F.col("p_partkey") == F.col("__pk"))
+        & (F.col("l_quantity") < F.lit(qty_factor) * F.col("__avg_qty")),
+    )
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 52.0, 4).alias("weekly_revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def sole_late_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    lag_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q21 shape: suppliers of one nation who were the ONLY late
+    shipper on a multi-supplier order — the supplier-reliability
+    blacklist (EXISTS another supplier + NOT EXISTS another late
+    supplier, per order).
+
+    Scale design: instead of the reference's two correlated self-joins
+    (semi + anti over the fact), the per-order facts both quantifiers
+    need — distinct supplier count and distinct LATE supplier count —
+    are computed in ONE rollup over the joined fact, then joined back
+    to the candidate late lines; the quantifier pair becomes a plain
+    ``n_suppliers >= 2 AND n_late_suppliers = 1`` filter. That turns
+    two fact-sized shuffles into one rollup (bounded at |orders| rows,
+    3 columns) plus one key join. The supplier dim (nation-filtered)
+    broadcasts; candidate (supplier, order) pairs are deduplicated
+    before the final count so multi-line orders count once, matching
+    the EXISTS semantics of the oracle.
+    """
+    o = orders.select("o_orderkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {int(lag_days)} DAYS")
+        ).alias("__late"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late"),
+    )
+    s = supplier.join(
+        F.broadcast(
+            nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+        ),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    cand = (
+        joined.filter(F.col("__late"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "l_orderkey")
+        .distinct()
+    )
+    waiting = cand.join(
+        per_order.filter(
+            (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+        ).select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -1099,8 +1099,11 @@ def pca_top_component(
     ).localCheckpoint()
 
     d = c_full.select(F.countDistinct("i")).collect()[0][0]  # bounded: dims
+    # d == 0 (empty corpus) yields an empty v anyway; guard the start
+    # literal so ANSI constant folding never sees 1/sqrt(0).
+    start = 1.0 / float(d) ** 0.5 if d else 0.0
     v = c_full.select("i").distinct().select(
-        F.col("i").alias("j"), (F.lit(1.0) / F.sqrt(F.lit(float(d)))).alias("v")
+        F.col("i").alias("j"), F.lit(start).alias("v")
     )
     for _ in range(iterations):
         w = (

@@ -2342,3 +2342,281 @@ def test_disjunctive_band_revenue_band_isolation(spark):
         ("Brand#12", 100.0, 1),
         ("Brand#23", 50.0, 1),
     ]
+
+
+def test_order_priority_check_exists_once(spark):
+    """orders_priority_check: an order with TWO late lines counts once,
+    on-time-only orders and out-of-window orders never count."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        order_priority_check,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "1997-01-10"),   # two late lines -> counts 1
+            (2, "1-URGENT", "1997-02-01"),   # on-time only -> dropped
+            (3, "5-LOW", "1996-12-31"),      # outside window -> dropped
+            (4, "5-LOW", "1997-03-01"),      # one late line -> counts
+        ],
+        "o_orderkey long, o_orderpriority string, d string",
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority", "cast(d as timestamp) as o_orderdate"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "1997-06-01"),  # late (>60d)
+            (1, "1997-07-01"),  # late again (same order)
+            (2, "1997-02-10"),  # on time
+            (3, "1999-01-01"),  # late but order outside window
+            (4, "1997-06-01"),  # late
+        ],
+        "l_orderkey long, d string",
+    ).selectExpr("l_orderkey", "cast(d as timestamp) as l_shipdate")
+    rows = order_priority_check(
+        orders, li, date_from="1997-01-01", date_to="1997-04-01", lag_days=60
+    ).collect()
+    assert [(r["priority"], r["order_count"]) for r in rows] == [
+        ("1-URGENT", 1),
+        ("5-LOW", 1),
+    ]
+
+
+def test_local_supplier_volume_same_nation_only(spark):
+    """nation_local_volume: only lines whose supplier shares the
+    customer's nation count, and only for the chosen region/window."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        local_supplier_volume,
+    )
+
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 0), (20, "FRANCE", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    cust = spark.createDataFrame(
+        [(7, 10), (8, 20)], "c_custkey long, c_nationkey long"
+    )
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 20)], "s_suppkey long, s_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(100, 7, "1996-05-01"), (200, 8, "1996-06-01")],
+        "o_orderkey long, o_custkey long, d string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "cast(d as timestamp) as o_orderdate"
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 1, 100.0, 0.0),  # JAPAN cust, JAPAN supp -> counted
+            (100, 2, 50.0, 0.0),   # JAPAN cust, FRANCE supp -> dropped
+            (200, 2, 70.0, 0.0),   # FRANCE cust (EUROPE region) -> dropped
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, "
+        "l_discount double",
+    )
+    rows = local_supplier_volume(
+        cust, orders, li, sup, nation, region,
+        region_name="ASIA", date_from="1996-01-01", date_to="1997-01-01",
+    ).collect()
+    assert [(r["nation"], r["revenue"], r["n_items"]) for r in rows] == [
+        ("JAPAN", 100.0, 1)
+    ]
+
+
+def test_national_market_share_inside_one_aggregate(spark):
+    """nation_market_share: share = target/total within the year cell;
+    off-region customers and off-type parts never contribute."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        national_market_share,
+    )
+
+    region = spark.createDataFrame(
+        [(0, "ASIA"), (1, "EUROPE")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 0), (11, "CHINA", 0), (20, "FRANCE", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    cust = spark.createDataFrame(
+        [(7, 10), (8, 20)], "c_custkey long, c_nationkey long"
+    )
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 11)], "s_suppkey long, s_nationkey long"
+    )
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    orders = spark.createDataFrame(
+        [(100, 7, "1996-05-01"), (200, 8, "1996-06-01")],
+        "o_orderkey long, o_custkey long, d string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "cast(d as timestamp) as o_orderdate"
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 1, 1, 300.0, 0.0),  # JAPAN supp, PROMO -> target
+            (100, 2, 1, 100.0, 0.0),  # CHINA supp, PROMO -> total only
+            (100, 1, 2, 999.0, 0.0),  # STANDARD part -> dropped
+            (200, 1, 1, 500.0, 0.0),  # EUROPE customer -> dropped
+        ],
+        "l_orderkey long, l_suppkey long, l_partkey long, "
+        "l_extendedprice double, l_discount double",
+    )
+    rows = national_market_share(
+        cust, orders, li, sup, nation, region, part,
+        target_nation="JAPAN", region_name="ASIA", part_type="PROMO",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["order_year"], r["target_revenue"], r["total_revenue"]) == (
+        1996, 300.0, 400.0,
+    )
+    assert r["mkt_share"] == 0.75
+
+
+def test_supplier_nation_profit_cost_proxy(spark):
+    """supplier_profit: profit = discounted revenue minus the
+    retail-price cost proxy; non-matching part names drop out."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        supplier_nation_profit,
+    )
+
+    nation = spark.createDataFrame(
+        [(10, "JAPAN")], "n_nationkey long, n_name string"
+    )
+    sup = spark.createDataFrame([(1, 10)], "s_suppkey long, s_nationkey long")
+    part = spark.createDataFrame(
+        [(1, "red widget", 10.0), (2, "blue bolt", 99.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    orders = spark.createDataFrame(
+        [(100, "1996-05-01")], "o_orderkey long, d string"
+    ).selectExpr("o_orderkey", "cast(d as timestamp) as o_orderdate")
+    li = spark.createDataFrame(
+        [
+            # revenue 200*(1-0.1)=180, cost 0.6*10*2=12 -> profit 168
+            (100, 1, 1, 200.0, 0.1, 2.0),
+            (100, 1, 2, 500.0, 0.0, 1.0),  # name has no 'red' -> dropped
+        ],
+        "l_orderkey long, l_suppkey long, l_partkey long, "
+        "l_extendedprice double, l_discount double, l_quantity double",
+    )
+    rows = supplier_nation_profit(
+        li, orders, sup, nation, part, name_token="red"
+    ).collect()
+    assert [(r["nation"], r["order_year"], r["profit"], r["n_items"])
+            for r in rows] == [("JAPAN", 1996, 168.0, 1)]
+
+
+def test_ship_lag_priority_band_routing(spark):
+    """orders_ship_lag: lag bands split at the boundaries and the
+    priority CASE routes urgent/high vs the rest."""
+    from ksql_query_tutorial_spark.operators.retail import ship_lag_priority
+
+    orders = spark.createDataFrame(
+        [
+            (1, "1-URGENT", "1996-01-01"),
+            (2, "3-MEDIUM", "1996-01-01"),
+        ],
+        "o_orderkey long, o_orderpriority string, d string",
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority", "cast(d as timestamp) as o_orderdate"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, "1996-01-31"),  # 30d -> band 1, high
+            (1, "1996-03-31"),  # 90d -> band 2, high
+            (2, "1996-04-01"),  # 91d -> band 3, low
+        ],
+        "l_orderkey long, d string",
+    ).selectExpr("l_orderkey", "cast(d as timestamp) as l_shipdate")
+    rows = ship_lag_priority(
+        orders, li, date_from="1996-01-01", date_to="1998-01-01"
+    ).collect()
+    assert [
+        (r["lag_band"], r["high_priority_lines"], r["low_priority_lines"])
+        for r in rows
+    ] == [
+        ("1_under_30d", 1, 0),
+        ("2_under_90d", 1, 0),
+        ("3_over_90d", 0, 1),
+    ]
+
+
+def test_small_quantity_revenue_per_part_threshold(spark):
+    """part_small_lots: the threshold is per PART (not global) and
+    other brands never reach either pass."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        small_quantity_revenue,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "Brand#23"), (2, "Brand#23"), (3, "Brand#12")],
+        "p_partkey long, p_brand string",
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1: avg qty = 10; only qty<5 passes
+            (1, 4.0, 52.0),    # below half-avg -> kept
+            (1, 16.0, 999.0),  # above -> dropped
+            # part 2: avg qty = 100; 40 < 50 passes
+            (2, 40.0, 104.0),  # kept
+            (2, 160.0, 999.0),
+            # other brand: would pass its own threshold but filtered
+            (3, 1.0, 999.0),
+            (3, 100.0, 999.0),
+        ],
+        "l_partkey long, l_quantity double, l_extendedprice double",
+    )
+    rows = small_quantity_revenue(
+        part, li, brand="Brand#23", qty_factor=0.5
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["weekly_revenue"] == 3.0  # (52+104)/52
+    assert rows[0]["n_lines"] == 2
+
+
+def test_sole_late_suppliers_quantifier_pair(spark):
+    """supplier_sole_late: counts only multi-supplier orders where the
+    supplier was the ONLY late shipper, once per order."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        sole_late_suppliers,
+    )
+
+    nation = spark.createDataFrame(
+        [(10, "NATION_3"), (20, "OTHER")], "n_nationkey long, n_name string"
+    )
+    sup = spark.createDataFrame(
+        [(1, 10, "SUP_1"), (2, 10, "SUP_2"), (3, 20, "SUP_3")],
+        "s_suppkey long, s_nationkey long, s_name string",
+    )
+    orders = spark.createDataFrame(
+        [(100, "1996-01-01"), (200, "1996-01-01"), (300, "1996-01-01"),
+         (400, "1996-01-01")],
+        "o_orderkey long, d string",
+    ).selectExpr("o_orderkey", "cast(d as timestamp) as o_orderdate")
+    li = spark.createDataFrame(
+        [
+            # order 100: SUP_1 late twice, SUP_3 on time -> counts ONCE
+            (100, 1, "1996-06-01"),
+            (100, 1, "1996-07-01"),
+            (100, 3, "1996-01-15"),
+            # order 200: SUP_1 and SUP_2 both late -> neither counts
+            (200, 1, "1996-06-01"),
+            (200, 2, "1996-06-01"),
+            # order 300: SUP_1 late, single-supplier order -> dropped
+            (300, 1, "1996-06-01"),
+            # order 400: SUP_3 (other nation) sole late -> not reported
+            (400, 3, "1996-06-01"),
+            (400, 1, "1996-01-10"),
+        ],
+        "l_orderkey long, l_suppkey long, d string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "cast(d as timestamp) as l_shipdate"
+    )
+    rows = sole_late_suppliers(
+        li, orders, sup, nation, nation_name="NATION_3", lag_days=90
+    ).collect()
+    assert [(r["s_name"], r["numwait"]) for r in rows] == [("SUP_1", 1)]

@@ -1330,3 +1330,157 @@ def test_part_band_revenue_pushes_disjunct_implications(spark):
     assert_pushed_filter(df, "p_brand")
     assert_broadcast_join(df)
     assert_no_python(df)
+
+
+def test_orders_priority_check_semi_join_pushed_window(spark):
+    """orders_priority_check: the EXISTS compiles to a LEFT SEMI join,
+    the quarter window is pushed to the orders scan, and the lineitem
+    probe carries only (l_orderkey, l_shipdate)."""
+    from ksql_query_tutorial_spark.extensions import orders_priority_check
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+        read_schemas,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_priority_check(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert_pushed_filter(df, "o_orderdate")
+    assert any(
+        "l_orderkey" in s and "l_shipdate" in s and "l_quantity" not in s
+        and "l_extendedprice" not in s
+        for s in read_schemas(df)
+    ), read_schemas(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_nation_local_volume_pushed_window_and_broadcasts(spark):
+    """nation_local_volume: the year window reaches the orders scan,
+    the region filter reaches the region scan, and the dimension paths
+    broadcast."""
+    from ksql_query_tutorial_spark.extensions import nation_local_volume
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = nation_local_volume(spark, SF_ORACLE)
+    assert_pushed_filter(df, "o_orderdate")
+    assert_pushed_filter(df, "r_name")
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_nation_market_share_type_filter_cuts_fact(spark):
+    """nation_market_share: the part-type filter is pushed to the part
+    scan (cutting the fact through the broadcast join), the region
+    restriction compiles to a semi join, and the share needs no second
+    aggregate pass (exactly one aggregate pair in the plan)."""
+    from ksql_query_tutorial_spark.extensions import nation_market_share
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = nation_market_share(spark, SF_ORACLE)
+    assert_pushed_filter(df, "p_type")
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "Window" not in plan, plan
+    assert_no_python(df)
+
+
+def test_supplier_profit_name_filter_pushdown(spark):
+    """supplier_profit: the name-token StringContains is pushed to the
+    part scan; both dimension paths broadcast; the lineitem⋈orders
+    probe carries no unused fact columns."""
+    from ksql_query_tutorial_spark.extensions import supplier_profit
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = supplier_profit(spark, SF_ORACLE)
+    assert_pushed_filter(df, "StringContains(p_name")
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_orders_ship_lag_single_join_no_window(spark):
+    """orders_ship_lag: the ship window is pushed to the lineitem
+    scan; band and priority CASEs fold into one rollup (no Window
+    operator, one join)."""
+    from ksql_query_tutorial_spark.extensions import orders_ship_lag
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_ship_lag(spark, SF_ORACLE)
+    assert_pushed_filter(df, "l_shipdate")
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_part_small_lots_threshold_broadcast_no_window(spark):
+    """part_small_lots: the brand filter is pushed to the part scan,
+    the per-part threshold joins back broadcast, and no per-part
+    Window sort appears."""
+    from ksql_query_tutorial_spark.extensions import part_small_lots
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = part_small_lots(spark, SF_ORACLE)
+    assert_pushed_filter(df, "p_brand")
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert_no_python(df)
+
+
+def test_supplier_sole_late_one_rollup_replaces_self_joins(spark):
+    """supplier_sole_late: the EXISTS/NOT EXISTS pair is served by ONE
+    per-order rollup joined back (no second fact-sized anti join): the
+    plan has exactly one LeftSemi, no LeftAnti, and the nation filter
+    is pushed to the nation scan."""
+    from ksql_query_tutorial_spark.extensions import supplier_sole_late
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = supplier_sole_late(spark, SF_ORACLE)
+    assert_pushed_filter(df, "n_name")
+    plan = formatted_plan(df)
+    assert "LeftAnti" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert_no_python(df)

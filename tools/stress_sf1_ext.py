@@ -136,6 +136,14 @@ EXT_NAMES = [
     "part_promo_share",
     "nation_trade_flows",
     "part_band_revenue",
+    # r5 second decision-support batch: Q4/Q5/Q8/Q9/Q12/Q17/Q21 shapes.
+    "orders_priority_check",
+    "nation_local_volume",
+    "nation_market_share",
+    "supplier_profit",
+    "orders_ship_lag",
+    "part_small_lots",
+    "supplier_sole_late",
 ]
 
 
