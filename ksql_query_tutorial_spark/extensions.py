@@ -4782,3 +4782,183 @@ EXTENSION_ORACLES["supplier_sole_late"] = f"""
                             + INTERVAL {Q21_LAG_DAYS} DAY)
     GROUP BY 1 ORDER BY numwait DESC, s_name
 """
+
+
+CONV_FROM = "view"
+CONV_TO = "purchase"
+
+
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort view→purchase conversion-lag report.
+    See funnel.conversion_lag."""
+    from ksql_query_tutorial_spark.operators.funnel import conversion_lag
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return conversion_lag(
+        load(spark, sf_dir, "events"),
+        from_step=CONV_FROM,
+        to_step=CONV_TO,
+    )
+
+
+EXTENSION_QUERIES["events_conversion_lag"] = events_conversion_lag
+
+EXTENSION_ORACLES["events_conversion_lag"] = f"""
+    WITH fv AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = '{CONV_FROM}' GROUP BY 1),
+    conv AS (
+        SELECT fv.user_id, min(e.ts) AS first_purchase
+        FROM fv JOIN events e
+          ON e.user_id = fv.user_id
+         AND e.event_type = '{CONV_TO}'
+         AND e.ts > fv.first_view
+        GROUP BY 1)
+    SELECT CAST(date_trunc('day', first_view) AS DATE) AS cohort_day,
+           CAST(count(*) AS BIGINT) AS n_exposed,
+           CAST(count(first_purchase) AS BIGINT) AS n_converted,
+           ROUND(CAST(sum(epoch_us(first_purchase)
+                          - epoch_us(first_view)) AS DOUBLE)
+                 / nullif(count(first_purchase), 0) / 1e6, 4)
+             AS avg_lag_sec,
+           ROUND(CAST(max(epoch_us(first_purchase)
+                          - epoch_us(first_view)) AS DOUBLE) / 1e6, 4)
+             AS max_lag_sec
+    FROM fv LEFT JOIN conv USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+TOMBSTONE_EVERY = 50
+
+
+def privacy_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR cascade-delete impact per entity. See retail.delete_impact."""
+    from ksql_query_tutorial_spark.operators.retail import delete_impact
+
+    return delete_impact(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        every=TOMBSTONE_EVERY,
+    )
+
+
+EXTENSION_QUERIES["privacy_delete_impact"] = privacy_delete_impact
+
+EXTENSION_ORACLES["privacy_delete_impact"] = f"""
+    WITH tomb AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % {TOMBSTONE_EVERY} = 0),
+    o AS (SELECT * FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM tomb))
+    SELECT 'customer' AS entity,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS DOUBLE) AS erased_value
+    FROM tomb
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           ROUND(sum(l_extendedprice), 4)
+    FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           ROUND(sum(o_totalprice), 4)
+    FROM o
+    ORDER BY 1
+"""
+
+
+EVAL_CAP_DOCS = 500
+
+
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH quality evaluation against the exact all-pairs
+    Jaccard ground truth, computed end-to-end in Spark: a full outer
+    join of the two pair sets yields the confusion counts (TP = both,
+    FP = LSH only, FN = exact only) and precision/recall in one
+    aggregate — the "measure, don't guess" harness for the dedup
+    family, as a first-class query.
+
+    Scale design: ground truth is inherently quadratic in near-dup
+    cluster size, so the evaluation runs on a FIXED-SIZE slice
+    (``doc_id < EVAL_CAP_DOCS`` — deterministic, pushed to the parquet
+    scan via min/max pruning), giving constant eval cost at any corpus
+    scale — the standard sampled-eval design; at the oracle sf the
+    slice IS the whole corpus. The oracle asserts the recall-1 regime
+    (TP = |exact pairs|, FP = FN = 0, precision = recall = 1): the LSH
+    operator exact-verifies its candidates (precision 1 by
+    construction) and the banding parameters put the fixture's
+    near-dup range above the S-curve knee (recall 1, re-verified at
+    sf1 in STRESS.md) — any recall loss or verification bug
+    hash-mismatches here.
+    """
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EVAL_CAP_DOCS
+    )
+    lsh = (
+        dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+        .withColumn("__lsh", F.lit(1))
+    )
+    exact = (
+        dedup.ngram_jaccard_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+        .select("id_a", "id_b")
+        .withColumn("__exact", F.lit(1))
+    )
+    both = lsh.join(exact, ["id_a", "id_b"], "full_outer")
+    tp = F.sum(
+        F.when(F.col("__lsh").isNotNull() & F.col("__exact").isNotNull(), 1)
+        .otherwise(0)
+    ).cast("long")
+    fp = F.sum(F.when(F.col("__exact").isNull(), 1).otherwise(0)).cast("long")
+    fn = F.sum(F.when(F.col("__lsh").isNull(), 1).otherwise(0)).cast("long")
+    return both.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(tp.cast("double") / F.greatest(tp + fp, F.lit(1)), 6).alias(
+            "prec"
+        ),
+        F.round(tp.cast("double") / F.greatest(tp + fn, F.lit(1)), 6).alias(
+            "rec"
+        ),
+    )
+
+
+EXTENSION_QUERIES["dedup_minhash_eval"] = dedup_minhash_eval
+
+EXTENSION_ORACLES["dedup_minhash_eval"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS tp,
+           CAST(0 AS BIGINT) AS fp,
+           CAST(0 AS BIGINT) AS fn,
+           1.0 AS prec,
+           1.0 AS rec
+    FROM ({_JACCARD_PAIRS_ORACLE.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE doc_id < {EVAL_CAP_DOCS})",
+    )})
+"""
+
+
+SEARCH_TERMS = ("spark", "join", "window")
+
+
+def corpus_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive term retrieval over the corpus.
+    See corpus.boolean_search."""
+    from ksql_query_tutorial_spark.operators.corpus import boolean_search
+
+    return boolean_search(
+        load(spark, sf_dir, "documents"), terms=SEARCH_TERMS
+    )
+
+
+EXTENSION_QUERIES["corpus_search"] = corpus_search
+
+EXTENSION_ORACLES["corpus_search"] = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE len(list_intersect(list_distinct({_TOKS}),
+                             {list(SEARCH_TERMS)})) = {len(SEARCH_TERMS)}
+    ORDER BY doc_id
+"""

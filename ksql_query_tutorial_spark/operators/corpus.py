@@ -2023,3 +2023,40 @@ def zipf_fit(
         F.log(F.col("n").cast("double")).alias("y"),
     )
     return ols_regression(pts, x_col="x", y_col="y", group_col="scope")
+
+
+def boolean_search(
+    df: DataFrame,
+    terms: tuple[str, ...] = ("spark", "join", "window"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND-of-terms) document retrieval: the query-time
+    twin of :func:`inverted_index` — documents containing EVERY query
+    term at least once, with their metadata.
+
+    Scale design: the posting stream is filtered to the |terms| query
+    terms BEFORE any shuffle (the isin prunes at the exploded map
+    side), so the doc-keyed "did all terms hit" rollup exchanges at
+    most |terms| rows per matching document — posting-list
+    intersection as a count aggregate, never a per-term join chain.
+    The metadata join back is a semi join on the doc id.
+    """
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    qterms = [t.lower() for t in terms]
+    posting = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    ).filter(F.col("term").isin(qterms))
+    hits = (
+        posting.groupBy(id_col)
+        .agg(F.countDistinct("term").alias("__n"))
+        .filter(F.col("__n") == len(set(qterms)))
+        .select(id_col)
+    )
+    return (
+        df.join(hits, id_col, "left_semi")
+        .select(id_col, "lang", "source", "n_chars")
+        .orderBy(id_col)
+    )

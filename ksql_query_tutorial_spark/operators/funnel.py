@@ -64,3 +64,65 @@ def funnel_steps(
             ).cast("int"),
         )
     )
+
+
+def conversion_lag(
+    df: DataFrame,
+    from_step: str = "view",
+    to_step: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort conversion-lag report: per day of first exposure
+    (``from_step``), how many users were exposed, how many converted
+    (first ``to_step`` strictly after the exposure, the
+    :func:`funnel_steps` semantics), and the average / maximum
+    exposure→conversion lag in seconds.
+
+    Scale design: the per-user first-completion pair rides the single
+    funnel exchange (stacked windows over one ``partitionBy(user)``
+    spec); the cohort rollup is ≤|days| cells. Lags are summed as
+    EXACT epoch-microsecond integers and divided once at the end, so
+    the 4dp-rounded averages are bit-portable across engines (a double
+    running mean would be order-dependent).
+
+    Returns ``cohort_day, n_exposed, n_converted, avg_lag_sec,
+    max_lag_sec`` (lag columns NULL for cohorts with no conversions).
+    """
+    f = funnel_steps(
+        df, steps=(from_step, to_step),
+        user_col=user_col, type_col=type_col, ts_col=ts_col,
+    )
+    first_from, first_to = f"first_{from_step}", f"first_{to_step}"
+    # events load as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP (the
+    # wrapper pins the session to UTC, so the epoch values match the
+    # oracle's epoch_us over the same naive values).
+    lag_us = F.unix_micros(F.col(first_to).cast("timestamp")) - F.unix_micros(
+        F.col(first_from).cast("timestamp")
+    )
+    n_conv = F.count(F.col(first_to))
+    return (
+        f.filter(F.col(first_from).isNotNull())
+        .groupBy(
+            F.date_trunc("DAY", F.col(first_from)).cast("date").alias(
+                "cohort_day"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exposed"),
+            n_conv.cast("long").alias("n_converted"),
+            F.when(
+                n_conv > 0,
+                F.round(
+                    F.sum(lag_us).cast("double")
+                    / n_conv.cast("double") / 1e6,
+                    4,
+                ),
+            ).alias("avg_lag_sec"),
+            F.round(F.max(lag_us).cast("double") / 1e6, 4).alias(
+                "max_lag_sec"
+            ),
+        )
+        .orderBy("cohort_day")
+    )

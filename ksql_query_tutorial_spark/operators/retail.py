@@ -1477,3 +1477,55 @@ def sole_late_suppliers(
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+def delete_impact(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    every: int = 50,
+) -> DataFrame:
+    """Right-to-be-forgotten cascade impact: given a deterministic
+    tombstone set (every ``every``-th customer key — standing in for
+    the deletion-request table a privacy pipeline consumes), the row
+    count and erased monetary value per entity that a cascading delete
+    would touch: the customers themselves, their orders, and those
+    orders' line items.
+
+    Scale design: the tombstone set (|customers|/every keys, one
+    column) broadcasts into the orders semi join; the lineitem cascade
+    is a second semi join keyed on the surviving order keys (one
+    shuffle — order keys of deleted customers are fact-proportional,
+    not broadcastable at scale). Each entity contributes ONE aggregate
+    row; the final result is a 3-row union. Semi joins never widen the
+    fact rows, and nothing is collected to the driver.
+    """
+    tomb = customer.filter(
+        F.col("c_custkey") % F.lit(int(every)) == 0
+    ).select("c_custkey")
+    o = orders.join(
+        F.broadcast(tomb),
+        orders.o_custkey == tomb.c_custkey,
+        "left_semi",
+    )
+    li = lineitem.join(
+        o.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    c_row = tomb.agg(
+        F.lit("customer").alias("entity"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.lit(None).cast("double").alias("erased_value"),
+    )
+    o_row = o.agg(
+        F.lit("orders").alias("entity"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 4).alias("erased_value"),
+    )
+    li_row = li.agg(
+        F.lit("lineitem").alias("entity"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("erased_value"),
+    )
+    return c_row.unionAll(o_row).unionAll(li_row).orderBy("entity")

@@ -2620,3 +2620,125 @@ def test_sole_late_suppliers_quantifier_pair(spark):
         li, orders, sup, nation, nation_name="NATION_3", lag_days=90
     ).collect()
     assert [(r["s_name"], r["numwait"]) for r in rows] == [("SUP_1", 1)]
+
+
+def test_conversion_lag_cohorts_and_exact_lag(spark):
+    """events_conversion_lag: lag is first-view→first-purchase-after,
+    purchase-before-view never counts, unconverted cohorts get NULL
+    lag columns."""
+    from ksql_query_tutorial_spark.operators.funnel import conversion_lag
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            # user 1: view Jan-1 00:00, purchase 90s later -> lag 90
+            (1, "view", "2024-01-01 00:00:00"),
+            (1, "purchase", "2024-01-01 00:01:30"),
+            (1, "purchase", "2024-01-02 00:00:00"),  # later: ignored
+            # user 2: purchase BEFORE the first view -> not converted
+            (2, "purchase", "2024-01-01 05:00:00"),
+            (2, "view", "2024-01-01 06:00:00"),
+            # user 3: views on Jan-2, converts 60s later -> own cohort
+            (3, "view", "2024-01-02 10:00:00"),
+            (3, "purchase", "2024-01-02 10:01:00"),
+            # user 4: never views -> not exposed, excluded entirely
+            (4, "purchase", "2024-01-01 00:00:00"),
+        ],
+        "user_id long, event_type string, d string",
+    ).selectExpr(
+        "user_id", "event_type", "cast(d as timestamp_ntz) as ts"
+    )
+    rows = conversion_lag(df).collect()
+    by_day = {str(r["cohort_day"]): r for r in rows}
+    assert set(by_day) == {"2024-01-01", "2024-01-02"}
+    jan1 = by_day["2024-01-01"]
+    assert (jan1["n_exposed"], jan1["n_converted"]) == (2, 1)
+    assert jan1["avg_lag_sec"] == 90.0 and jan1["max_lag_sec"] == 90.0
+    jan2 = by_day["2024-01-02"]
+    assert (jan2["n_exposed"], jan2["n_converted"]) == (1, 1)
+    assert jan2["avg_lag_sec"] == 60.0
+
+
+def test_conversion_lag_null_for_unconverted_cohort(spark):
+    """events_conversion_lag: a cohort with zero conversions reports
+    NULL average and max lag (never a divide-by-zero)."""
+    from ksql_query_tutorial_spark.operators.funnel import conversion_lag
+
+    df = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, d string",
+    ).selectExpr("user_id", "event_type", "cast(d as timestamp_ntz) as ts")
+    rows = conversion_lag(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_exposed"], r["n_converted"]) == (1, 0)
+    assert r["avg_lag_sec"] is None and r["max_lag_sec"] is None
+
+
+def test_delete_impact_cascade_counts(spark):
+    """privacy_delete_impact: the cascade touches exactly the
+    tombstoned customers' orders and those orders' lines."""
+    from ksql_query_tutorial_spark.operators.retail import delete_impact
+
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 2, 100.0),  # tombstoned (2 % 2 == 0)
+            (11, 2, 50.0),   # tombstoned
+            (12, 3, 70.0),   # survivor
+            (13, 4, 30.0),   # tombstoned (4 % 2 == 0)
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    li = spark.createDataFrame(
+        [
+            (10, 5.0), (10, 6.0),  # cascade via order 10
+            (12, 99.0),            # survivor's line
+            (13, 7.0),             # cascade via order 13
+        ],
+        "l_orderkey long, l_extendedprice double",
+    )
+    rows = delete_impact(cust, orders, li, every=2).collect()
+    assert [(r["entity"], r["n_rows"], r["erased_value"]) for r in rows] == [
+        ("customer", 2, None),
+        ("lineitem", 3, 18.0),
+        ("orders", 3, 180.0),
+    ]
+
+
+def test_dedup_minhash_eval_recall_one_regime(spark):
+    """dedup_minhash_eval: on the oracle fixture the LSH pair set
+    equals the exact pair set — confusion counts show zero FP/FN."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        dedup_minhash_eval,
+    )
+    from tests.conftest import SF_ORACLE
+
+    r = dedup_minhash_eval(spark, SF_ORACLE).collect()[0]
+    n_exact = EXTENSION_QUERIES["dedup_ngram_jaccard"](
+        spark, SF_ORACLE
+    ).count()
+    assert r["tp"] == n_exact and n_exact > 0
+    assert r["fp"] == 0 and r["fn"] == 0
+    assert r["prec"] == 1.0 and r["rec"] == 1.0
+
+
+def test_boolean_search_requires_every_term(spark):
+    """corpus_search: conjunctive semantics — repeated terms don't
+    substitute for missing ones, case-insensitive match."""
+    from ksql_query_tutorial_spark.operators.corpus import boolean_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "Spark JOIN window magic", "en", "s1", 23),
+            (2, "spark spark spark", "en", "s1", 17),      # missing terms
+            (3, "window join and spark mix", "en", "s2", 25),
+            (4, "nothing relevant", "en", "s2", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = boolean_search(df, terms=("spark", "join", "window")).collect()
+    assert [r["doc_id"] for r in rows] == [1, 3]

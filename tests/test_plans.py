@@ -1484,3 +1484,64 @@ def test_supplier_sole_late_one_rollup_replaces_self_joins(spark):
     assert "LeftAnti" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert_no_python(df)
+
+
+def test_events_conversion_lag_single_window_exchange(spark):
+    """events_conversion_lag: the funnel windows stack over ONE
+    user-keyed partitioning (no join), and everything stays JVM-side."""
+    from ksql_query_tutorial_spark.extensions import events_conversion_lag
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_conversion_lag(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_privacy_delete_impact_semi_joins_only(spark):
+    """privacy_delete_impact: both cascade hops are LEFT SEMI joins
+    (rows never widen), the tombstone set broadcasts, and the result
+    is a bounded union of one-row aggregates."""
+    from ksql_query_tutorial_spark.extensions import privacy_delete_impact
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = privacy_delete_impact(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "Union" in plan, plan
+    assert "LeftOuter" not in plan and "Inner" not in plan, plan
+    assert_broadcast_join(df)
+    assert_no_python(df)
+
+
+def test_corpus_search_filters_before_rollup(spark):
+    """corpus_search: the query-term filter prunes the exploded
+    posting stream BEFORE the doc-keyed rollup (the isin appears under
+    the generate, not after the aggregate), and the metadata join is a
+    semi join."""
+    from ksql_query_tutorial_spark.extensions import corpus_search
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = corpus_search(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "term" in plan and "IN (" in plan.replace("IN(", "IN ("), plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)

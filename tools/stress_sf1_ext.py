@@ -144,6 +144,12 @@ EXT_NAMES = [
     "orders_ship_lag",
     "part_small_lots",
     "supplier_sole_late",
+    # r5 pipeline batch: cohort conversion lag, GDPR cascade impact,
+    # LSH-vs-exact dedup evaluation, conjunctive index retrieval.
+    "events_conversion_lag",
+    "privacy_delete_impact",
+    "dedup_minhash_eval",
+    "corpus_search",
 ]
 
 
