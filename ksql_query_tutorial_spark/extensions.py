@@ -4962,3 +4962,102 @@ EXTENSION_ORACLES["corpus_search"] = f"""
                              {list(SEARCH_TERMS)})) = {len(SEARCH_TERMS)}
     ORDER BY doc_id
 """
+
+
+KMEANS_K = 8
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One oracle-exact Lloyd round of spherical k-means.
+    See similarity.kmeans_two_pass."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        kmeans_two_pass,
+    )
+
+    return kmeans_two_pass(
+        load(spark, sf_dir, "embeddings"), n_clusters=KMEANS_K
+    )
+
+
+EXTENSION_QUERIES["embedding_kmeans"] = embedding_kmeans
+
+EXTENSION_ORACLES["embedding_kmeans"] = f"""
+    WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                ORDER BY vec_id LIMIT {KMEANS_K}),
+    s1 AS (SELECT e.vec_id, e.embedding, c0.cid,
+                  list_cosine_similarity(e.embedding, c0.cv) AS cos
+           FROM embeddings e CROSS JOIN c0),
+    a1 AS (SELECT vec_id, embedding, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn FROM s1)
+           WHERE rn = 1),
+    q AS (SELECT cid,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[]))
+                                 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                   AS qv
+          FROM a1),
+    cell AS (SELECT cid, dim,
+                    CAST(sum(qv) AS BIGINT) AS s,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM q GROUP BY 1, 2),
+    c1 AS (SELECT cid,
+                  list(ROUND(CAST(s AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * 1000000), 6)
+                       ORDER BY dim) AS cv
+           FROM cell GROUP BY 1),
+    s2 AS (SELECT a1.vec_id, a1.cid AS cid1, c1.cid,
+                  list_cosine_similarity(
+                      CAST(a1.embedding AS DOUBLE[]), c1.cv) AS cos
+           FROM a1 CROSS JOIN c1),
+    a2 AS (SELECT vec_id, cid1, cid, cos FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn FROM s2)
+           WHERE rn = 1)
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           ROUND(CAST(sum(CAST(floor(cos * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1000000), 6) AS avg_cos,
+           CAST(sum(CASE WHEN cid <> cid1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+    FROM a2 GROUP BY 1 ORDER BY 1
+"""
+
+
+HOP_WINDOW_H = 24
+HOP_EVERY_H = 6
+
+
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window event/user counts (24h window, 6h hop).
+    See analytics.hopping_window_counts."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        hopping_window_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return hopping_window_counts(
+        load(spark, sf_dir, "events"),
+        window_hours=HOP_WINDOW_H,
+        hop_hours=HOP_EVERY_H,
+    )
+
+
+EXTENSION_QUERIES["events_hopping_window"] = events_hopping_window
+
+EXTENSION_ORACLES["events_hopping_window"] = f"""
+    WITH contrib AS (
+        SELECT user_id,
+               unnest(range(
+                   CAST(floor(epoch_us(ts) / {HOP_EVERY_H * 3_600_000_000})
+                        AS BIGINT) - {HOP_WINDOW_H // HOP_EVERY_H - 1},
+                   CAST(floor(epoch_us(ts) / {HOP_EVERY_H * 3_600_000_000})
+                        AS BIGINT) + 1)) AS hop
+        FROM events)
+    SELECT make_timestamp(hop * {HOP_EVERY_H * 3_600_000_000})
+             AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM contrib GROUP BY 1 ORDER BY 1
+"""

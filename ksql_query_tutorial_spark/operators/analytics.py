@@ -1270,3 +1270,50 @@ def ols_regression(
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     ).orderBy(group_col)
+
+
+def hopping_window_counts(
+    df: DataFrame,
+    window_hours: int = 24,
+    hop_hours: int = 6,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Hopping-window engagement counts: events and distinct users per
+    overlapping window of ``window_hours`` sliding every ``hop_hours``
+    — the batch twin of Structured Streaming's
+    ``window(ts, '24 hours', '6 hours')`` aggregate (the tutorial's
+    windowed-join family, SURVEY §2.4, generalized to overlapped
+    windows).
+
+    Scale design: each event fans out to exactly
+    ``window_hours / hop_hours`` hop-aligned window starts (a bounded
+    explode computed from integer epoch arithmetic — no join against a
+    window spine), and ONE window-keyed rollup finishes; distinct
+    users ride the same exchange as a two-phase distinct. Exchanges
+    carry (window, user) pairs, never multiplied raw rows.
+
+    Returns ``window_start, n_events, n_users`` per window that saw at
+    least one event, ordered by window start.
+    """
+    if window_hours % hop_hours:
+        raise ValueError("window_hours must be a multiple of hop_hours")
+    n_hops = window_hours // hop_hours
+    hop_us = hop_hours * 3_600_000_000
+    h = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / hop_us)
+    contrib = df.select(
+        F.col(user_col).alias("user_id"),
+        F.explode(
+            F.sequence(h - (n_hops - 1), h)
+        ).alias("__hop"),
+    )
+    return (
+        contrib.groupBy(
+            F.timestamp_micros(F.col("__hop") * hop_us).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_start")
+    )

@@ -1185,3 +1185,132 @@ def pca_project(
         .select(F.col(id_col), F.round(proj, 6).alias("proj"))
         .orderBy(id_col)
     )
+
+
+def kmeans_two_pass(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = COV_SCALE,
+) -> DataFrame:
+    """One full Lloyd round of spherical k-means, oracle-exact: assign
+    to the deterministic seed centroids (the ``n_clusters`` smallest
+    ids, :func:`cluster_assign` semantics), recompute centroids as the
+    member means, re-assign, and report per-cluster membership, mean
+    cosine, and how many members the update moved — the minimal
+    trainer a data-mixing pipeline iterates (the learned twin is
+    :func:`spherical_kmeans_centroids`; this one is fully
+    SQL-expressible so the DuckDB gate can value-hash the update
+    step's arithmetic).
+
+    Scale design: both assignment passes are broadcast nested loops
+    over ≤``n_clusters`` centroid rows with ``max_by`` partials — the
+    per-vector argmax never shuffles more than one row per vector.
+    The centroid update quantizes member coordinates to ``scale``
+    integers and sums EXACTLY per (cluster, dim) — the explode is
+    collapsed map-side to ≤ clusters·dims partial cells, so the update
+    exchange carries ~512 rows regardless of corpus size, and the
+    single rounded division that finishes each coordinate is
+    bit-portable. Mean cosines are averaged the same exact-integer
+    way. Per-row float cosine itself is portable (same fold both
+    engines, rounded 6dp — the cluster_assign precedent).
+
+    Returns ``cluster_id, n_members, avg_cos, n_moved`` ordered by
+    cluster id (clusters emptied by the update simply don't appear).
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .collect()
+    )
+    cent0 = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows],
+        schema="cid long, cv array<double>",
+    ).withColumn("cn", F.greatest(l2_norm(F.col("cv")), F.lit(1e-30)))
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vn", F.greatest(l2_norm(F.col("v")), F.lit(1e-30)))
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        # passthrough columns (v, vn, and iteration-1's cid1 when
+        # present) ride the per-vector group as first() — identical in
+        # every candidate row, so no extra shuffle joins them back
+        extras = [c for c in vecs.columns if c not in ("vec_id",)]
+        scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+            "cos", dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                F.struct("cid", "cos"),
+                F.struct(F.col("cos").alias("c"), (-F.col("cid")).alias("t")),
+            ).alias("best"),
+            *[F.first(c).alias(c) for c in extras],
+        ).select(
+            "vec_id", *extras,
+            F.col("best.cid").alias("cid"),
+            F.col("best.cos").alias("cos"),
+        )
+
+    # a1 feeds BOTH the centroid update and the re-assignment pass —
+    # persist the corpus-sized assignment once (the standard Lloyd
+    # iteration pattern; the LSH sketches do the same)
+    a1 = assign(v, cent0).persist()
+
+    # centroid update: exact integer mean per (cluster, dim)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+    cells = (
+        a1.select(F.col("cid"), F.posexplode(qv).alias("dim", "q"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    coord = F.round(
+        F.col("s").cast("double")
+        / (F.col("n").cast("double") * F.lit(float(scale))),
+        6,
+    )
+    cent1 = (
+        cells.select("cid", "dim", coord.alias("x"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "x"))
+                ),
+                lambda s: s.getField("x"),
+            ).alias("cv")
+        )
+        .withColumn("cn", F.greatest(l2_norm(F.col("cv")), F.lit(1e-30)))
+    )
+
+    moved = assign(
+        a1.select("vec_id", "v", "vn", F.col("cid").alias("cid1")),
+        cent1,
+    )
+    qcos = F.floor(
+        F.col("cos") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    return (
+        moved.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum(qcos).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(float(scale))),
+                6,
+            ).alias("avg_cos"),
+            F.sum(
+                F.when(F.col("cid") != F.col("cid1"), 1).otherwise(0)
+            ).cast("long").alias("n_moved"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -2742,3 +2742,101 @@ def test_boolean_search_requires_every_term(spark):
     )
     rows = boolean_search(df, terms=("spark", "join", "window")).collect()
     assert [r["doc_id"] for r in rows] == [1, 3]
+
+
+def test_kmeans_two_pass_converges_on_separated_clusters(spark):
+    """embedding_kmeans: on two well-separated directions with the
+    seed vectors one per cluster, the Lloyd update keeps every member
+    home (n_moved = 0) and memberships match the geometry."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        kmeans_two_pass,
+    )
+
+    rows = []
+    # ids 0,1 are the seeds: axis-x and axis-y directions
+    for i in range(10):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 0.01 * i, 1.0, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = kmeans_two_pass(df, n_clusters=2).collect()
+    assert [(r["cluster_id"], r["n_members"], r["n_moved"]) for r in out] == [
+        (0, 5, 0),
+        (1, 5, 0),
+    ]
+    assert all(r["avg_cos"] > 0.99 for r in out)
+
+
+def test_kmeans_two_pass_update_moves_boundary_vector(spark):
+    """embedding_kmeans: a vector seeded into the wrong cluster moves
+    after the centroid update pulls its true cluster's mean toward it."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        kmeans_two_pass,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # seeds: id 0 (x-axis), id 1 (diagonal leaning x)
+            (0, [1.0, 0.0]),
+            (1, [0.8, 0.6]),
+            # y-cluster mass: closer to seed 1 than seed 0, and they
+            # drag cluster 1's centroid toward the y axis
+            (2, [0.1, 1.0]),
+            (3, [0.0, 1.0]),
+            (4, [0.05, 1.0]),
+            # boundary vector: cosine to seed 0 beats seed 1 slightly,
+            # but after the update cluster 1 sits near the y axis...
+            (5, [0.9, 0.45]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["cluster_id"]: r for r in
+           kmeans_two_pass(df, n_clusters=2).collect()}
+    # total membership conserved, at least one vector moved
+    assert sum(r["n_members"] for r in out.values()) == 6
+    assert sum(r["n_moved"] for r in out.values()) >= 1
+
+
+def test_hopping_window_counts_fanout_and_distinct(spark):
+    """events_hopping_window: each event lands in exactly
+    window/hop windows; distinct users counted per window."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        hopping_window_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:30:00"),  # hop 0
+            (1, "2024-01-01 06:30:00"),  # hop 1
+            (2, "2024-01-01 06:45:00"),  # hop 1
+        ],
+        "user_id long, d string",
+    ).selectExpr("user_id", "cast(d as timestamp_ntz) as ts")
+    rows = hopping_window_counts(df, window_hours=12, hop_hours=6).collect()
+    got = {str(r["window_start"]): (r["n_events"], r["n_users"])
+           for r in rows}
+    # windows are [start, start+12h); event at hop h contributes to
+    # starts h-1 and h
+    assert got["2023-12-31 18:00:00"] == (1, 1)   # only the 00:30 event
+    assert got["2024-01-01 00:00:00"] == (3, 2)   # all three
+    assert got["2024-01-01 06:00:00"] == (2, 2)   # the two 06:xx events
+    assert len(got) == 3
+
+
+def test_hopping_window_rejects_non_multiple(spark):
+    """events_hopping_window: window must be a multiple of the hop."""
+    import pytest as _pytest
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        hopping_window_counts,
+    )
+
+    df = spark.createDataFrame([(1,)], "user_id long").selectExpr(
+        "user_id", "cast('2024-01-01' as timestamp_ntz) as ts"
+    )
+    with _pytest.raises(ValueError):
+        hopping_window_counts(df, window_hours=10, hop_hours=4)

@@ -1545,3 +1545,42 @@ def test_corpus_search_filters_before_rollup(spark):
     assert "term" in plan and "IN (" in plan.replace("IN(", "IN ("), plan
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_embedding_kmeans_bounded_update_exchange(spark):
+    """embedding_kmeans: both assignment passes are broadcast nested
+    loops over the bounded centroid set (no corpus-vs-corpus join),
+    and the centroid update collapses map-side to ≤ clusters·dims
+    cells (partial aggregation present)."""
+    from ksql_query_tutorial_spark.extensions import embedding_kmeans
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = embedding_kmeans(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert_partial_aggregation(df)
+
+
+def test_events_hopping_window_no_spine_join(spark):
+    """events_hopping_window: the window fan-out is a bounded explode
+    from integer epoch arithmetic — no join against a window spine,
+    one rollup, everything JVM-side."""
+    from ksql_query_tutorial_spark.extensions import events_hopping_window
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_hopping_window(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -150,6 +150,9 @@ EXT_NAMES = [
     "privacy_delete_impact",
     "dedup_minhash_eval",
     "corpus_search",
+    # r5 iterative/streaming-shape batch: Lloyd round, hopping windows.
+    "embedding_kmeans",
+    "events_hopping_window",
 ]
 
 
