@@ -82,7 +82,15 @@ _GATE_PRIORITY = [
     # events_seasonal_baseline, graph_label_prop,
     # events_multitouch, events_incremental_rollup,
     # lineitem_correlations, events_ab_test, orders_cohort_ltv,
-    # mm_audio_windows, orders_returned_revenue — all
+    # mm_audio_windows, orders_returned_revenue, plus the late-r5
+    # waves: the decision-support shapes (supplier_top_revenue,
+    # customer_rich_inactive, part_promo_share, nation_trade_flows,
+    # part_band_revenue, orders_priority_check, nation_local_volume,
+    # nation_market_share, supplier_profit, orders_ship_lag,
+    # part_small_lots, supplier_sole_late), the pipeline ops
+    # (events_conversion_lag, privacy_delete_impact,
+    # dedup_minhash_eval, corpus_search), and the iterative/windowed
+    # pair (embedding_kmeans, events_hopping_window) — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.

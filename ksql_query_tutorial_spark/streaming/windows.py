@@ -144,3 +144,22 @@ def session_paths_stream(
         ).alias("path"),
         F.size("__evs").alias("n_events"),
     )
+
+
+def hopping_agg(events: DataFrame, ts_col: str, size: str, slide: str,
+                key_cols: list[str], aggs: list[Column],
+                watermark: str | None = None) -> DataFrame:
+    """Hopping (sliding) window aggregate — ksqlDB's HOPPING window
+    analog: each event lands in size/slide overlapping windows
+    (``F.window`` with a slide duration; Spark expands the window set
+    per row, the same bounded fan-out the batch twin
+    ``analytics.hopping_window_counts`` implements with integer epoch
+    arithmetic). State is keyed by (key, window) and evicted by the
+    watermark."""
+    df = events.withWatermark(ts_col, watermark) if watermark else events
+    out = df.groupBy(F.window(ts_col, size, slide).alias("w"), *key_cols).agg(*aggs)
+    agg_cols = [c for c in out.columns if c not in ("w", *key_cols)]
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"), *key_cols, *agg_cols,
+    )

@@ -112,3 +112,42 @@ def test_late_row_dropped_by_watermark(spark):
     final = {str(r.ws): r.n for _, r in q.emissions}
     # window 00:00 emitted once, with the late third row excluded
     assert final == {"2024-01-01 00:00:00": 1}
+
+def test_hopping_window_stream_matches_batch_twin(spark):
+    """Hopping-window counts computed by the STREAM (F.window with a
+    slide, update mode) equal the batch twin's integer-epoch fan-out
+    on the same rows — same epoch-aligned window grid, same counts."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = ts_rows((0, 10, "u1", 1), (2, 0, "u1", 1), (7, 30, "u2", 1),
+                   (12, 0, "u3", 1))
+    q = R.replay(
+        spark, rows, TS,
+        lambda df: W.hopping_agg(
+            df, "ts", "10 minutes", "5 minutes", [],
+            [F.count("*").alias("n_events")],
+        ),
+        name="hop", output_mode="update", with_batch_id=True, chunk_size=2,
+    )
+    final = {}
+    for _, r in q.emissions:
+        final[str(r.window_start)] = r.n_events
+
+    # batch twin on the same grid (10-min windows hopping every 5):
+    # the same integer-epoch fan-out hopping_window_counts uses,
+    # expressed at minutes granularity
+    hop_us = 5 * 60 * 1_000_000
+    n_hops = 2
+    src = spark.createDataFrame(
+        [(r["k"], r["ts"]) for r in rows], "user_id string, d string"
+    ).selectExpr("user_id", "cast(d as timestamp_ntz) as ts")
+    h = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / hop_us)
+    contrib = src.select(
+        "user_id", F.explode(F.sequence(h - (n_hops - 1), h)).alias("hp")
+    )
+    expected = {
+        str(r["window_start"]): r["n_events"]
+        for r in contrib.groupBy(
+            F.timestamp_micros(F.col("hp") * hop_us).alias("window_start")
+        ).agg(F.count(F.lit(1)).alias("n_events")).collect()
+    }
+    assert final == expected, (final, expected)
