@@ -551,9 +551,6 @@ def cohort_ltv(
         orders.groupBy(F.col(cust_col).alias("__c"))
         .agg(F.min(month).alias("cohort_month"))
     )
-    cohort_size = first.groupBy("cohort_month").agg(
-        F.countDistinct("__c").alias("__cohort_n")
-    )
     offs = F.months_between(month, F.col("cohort_month")).cast("int")
     cells = (
         orders.join(
@@ -570,8 +567,16 @@ def cohort_ltv(
         .orderBy("month_offset")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # cohort size == n_customers at offset 0 (every member's first
+    # order lands there by construction) — a window over the bounded
+    # cells table, NOT a second pass over orders (scan-audit r5: this
+    # was the third orders scan)
+    wc = Window.partitionBy("cohort_month")
+    cohort_n = F.max(
+        F.when(F.col("month_offset") == 0, F.col("n_customers"))
+    ).over(wc)
     return (
-        cells.join(F.broadcast(cohort_size), "cohort_month")
+        cells.withColumn("__cohort_n", cohort_n)
         .select(
             "cohort_month",
             "month_offset",
