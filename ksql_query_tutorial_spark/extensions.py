@@ -5061,3 +5061,106 @@ EXTENSION_ORACLES["events_hopping_window"] = f"""
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM contrib GROUP BY 1 ORDER BY 1
 """
+
+
+def orders_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew histogram over the lineitem order key.
+    See skew.key_skew_report."""
+    from ksql_query_tutorial_spark.operators.skew import key_skew_report
+
+    return key_skew_report(load(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+EXTENSION_QUERIES["orders_key_skew"] = orders_key_skew
+
+EXTENSION_ORACLES["orders_key_skew"] = """
+    WITH c AS (SELECT l_orderkey, count(*) AS cnt
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT sum(cnt) AS total FROM c)
+    SELECT CAST(length(bin(cnt)) AS INT) AS freq_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           ROUND(CAST(sum(cnt) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS rows_share
+    FROM c, t
+    GROUP BY 1, total ORDER BY 1
+"""
+
+
+Q2_REGION = "EUROPE"
+Q2_TYPE = "LARGE"
+
+
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: tie-safe lowest-unit-price supplier per part of
+    one type within a region. See retail.min_cost_supplier."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    return retail.min_cost_supplier(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+        region_name=Q2_REGION,
+        part_type=Q2_TYPE,
+    )
+
+
+EXTENSION_QUERIES["part_min_cost_supplier"] = part_min_cost_supplier
+
+EXTENSION_ORACLES["part_min_cost_supplier"] = f"""
+    WITH sup_r AS (
+        SELECT s_suppkey, s_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = '{Q2_REGION}'),
+    offers AS (
+        SELECT l_partkey AS partkey, s_name,
+               ROUND(CAST(sum(CAST(floor(l_extendedprice / l_quantity
+                                          * 10000 + 0.5) AS BIGINT))
+                          AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE) * 10000), 6) AS unit_price
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN sup_r ON l_suppkey = s_suppkey
+        WHERE p_type = '{Q2_TYPE}'
+        GROUP BY 1, 2)
+    SELECT partkey, s_name, unit_price
+    FROM offers o
+    WHERE unit_price = (SELECT min(unit_price) FROM offers o2
+                        WHERE o2.partkey = o.partkey)
+    ORDER BY partkey, s_name
+"""
+
+
+Q16_EXCLUDE_TYPE = "PROMO"
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, size
+    band) with a NOT IN supplier blacklist.
+    See retail.supplier_part_relationship."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    return retail.supplier_part_relationship(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        exclude_type=Q16_EXCLUDE_TYPE,
+    )
+
+
+EXTENSION_QUERIES["supplier_part_counts"] = supplier_part_counts
+
+EXTENSION_ORACLES["supplier_part_counts"] = f"""
+    SELECT p_brand,
+           CAST(CAST(floor(p_size / 10) * 10 AS BIGINT) AS INT)
+             AS size_band,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type <> '{Q16_EXCLUDE_TYPE}'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1534,3 +1534,123 @@ def delete_impact(
         F.round(F.sum("l_extendedprice"), 4).alias("erased_value"),
     )
     return c_row.unionAll(o_row).unionAll(li_row).orderBy("entity")
+
+
+PRICE_SCALE = 10_000
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    part_type: str = "LARGE",
+    scale: int = PRICE_SCALE,
+) -> DataFrame:
+    """TPC-H Q2 shape: for every part of one type, the region's
+    supplier(s) offering the lowest observed unit price — tie-safe
+    (every supplier at the minimum returns, the Q2 correlated-min
+    semantics). The reference prices off partsupp; this corpus has no
+    partsupp, so the offer price is each supplier's average observed
+    ``l_extendedprice / l_quantity`` for the part.
+
+    Scale design: the part-type filter cuts the fact through the
+    broadcast part join; the region's suppliers broadcast via the
+    nation⋈region path. Per-row unit prices are quantized to ``scale``
+    integers (per-row float division is bit-portable; cross-row SUMS
+    are not) so the per-(part, supplier) average is an exact int64 sum
+    finished by one rounded division, and the per-part minimum —
+    a second bounded rollup over the (part, supplier) cells — compares
+    the identical 6dp values in both engines. No window sort, no
+    correlated rescan of the fact.
+
+    Returns ``partkey, s_name, unit_price`` ordered by part, supplier.
+    """
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    sup_r = (
+        supplier.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(
+                        region.filter(F.col("r_name") == region_name)
+                    ),
+                    nation.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    q = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(float(scale))
+        + F.lit(0.5)
+    ).cast("long")
+    offers = (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .join(F.broadcast(sup_r), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("p_partkey").alias("partkey"), "s_name")
+        .agg(
+            F.round(
+                F.sum(q).cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(float(scale))),
+                6,
+            ).alias("unit_price")
+        )
+    )
+    best = offers.groupBy(F.col("partkey").alias("__pk")).agg(
+        F.min("unit_price").alias("__min_price")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("partkey") == F.col("__pk"))
+            & (F.col("unit_price") == F.col("__min_price")),
+        )
+        .select("partkey", "s_name", "unit_price")
+        .orderBy("partkey", "s_name")
+    )
+
+
+def supplier_part_relationship(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    exclude_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q16 shape: per (brand, size band), how many distinct
+    suppliers have shipped such parts — excluding one part type and a
+    derived supplier blacklist (negative account balance, the
+    complaints-list analog), i.e. the NOT IN subquery shape.
+
+    Scale design: the relationship set is a DISTINCT over (brand,
+    band, supplier) — one exchange with map-side dedup partials; the
+    part attributes arrive through the broadcast part join (the type
+    exclusion pushed to the part scan as <>), and the blacklist is a
+    broadcast LEFT ANTI (NOT IN with non-null semantics). The final
+    rollup's countDistinct rides the already-distinct exchange.
+
+    Returns ``p_brand, size_band, n_suppliers`` ordered by brand,
+    band.
+    """
+    band = (F.floor(F.col("p_size") / 10) * 10).cast("int")
+    p = part.filter(F.col("p_type") != exclude_type).select(
+        "p_partkey", "p_brand", band.alias("size_band")
+    )
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = (
+        lineitem.join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .select("p_brand", "size_band", "l_suppkey")
+        .distinct()
+    )
+    kept = rel.join(
+        F.broadcast(bad),
+        rel.l_suppkey == bad.s_suppkey,
+        "left_anti",
+    )
+    return (
+        kept.groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy("p_brand", "size_band")
+    )

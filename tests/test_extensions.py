@@ -2840,3 +2840,97 @@ def test_hopping_window_rejects_non_multiple(spark):
     )
     with _pytest.raises(ValueError):
         hopping_window_counts(df, window_hours=10, hop_hours=4)
+
+
+def test_key_skew_report_buckets_by_bit_length(spark):
+    """orders_key_skew: counts bucket by bit length (1,2→bucket 2;
+    4→bucket 3), shares sum to 1."""
+    from ksql_query_tutorial_spark.operators.skew import key_skew_report
+
+    # key a: 1 row (bucket 1), b,c: 2/3 rows (bucket 2), d: 4 rows
+    rows = [("a",)] + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 4
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["freq_bucket"]: (r["n_keys"], r["n_rows"], r["rows_share"])
+           for r in key_skew_report(df, "k").collect()}
+    assert out[1] == (1, 1, 0.1)
+    assert out[2] == (2, 5, 0.5)
+    assert out[3] == (1, 4, 0.4)
+    assert len(out) == 3
+
+
+def test_min_cost_supplier_tie_safe_and_scoped(spark):
+    """part_min_cost_supplier: every supplier at the per-part minimum
+    returns; off-region suppliers and off-type parts never appear."""
+    from ksql_query_tutorial_spark.operators.retail import min_cost_supplier
+
+    region = spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey long, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(10, "FRANCE", 0), (20, "JAPAN", 1)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    sup = spark.createDataFrame(
+        [(1, 10, "S_EU_A"), (2, 10, "S_EU_B"), (3, 20, "S_AS")],
+        "s_suppkey long, s_nationkey long, s_name string",
+    )
+    part = spark.createDataFrame(
+        [(100, "LARGE"), (200, "SMALL")], "p_partkey long, p_type string"
+    )
+    li = spark.createDataFrame(
+        [
+            # part 100: S_EU_A and S_EU_B tie at unit price 10.0
+            (100, 1, 100.0, 10.0),
+            (100, 2, 50.0, 5.0),
+            # S_AS offers cheaper but is off-region
+            (100, 3, 10.0, 10.0),
+            # off-type part: never appears
+            (200, 1, 1.0, 1.0),
+        ],
+        "l_partkey long, l_suppkey long, l_extendedprice double, "
+        "l_quantity double",
+    )
+    rows = min_cost_supplier(
+        part, li, sup, nation, region,
+        region_name="EUROPE", part_type="LARGE",
+    ).collect()
+    assert [(r["partkey"], r["s_name"], r["unit_price"]) for r in rows] == [
+        (100, "S_EU_A", 10.0),
+        (100, "S_EU_B", 10.0),
+    ]
+
+
+def test_supplier_part_relationship_blacklist_and_distinct(spark):
+    """supplier_part_counts: repeated shipments count once, blacklisted
+    (negative-balance) suppliers and the excluded type drop out."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        supplier_part_relationship,
+    )
+
+    part = spark.createDataFrame(
+        [
+            (1, "Brand#1", 5, "LARGE"),
+            (2, "Brand#1", 15, "LARGE"),
+            (3, "Brand#2", 5, "PROMO"),   # excluded type
+        ],
+        "p_partkey long, p_brand string, p_size int, p_type string",
+    )
+    sup = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 0.0)],
+        "s_suppkey long, s_acctbal double",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1), (1, 1),  # duplicate shipment -> one relationship
+            (1, 2),          # blacklisted supplier -> dropped
+            (2, 3),          # other band
+            (3, 1),          # excluded type -> dropped
+        ],
+        "l_partkey long, l_suppkey long",
+    )
+    rows = supplier_part_relationship(part, li, sup).collect()
+    assert [(r["p_brand"], r["size_band"], r["n_suppliers"])
+            for r in rows] == [
+        ("Brand#1", 0, 1),
+        ("Brand#1", 10, 1),
+    ]

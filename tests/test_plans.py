@@ -1584,3 +1584,61 @@ def test_events_hopping_window_no_spine_join(spark):
     assert "Generate" in plan, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_orders_key_skew_single_fact_exchange(spark):
+    """orders_key_skew: one key-keyed exchange with map-side partials;
+    the bucket rollup and total ride bounded tables; single scan."""
+    from ksql_query_tutorial_spark.extensions import orders_key_skew
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_key_skew(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("FileScan") <= 2, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_part_min_cost_supplier_no_window_no_rescan(spark):
+    """part_min_cost_supplier: the correlated min is a bounded rollup
+    over the (part, supplier) cells — no per-part window sort, the
+    type filter pushed to the part scan, dims broadcast."""
+    from ksql_query_tutorial_spark.extensions import part_min_cost_supplier
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = part_min_cost_supplier(spark, SF_ORACLE)
+    assert_pushed_filter(df, "p_type")
+    assert_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert_no_python(df)
+
+
+def test_supplier_part_counts_anti_join_blacklist(spark):
+    """supplier_part_counts: the NOT IN blacklist compiles to a
+    broadcast LEFT ANTI join; the type exclusion reaches the part
+    scan."""
+    from ksql_query_tutorial_spark.extensions import supplier_part_counts
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = supplier_part_counts(spark, SF_ORACLE)
+    assert_pushed_filter(df, "p_type")
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert_no_python(df)

@@ -153,6 +153,10 @@ EXT_NAMES = [
     # r5 iterative/streaming-shape batch: Lloyd round, hopping windows.
     "embedding_kmeans",
     "events_hopping_window",
+    # r5 skew/Q2/Q16 batch.
+    "orders_key_skew",
+    "part_min_cost_supplier",
+    "supplier_part_counts",
 ]
 
 
