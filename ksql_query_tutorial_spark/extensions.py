@@ -5164,3 +5164,123 @@ EXTENSION_ORACLES["supplier_part_counts"] = f"""
                             WHERE s_acctbal < 0)
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the hyperplane-LSH path
+    against the exact brute-force top-k, computed end-to-end in Spark —
+    the similarity-search twin of :func:`dedup_minhash_eval` (the
+    "measure, don't guess" harness as a first-class query).
+
+    Scale design: both sides are bounded (|queries|·k rows); the
+    left join + per-query rollup is trivial. Per-query recall is an
+    exact rational (hits/k); the average over the bounded query set is
+    one double division, rounded.
+    """
+    bf = EXTENSION_QUERIES["similarity_topk"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        EXTENSION_QUERIES["ann_lsh_topk"](spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    per_q = (
+        bf.join(lsh, ["query_id", "neighbor_id"], "left_outer")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__k"),
+            F.count("__hit").cast("long").alias("__hits"),
+        )
+        .select(
+            "query_id",
+            (
+                F.col("__hits").cast("double") / F.col("__k").cast("double")
+            ).alias("__recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("__recall"), 6).alias("avg_recall"),
+        F.round(F.min("__recall"), 6).alias("min_recall"),
+    )
+
+
+EXTENSION_QUERIES["ann_recall_eval"] = ann_recall_eval
+
+EXTENSION_ORACLES["ann_recall_eval"] = f"""
+    WITH bf AS ({EXTENSION_ORACLES["similarity_topk"]}),
+    lsh AS ({EXTENSION_ORACLES["ann_lsh_topk"]}),
+    m AS (SELECT bf.query_id,
+                 count(*) AS k,
+                 count(lsh.neighbor_id) AS hits
+          FROM bf LEFT JOIN lsh
+            ON bf.query_id = lsh.query_id
+           AND bf.neighbor_id = lsh.neighbor_id
+          GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           ROUND(avg(CAST(hits AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+             AS avg_recall,
+           ROUND(min(CAST(hits AS DOUBLE) / CAST(k AS DOUBLE)), 6)
+             AS min_recall
+    FROM m
+"""
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per document.
+    See text.with_readability."""
+    from ksql_query_tutorial_spark.operators.text import with_readability
+
+    return with_readability(load(spark, sf_dir, "documents"))
+
+
+EXTENSION_QUERIES["text_readability"] = text_readability
+
+EXTENSION_ORACLES["text_readability"] = f"""
+    SELECT doc_id,
+           CAST(greatest(len({_TOKS}), 1) AS INT) AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS INT)
+             AS n_sentences,
+           CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                         1) AS INT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(greatest(len({_TOKS}), 1) AS DOUBLE)
+                            / CAST(greatest(len(regexp_extract_all(text,
+                                   '[.!?]')), 1) AS DOUBLE))
+                 - 84.6 * (CAST(greatest(len(regexp_extract_all(lower(text),
+                                '[aeiouy]+')), 1) AS DOUBLE)
+                           / CAST(greatest(len({_TOKS}), 1) AS DOUBLE)), 4)
+             AS flesch
+    FROM documents ORDER BY doc_id
+"""
+
+
+def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase gap distribution. See retail.reorder_intervals."""
+    from ksql_query_tutorial_spark.operators.retail import reorder_intervals
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return reorder_intervals(load(spark, sf_dir, "orders"))
+
+
+EXTENSION_QUERIES["orders_reorder_intervals"] = orders_reorder_intervals
+
+EXTENSION_ORACLES["orders_reorder_intervals"] = """
+    WITH g AS (
+        SELECT date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap
+        FROM orders),
+    f AS (SELECT gap FROM g WHERE gap IS NOT NULL)
+    SELECT CASE WHEN gap <= 7 THEN '1_under_7d'
+                WHEN gap <= 30 THEN '2_under_30d'
+                WHEN gap <= 90 THEN '3_under_90d'
+                ELSE '4_over_90d' END AS gap_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           ROUND(CAST(sum(gap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS avg_gap_days
+    FROM f GROUP BY 1 ORDER BY 1
+"""

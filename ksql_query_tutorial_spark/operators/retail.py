@@ -1654,3 +1654,58 @@ def supplier_part_relationship(
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .orderBy("p_brand", "size_band")
     )
+
+
+REORDER_BUCKETS = (7, 30, 90)  # day boundaries
+
+
+def reorder_intervals(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    buckets: tuple = REORDER_BUCKETS,
+) -> DataFrame:
+    """Repeat-purchase cadence: the distribution of day gaps between
+    each customer's consecutive orders, bucketed — the
+    replenishment-cycle readout behind reorder-reminder timing.
+
+    Scale design: ONE customer-keyed window sort computes the lag
+    (customers are the natural partition key; per-customer order
+    counts bound the sort buffers), gaps are exact integer day diffs
+    (total order (date, orderkey) makes same-date ties deterministic),
+    and the bucket rollup is ≤|buckets|+1 cells with exact integer-sum
+    averages.
+
+    Returns ``gap_bucket, n_gaps, avg_gap_days (rounded 4)`` ordered
+    by bucket label.
+    """
+    w = Window.partitionBy(cust_col).orderBy(
+        F.col("__d"), F.col("o_orderkey")
+    )
+    gaps = (
+        orders.select(
+            cust_col,
+            "o_orderkey",
+            F.col(date_col).cast("date").alias("__d"),
+        )
+        .withColumn("__prev", F.lag("__d").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(F.datediff("__d", "__prev").cast("long").alias("gap"))
+    )
+    b = sorted(int(x) for x in buckets)
+    label = F.lit(f"4_over_{b[-1]}d")
+    for i, hi in enumerate(reversed(b)):
+        label = F.when(
+            F.col("gap") <= hi, F.lit(f"{len(b) - i}_under_{hi}d")
+        ).otherwise(label)
+    return (
+        gaps.groupBy(label.alias("gap_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(
+                F.sum("gap").cast("double") / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("avg_gap_days"),
+        )
+        .orderBy("gap_bucket")
+    )

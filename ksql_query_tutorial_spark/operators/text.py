@@ -364,3 +364,43 @@ def lang_confusion(
             "correct"
         ),
     ).orderBy("lang_true", "lang_pred")
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-style readability per document: word count (whitespace
+    tokens), sentence count (terminal punctuation, floor 1), a
+    vowel-group syllable proxy, and the classic
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    reading-ease score — the cheap fluency feature quality filters
+    combine with stopword/entropy signals.
+
+    Scale design: pure per-row regexp counting in codegen — no
+    shuffle, no Python; the score arithmetic is per-row IEEE, so both
+    engines produce identical 4dp values.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.greatest(F.size(toks), F.lit(1))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]"), 0)),
+        F.lit(1),
+    )
+    n_syll = F.greatest(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[aeiouy]+"), 0
+            )
+        ),
+        F.lit(1),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_sents.cast("int").alias("n_sentences"),
+        n_syll.cast("int").alias("n_syllables"),
+        F.round(score, 4).alias("flesch"),
+    ).orderBy("doc_id")

@@ -2934,3 +2934,61 @@ def test_supplier_part_relationship_blacklist_and_distinct(spark):
         ("Brand#1", 0, 1),
         ("Brand#1", 10, 1),
     ]
+
+
+def test_ann_recall_eval_perfect_on_fixture(spark):
+    """ann_recall_eval: recall is a rational of hits/k per query and 1.0
+    when LSH reproduces the exact top-k; sanity-pin on the fixture."""
+    from ksql_query_tutorial_spark.extensions import ann_recall_eval
+    from tests.conftest import SF_ORACLE
+
+    r = ann_recall_eval(spark, SF_ORACLE).collect()[0]
+    assert r["n_queries"] == 10
+    assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
+
+
+def test_readability_hand_built(spark):
+    """text_readability: word/sentence/syllable extraction and the
+    Flesch formula on a known sentence."""
+    from ksql_query_tutorial_spark.operators.text import with_readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, "bcdfg")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_readability(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_words"], r1["n_sentences"]) == (6, 2)
+    # vowel groups: e,a,a,e,o,a -> 6
+    assert r1["n_syllables"] == 6
+    expected = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 4)
+    assert r1["flesch"] == expected
+    r2 = rows[2]  # no vowels, no punctuation: floors kick in
+    assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (1, 1, 1)
+
+
+def test_reorder_intervals_gaps_and_buckets(spark):
+    """orders_reorder_intervals: gaps are per-customer consecutive-day
+    diffs; single-order customers contribute nothing."""
+    from ksql_query_tutorial_spark.operators.retail import reorder_intervals
+
+    orders = spark.createDataFrame(
+        [
+            (1, 100, "1996-01-01"),
+            (2, 100, "1996-01-05"),   # gap 4  -> under 7
+            (3, 100, "1996-02-20"),   # gap 46 -> under 90
+            (4, 200, "1996-01-01"),   # single order, no gap
+            (5, 300, "1996-01-01"),
+            (6, 300, "1996-06-01"),   # gap 152 -> over 90
+        ],
+        "o_orderkey long, o_custkey long, d string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "cast(d as timestamp) as o_orderdate"
+    )
+    rows = reorder_intervals(orders).collect()
+    assert [(r["gap_bucket"], r["n_gaps"], r["avg_gap_days"])
+            for r in rows] == [
+        ("1_under_7d", 1, 4.0),
+        ("3_under_90d", 1, 46.0),
+        ("4_over_90d", 1, 152.0),
+    ]

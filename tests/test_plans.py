@@ -1642,3 +1642,39 @@ def test_supplier_part_counts_anti_join_blacklist(spark):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan, plan
     assert_no_python(df)
+
+
+def test_text_readability_pure_scan(spark):
+    """text_readability: per-row regexp counting — one scan, no
+    shuffle beyond the final sort, no Python."""
+    from ksql_query_tutorial_spark.extensions import text_readability
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = text_readability(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("FileScan") <= 2, plan
+    assert "Join" not in plan, plan
+    assert_no_python(df)
+
+
+def test_orders_reorder_intervals_single_window(spark):
+    """orders_reorder_intervals: one customer-keyed window sort, then
+    a bounded bucket rollup with partials."""
+    from ksql_query_tutorial_spark.extensions import orders_reorder_intervals
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = orders_reorder_intervals(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert plan.count("Window") <= 2, plan
+    assert "Join" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)

@@ -157,6 +157,10 @@ EXT_NAMES = [
     "orders_key_skew",
     "part_min_cost_supplier",
     "supplier_part_counts",
+    # r5 eval/readability/cadence batch.
+    "ann_recall_eval",
+    "text_readability",
+    "orders_reorder_intervals",
 ]
 
 
