@@ -5284,3 +5284,68 @@ EXTENSION_ORACLES["orders_reorder_intervals"] = """
              AS avg_gap_days
     FROM f GROUP BY 1 ORDER BY 1
 """
+
+
+def events_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware changelog state over the event stream: per user,
+    the latest event wins; a user whose latest event is an 'error'
+    (the tombstone analog of ksqlDB's null-valued table record) drops
+    out of the state entirely. See upsert.apply_changelog."""
+    from ksql_query_tutorial_spark.operators.upsert import apply_changelog
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    out = apply_changelog(
+        e,
+        key_cols=["user_id"],
+        order_col="event_id",
+        tombstone=F.col("event_type") == "error",
+    )
+    return out.select("user_id", "event_id", "event_type", "value").orderBy(
+        "user_id"
+    )
+
+
+EXTENSION_QUERIES["events_tombstone_state"] = events_tombstone_state
+
+EXTENSION_ORACLES["events_tombstone_state"] = """
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events)
+    SELECT user_id, event_id, event_type, value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+"""
+
+
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 of the event value per event
+    type — the latency-SLO readout shape. One type-keyed exact
+    percentile aggregate (Spark percentile == DuckDB quantile_cont,
+    the q26/rfm parity); output bounded at |event types|."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95D)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EXTENSION_QUERIES["events_value_quantiles"] = events_value_quantiles
+
+EXTENSION_ORACLES["events_value_quantiles"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1 ORDER BY 1
+"""

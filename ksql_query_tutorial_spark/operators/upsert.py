@@ -44,3 +44,29 @@ def latest_by_offset(df: DataFrame, key_cols: list[str], order_col: str,
     """
     aggs = [F.max_by(c, F.col(order_col)).alias(c) for c in agg_cols]
     return df.groupBy(*key_cols).agg(*aggs)
+
+
+def apply_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    tombstone: F.Column | None = None,
+) -> DataFrame:
+    """Tombstone-aware changelog apply — the full ksqlDB TABLE
+    semantics: the latest record per key wins (``latest_by_key``), and
+    a key whose LATEST record is a tombstone (ksqlDB: a null-valued
+    record; here: any row matching the ``tombstone`` predicate) is
+    DELETED from the materialized state, not surfaced with null
+    values. Cites /root/reference/README.md:92 (upsert) — tombstones
+    are the delete half ksqlDB tables add on top.
+
+    Scale design: identical to :func:`latest_by_key` — ONE key-keyed
+    exchange where ``max_by`` tracks the running latest (map-side
+    combine, no per-key sort); the tombstone filter is a post-agg
+    predicate on the one-row-per-key result, free at any scale.
+    """
+    if tombstone is None:
+        return latest_by_key(df, key_cols, order_col)
+    marked = df.withColumn("__tomb", tombstone)
+    latest = latest_by_key(marked, key_cols, order_col)
+    return latest.filter(~F.col("__tomb")).drop("__tomb")

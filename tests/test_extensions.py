@@ -2992,3 +2992,40 @@ def test_reorder_intervals_gaps_and_buckets(spark):
         ("3_under_90d", 1, 46.0),
         ("4_over_90d", 1, 152.0),
     ]
+
+
+def test_apply_changelog_tombstone_deletes_key(spark):
+    """events_tombstone_state: the latest record wins; a key whose
+    latest record is a tombstone disappears; earlier tombstones are
+    overridden by later upserts."""
+    from ksql_query_tutorial_spark.operators.upsert import apply_changelog
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "view", 1.0),
+            (1, 20, "error", 0.0),   # latest for user 1 -> deleted
+            (2, 11, "error", 0.0),
+            (2, 21, "click", 2.0),   # tombstone overridden -> kept
+            (3, 12, "view", 3.0),    # plain upsert -> kept
+        ],
+        "user_id long, event_id long, event_type string, value double",
+    )
+    rows = apply_changelog(
+        df, ["user_id"], "event_id",
+        tombstone=(df.event_type == "error"),
+    ).orderBy("user_id").collect()
+    assert [(r["user_id"], r["event_id"], r["event_type"]) for r in rows] == [
+        (2, 21, "click"),
+        (3, 12, "view"),
+    ]
+
+
+def test_apply_changelog_without_tombstone_is_latest_by_key(spark):
+    """apply_changelog(tombstone=None) degrades to plain upsert."""
+    from ksql_query_tutorial_spark.operators.upsert import apply_changelog
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "k long, seq long, v string"
+    )
+    rows = apply_changelog(df, ["k"], "seq").collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "b")]

@@ -1678,3 +1678,27 @@ def test_orders_reorder_intervals_single_window(spark):
     assert "Join" not in plan, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
+
+
+def test_events_tombstone_state_single_aggregate(spark):
+    """events_tombstone_state: one key-keyed max_by aggregate (no
+    per-key window sort), tombstone filter post-agg."""
+    from ksql_query_tutorial_spark.extensions import events_tombstone_state
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_tombstone_state(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    # struct-valued max_by compiles to SortAggregate (not Hash), but
+    # still as a partial+final pair around ONE exchange — assert the
+    # pair regardless of aggregate strategy
+    import re as _re
+
+    n_aggs = len(_re.findall(r"(?:Hash|Sort|ObjectHash)Aggregate", plan))
+    assert n_aggs >= 2, plan
+    assert_no_python(df)

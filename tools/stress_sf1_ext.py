@@ -161,6 +161,9 @@ EXT_NAMES = [
     "ann_recall_eval",
     "text_readability",
     "orders_reorder_intervals",
+    # r5 changelog/quantile batch.
+    "events_tombstone_state",
+    "events_value_quantiles",
 ]
 
 
