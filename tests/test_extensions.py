@@ -3029,3 +3029,70 @@ def test_apply_changelog_without_tombstone_is_latest_by_key(spark):
     )
     rows = apply_changelog(df, ["k"], "seq").collect()
     assert [(r["k"], r["v"]) for r in rows] == [(1, "b")]
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """privacy_dp_counts: the release is count + Laplace(1/eps) noise
+    from the portable key hash — deterministic, bounded by the
+    inverse-CDF tail, and scale-equivariant in epsilon."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        DP_NOISE_MOD,
+        dp_noisy_counts,
+    )
+    from ksql_query_tutorial_spark.operators.dedup import _MERSENNE
+
+    df = spark.createDataFrame(
+        [("SEG_A",)] * 3 + [("SEG_B",)] * 7, "seg string"
+    )
+    out = {r["group_key"]: r for r in dp_noisy_counts(df, "seg").collect()}
+    assert out["SEG_A"]["n_true"] == 3 and out["SEG_B"]["n_true"] == 7
+
+    def expected(key, n, eps=1.0):
+        h0, h1 = 7, 11
+        for ch in key:
+            h0 = (h0 * 131 + ord(ch)) % _MERSENNE
+            h1 = (h1 * 137 + ord(ch)) % _MERSENNE
+        u = (((h0 + h1 * (1 << 31)) % DP_NOISE_MOD) + 0.5) / DP_NOISE_MOD
+        c = u - 0.5
+        noise = -(1.0 / eps) * math.copysign(1.0, c) * math.log(1 - 2 * abs(c))
+        return round(n + noise, 4)
+
+    assert out["SEG_A"]["n_released"] == expected("SEG_A", 3)
+    assert out["SEG_B"]["n_released"] == expected("SEG_B", 7)
+
+
+def test_dominant_part_suppliers_share_threshold(spark):
+    """supplier_dominant_parts: strictly-greater-than-share wins;
+    year window and token filter scope the cells."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        dominant_part_suppliers,
+    )
+
+    part = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt")], "p_partkey long, p_name string"
+    )
+    sup = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    )
+    li = spark.createDataFrame(
+        [
+            # part 1 in-year: S1 ships 60 of 100 -> dominant
+            (1, 1, 60.0, "1996-05-01"),
+            (1, 2, 40.0, "1996-06-01"),
+            # out-of-year row would flip the shares if counted
+            (1, 2, 500.0, "1995-05-01"),
+            # wrong-token part: ignored entirely
+            (2, 2, 100.0, "1996-05-01"),
+        ],
+        "l_partkey long, l_suppkey long, l_quantity double, d string",
+    ).selectExpr(
+        "l_partkey", "l_suppkey", "l_quantity",
+        "cast(d as timestamp) as l_shipdate",
+    )
+    rows = dominant_part_suppliers(
+        part, li, sup, name_token="red", year=1996, share=0.5
+    ).collect()
+    assert [(r["s_suppkey"], r["s_name"], r["n_dominated_parts"])
+            for r in rows] == [(1, "S1", 1)]

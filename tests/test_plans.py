@@ -1702,3 +1702,26 @@ def test_events_tombstone_state_single_aggregate(spark):
     n_aggs = len(_re.findall(r"(?:Hash|Sort|ObjectHash)Aggregate", plan))
     assert n_aggs >= 2, plan
     assert_no_python(df)
+
+
+def test_supplier_dominant_parts_single_fact_pass(spark):
+    """supplier_dominant_parts: the dominance test is a window over
+    the bounded (part, supplier) rollup — lineitem is scanned ONCE,
+    with the year window pushed to the scan."""
+    from ksql_query_tutorial_spark.extensions import supplier_dominant_parts
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = supplier_dominant_parts(spark, SF_ORACLE)
+    assert_pushed_filter(df, "l_shipdate")
+    plan = formatted_plan(df)
+    import re as _re
+
+    li_scans = len(_re.findall(r"FileScan parquet.*?lineitem\.parquet",
+                               plan))
+    assert li_scans <= 2, plan  # formatted plans list scans twice w/ AQE
+    assert_no_python(df)

@@ -164,6 +164,9 @@ EXT_NAMES = [
     # r5 changelog/quantile batch.
     "events_tombstone_state",
     "events_value_quantiles",
+    # r5 DP release + Q20 batch.
+    "privacy_dp_counts",
+    "supplier_dominant_parts",
 ]
 
 
