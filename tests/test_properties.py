@@ -350,3 +350,110 @@ def test_cms_overshoot_nonnegative_on_random_docs(spark, texts):
     toks = [w for t in texts for w in t.lower().strip().split() if w]
     # exact counts across rows must reconstruct the corpus token count
     assert sum(r["exact_count"] for r in out) == len(toks)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=20))
+def test_tombstone_changelog_matches_python_fold(spark, rows):
+    """apply_changelog == the naive last-write-wins fold with
+    tombstoned keys removed, for ANY insert sequence."""
+    from ksql_query_tutorial_spark.operators.upsert import apply_changelog
+
+    rows = with_offsets(rows)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA.fields) for r in rows], SCHEMA
+    )
+    got = {
+        r.id: (r.event_type, r.offset)
+        for r in apply_changelog(
+            df, ["id"], "offset",
+            tombstone=(F.col("event_type") == "GOAL"),
+        ).collect()
+    }
+    state: dict = {}
+    for r in rows:
+        state[r["id"]] = r
+    want = {
+        k: (v["event_type"], v["offset"])
+        for k, v in state.items()
+        if v["event_type"] != "GOAL"
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(EVENT, min_size=1, max_size=16))
+def test_stream_upsert_with_tombstone_filter_matches_batch(spark, rows):
+    """The streaming KTable upsert's FINAL state, filtered by the
+    tombstone predicate, equals batch apply_changelog — the stream/
+    batch parity of the full changelog semantics (delete half
+    included)."""
+    from ksql_query_tutorial_spark.operators.upsert import apply_changelog
+    from ksql_query_tutorial_spark.streaming.stateful import (
+        upsert_table_stream,
+    )
+
+    rows = with_offsets(rows)
+    q = R.replay(
+        spark, rows, SCHEMA,
+        lambda df: upsert_table_stream(df, ["id"], "offset"),
+        name="tomb", output_mode="update", with_batch_id=True, chunk_size=3,
+    )
+    final: dict = {}
+    for _, r in q.emissions:
+        if final.get(r.id, (None, -1))[1] <= r.offset:
+            final[r.id] = (r.event_type, r.offset)
+    got = {k: v for k, v in final.items() if v[0] != "GOAL"}
+
+    batch_df = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA.fields) for r in rows], SCHEMA
+    )
+    want = {
+        r.id: (r.event_type, r.offset)
+        for r in apply_changelog(
+            batch_df, ["id"], "offset",
+            tombstone=(F.col("event_type") == "GOAL"),
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=40))
+def test_hopping_window_conserves_fanout(spark, hours):
+    """hopping_window_counts: every event lands in exactly
+    window/hop windows, so sum(n_events) == n_hops * |events|."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        hopping_window_counts,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [(i % 5, f"2024-01-0{1 + h // 24} {h % 24:02d}:00:00")
+         for i, h in enumerate(hours)],
+        "user_id long, d string",
+    ).selectExpr("user_id", "cast(d as timestamp_ntz) as ts")
+    out = hopping_window_counts(df, window_hours=24, hop_hours=6).collect()
+    assert sum(r["n_events"] for r in out) == 4 * len(hours)
+    assert all(r["n_users"] <= min(5, len(hours)) for r in out)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=9), min_size=1,
+                max_size=60))
+def test_key_skew_report_conserves_rows_and_shares(spark, keys):
+    """key_skew_report: n_rows partitions the input and shares sum
+    to 1 (exactly, after the shared rounding)."""
+    from ksql_query_tutorial_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame([(k,) for k in keys], "k int")
+    out = key_skew_report(df, "k").collect()
+    assert sum(r["n_rows"] for r in out) == len(keys)
+    assert abs(sum(r["rows_share"] for r in out) - 1.0) < 1e-4
+    # bucket must match the bit length of every count it aggregates
+    assert all(r["freq_bucket"] >= 1 for r in out)
