@@ -89,8 +89,13 @@ _GATE_PRIORITY = [
     # nation_market_share, supplier_profit, orders_ship_lag,
     # part_small_lots, supplier_sole_late), the pipeline ops
     # (events_conversion_lag, privacy_delete_impact,
-    # dedup_minhash_eval, corpus_search), and the iterative/windowed
-    # pair (embedding_kmeans, events_hopping_window) — all
+    # dedup_minhash_eval, corpus_search), the iterative/windowed
+    # pair (embedding_kmeans, events_hopping_window), the skew/eval/
+    # cadence wave (orders_key_skew, part_min_cost_supplier,
+    # supplier_part_counts, ann_recall_eval, text_readability,
+    # orders_reorder_intervals), and the changelog/privacy wave
+    # (events_tombstone_state, events_value_quantiles,
+    # privacy_dp_counts, supplier_dominant_parts) — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.
