@@ -5435,3 +5435,122 @@ EXTENSION_ORACLES["supplier_dominant_parts"] = f"""
     FROM supplier JOIN dom ON s_suppkey = sk
     ORDER BY s_suppkey
 """
+
+
+def lineitem_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth.
+    See retail.yoy_monthly_growth."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.yoy_monthly_growth(load(spark, sf_dir, "lineitem"))
+
+
+EXTENSION_QUERIES["lineitem_yoy_growth"] = lineitem_yoy_growth
+
+EXTENSION_ORACLES["lineitem_yoy_growth"] = """
+    WITH cells AS (
+        SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(extract(month FROM l_shipdate) AS BIGINT) AS ship_month,
+               ROUND(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem GROUP BY 1, 2),
+    lagged AS (
+        SELECT ship_year, ship_month, revenue,
+               lag(revenue) OVER (PARTITION BY ship_month
+                                  ORDER BY ship_year) AS prev,
+               lag(ship_year) OVER (PARTITION BY ship_month
+                                    ORDER BY ship_year) AS prev_yr
+        FROM cells)
+    SELECT ship_year, ship_month, revenue,
+           CASE WHEN prev_yr = ship_year - 1 THEN prev END
+             AS prev_year_revenue,
+           ROUND(100.0 * (revenue - CASE WHEN prev_yr = ship_year - 1
+                                         THEN prev END)
+                 / CASE WHEN prev_yr = ship_year - 1 THEN prev END, 4)
+             AS yoy_pct
+    FROM lagged ORDER BY ship_year, ship_month
+"""
+
+
+RANK_YEAR_A = 1996
+RANK_YEAR_B = 1997
+
+
+def nation_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation revenue-rank movement between two years.
+    See retail.nation_rank_movers."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.nation_rank_movers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "nation"),
+        year_a=RANK_YEAR_A,
+        year_b=RANK_YEAR_B,
+    )
+
+
+EXTENSION_QUERIES["nation_rank_movers"] = nation_rank_movers
+
+EXTENSION_ORACLES["nation_rank_movers"] = f"""
+    WITH wide AS (
+        SELECT n_name AS nation,
+               ROUND(sum(CASE WHEN extract(year FROM o_orderdate)
+                                   = {RANK_YEAR_A}
+                              THEN o_totalprice END), 4) AS revenue_a,
+               ROUND(sum(CASE WHEN extract(year FROM o_orderdate)
+                                   = {RANK_YEAR_B}
+                              THEN o_totalprice END), 4) AS revenue_b
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '{RANK_YEAR_A}-01-01'
+          AND o_orderdate < TIMESTAMP '{RANK_YEAR_B + 1}-01-01'
+        GROUP BY 1
+        HAVING revenue_a IS NOT NULL AND revenue_b IS NOT NULL)
+    SELECT nation,
+           CAST(row_number() OVER (ORDER BY revenue_a DESC, nation)
+                AS BIGINT) AS rank_a,
+           CAST(row_number() OVER (ORDER BY revenue_b DESC, nation)
+                AS BIGINT) AS rank_b,
+           CAST(row_number() OVER (ORDER BY revenue_a DESC, nation)
+                - row_number() OVER (ORDER BY revenue_b DESC, nation)
+                AS BIGINT) AS rank_change,
+           revenue_a, revenue_b
+    FROM wide ORDER BY rank_b, nation
+"""
+
+
+COS_HIST_CAP = 200
+
+
+def embedding_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine calibration histogram over a fixed slice.
+    See similarity.pairwise_cosine_histogram."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        pairwise_cosine_histogram,
+    )
+
+    return pairwise_cosine_histogram(
+        load(spark, sf_dir, "embeddings"), sample_cap=COS_HIST_CAP
+    )
+
+
+EXTENSION_QUERIES["embedding_cos_histogram"] = embedding_cos_histogram
+
+EXTENSION_ORACLES["embedding_cos_histogram"] = f"""
+    WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < {COS_HIST_CAP}),
+    pairs AS (
+        SELECT ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM v a JOIN v b ON a.id < b.id),
+    binned AS (
+        SELECT ROUND(floor(cos / 0.1) * 0.1, 1) AS cos_bin,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs GROUP BY 1),
+    t AS (SELECT sum(n_pairs) AS tot FROM binned)
+    SELECT cos_bin, n_pairs,
+           ROUND(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+    FROM binned, t ORDER BY cos_bin
+"""

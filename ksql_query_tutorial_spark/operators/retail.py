@@ -1763,3 +1763,123 @@ def dominant_part_suppliers(
         .select("s_suppkey", "s_name", "n_dominated_parts")
         .orderBy("s_suppkey")
     )
+
+
+def yoy_monthly_growth(
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Year-over-year monthly revenue growth: each calendar month's
+    shipped revenue against the same month one year earlier — the
+    classic comparable-period readout.
+
+    Scale design: ONE (year, month) rollup over the fact with map-side
+    partials (revenue summed exactly, rounded once); the YoY pairing
+    is a lag window over the ≤|years|·12-cell table partitioned by
+    month-of-year — bounded, never a fact self-join. Growth is NULL
+    for the first observed year of each month.
+
+    Returns ``ship_year, ship_month, revenue, prev_year_revenue,
+    yoy_pct (rounded 4)`` ordered by year, month.
+    """
+    cells = (
+        lineitem.groupBy(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            F.month("l_shipdate").cast("long").alias("ship_month"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("ship_month").orderBy("ship_year")
+    prev = F.lag("revenue").over(w)
+    prev_year = F.lag("ship_year").over(w)
+    # only a CONSECUTIVE prior year is a comparable period
+    comparable = F.when(
+        prev_year == F.col("ship_year") - 1, prev
+    )
+    return (
+        cells.withColumn("prev_year_revenue", comparable)
+        .withColumn(
+            "yoy_pct",
+            F.round(
+                100.0
+                * (F.col("revenue") - F.col("prev_year_revenue"))
+                / F.col("prev_year_revenue"),
+                4,
+            ),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+def nation_rank_movers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    year_a: int = 1996,
+    year_b: int = 1997,
+) -> DataFrame:
+    """Nation revenue-rank movers between two years: each nation's
+    order-revenue rank in year A vs year B and the delta — the
+    league-table movement report.
+
+    Scale design: the two-year window is pushed to the orders scan;
+    ONE per-nation rollup with the two years as conditional sums (a
+    single fact pass — no per-year branch re-scans); both rank
+    windows run over the ≤|nations| cell table. Ranks are defined
+    among nations with revenue in BOTH years. Revenue is rounded
+    before ranking so both engines rank identical values; ties break
+    by nation name inside the rank's total order.
+
+    Returns ``nation, rank_a, rank_b, rank_change, revenue_a,
+    revenue_b`` ordered by rank_b, nation.
+    """
+    lo = F.lit(f"{year_a}-01-01").cast("timestamp")
+    hi = F.lit(f"{year_b + 1}-01-01").cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    ).select(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("__yr"),
+        "o_totalprice",
+    )
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("__yr") == year_a, F.col("o_totalprice"))),
+                4,
+            ).alias("revenue_a"),
+            F.round(
+                F.sum(F.when(F.col("__yr") == year_b, F.col("o_totalprice"))),
+                4,
+            ).alias("revenue_b"),
+        )
+        .filter(
+            F.col("revenue_a").isNotNull() & F.col("revenue_b").isNotNull()
+        )
+    )
+    wa = Window.orderBy(F.col("revenue_a").desc(), F.col("nation"))
+    wb = Window.orderBy(F.col("revenue_b").desc(), F.col("nation"))
+    return (
+        wide.withColumn("rank_a", F.row_number().over(wa).cast("long"))
+        .withColumn("rank_b", F.row_number().over(wb).cast("long"))
+        .select(
+            "nation",
+            "rank_a",
+            "rank_b",
+            (F.col("rank_a") - F.col("rank_b")).cast("long").alias(
+                "rank_change"
+            ),
+            "revenue_a",
+            "revenue_b",
+        )
+        .orderBy("rank_b", "nation")
+    )

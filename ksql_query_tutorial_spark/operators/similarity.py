@@ -1314,3 +1314,62 @@ def kmeans_two_pass(
         )
         .orderBy("cluster_id")
     )
+
+
+def pairwise_cosine_histogram(
+    corpus: DataFrame,
+    sample_cap: int = 200,
+    bin_width: float = 0.1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise-cosine distribution over a fixed-size corpus slice —
+    the calibration report that sizes ANN thresholds and LSH plane
+    counts (where does the true-neighbor mass sit relative to the
+    background?).
+
+    Scale design: the slice is ``id < sample_cap`` (deterministic,
+    pushed to the scan via min/max pruning — the same fixed-size-eval
+    move as dedup_minhash_eval), so the all-pairs self-join is capped
+    at sample_cap² rows at ANY corpus scale; cosines are per-row
+    IEEE folds (portable), floored into ``bin_width`` bins with the
+    floor taken on the ROUNDED cosine so bin edges are engine-stable.
+
+    Returns ``cos_bin (lower edge, rounded 1), n_pairs, share
+    (rounded 6)`` ordered by bin.
+    """
+    v = corpus.filter(F.col(id_col) < sample_cap).select(
+        F.col(id_col).alias("id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vn", F.greatest(l2_norm(F.col("v")), F.lit(1e-30)))
+    a = v.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("vn").alias("na"),
+    )
+    b = v.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("vn").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    cos_bin = F.round(
+        F.floor(cos / F.lit(bin_width)) * F.lit(bin_width), 1
+    )
+    binned = pairs.select(cos_bin.alias("cos_bin")).groupBy("cos_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    total = binned.agg(F.sum("n_pairs").alias("__t"))
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            "cos_bin",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("__t").cast("double"),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("cos_bin")
+    )

@@ -3096,3 +3096,80 @@ def test_dominant_part_suppliers_share_threshold(spark):
     ).collect()
     assert [(r["s_suppkey"], r["s_name"], r["n_dominated_parts"])
             for r in rows] == [(1, "S1", 1)]
+
+
+def test_yoy_monthly_growth_comparable_periods_only(spark):
+    """lineitem_yoy_growth: growth pairs only CONSECUTIVE years of the
+    same month; gap years report NULL."""
+    from ksql_query_tutorial_spark.operators.retail import yoy_monthly_growth
+
+    li = spark.createDataFrame(
+        [
+            (100.0, 0.0, "1996-03-15"),
+            (150.0, 0.0, "1997-03-01"),   # 1997-03 vs 1996-03: +50%
+            (999.0, 0.0, "1999-03-01"),   # gap year: NULL growth
+            (80.0, 0.5, "1996-07-01"),    # lone month: NULL growth
+        ],
+        "l_extendedprice double, l_discount double, d string",
+    ).selectExpr(
+        "l_extendedprice", "l_discount", "cast(d as timestamp) as l_shipdate"
+    )
+    rows = {(r["ship_year"], r["ship_month"]): r
+            for r in yoy_monthly_growth(li).collect()}
+    assert rows[(1997, 3)]["prev_year_revenue"] == 100.0
+    assert rows[(1997, 3)]["yoy_pct"] == 50.0
+    assert rows[(1999, 3)]["prev_year_revenue"] is None
+    assert rows[(1996, 7)]["yoy_pct"] is None
+
+
+def test_nation_rank_movers_rank_change(spark):
+    """nation_rank_movers: ranks computed among both-year nations,
+    change = rank_a - rank_b (positive = climbed)."""
+    from ksql_query_tutorial_spark.operators.retail import nation_rank_movers
+
+    nation = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "BETA")], "n_nationkey long, n_name string"
+    )
+    cust = spark.createDataFrame(
+        [(10, 1), (20, 2)], "c_custkey long, c_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, "1996-05-01"),  # ALPHA leads year A
+            (2, 20, 50.0, "1996-06-01"),
+            (3, 10, 10.0, "1997-05-01"),   # BETA leads year B
+            (4, 20, 90.0, "1997-06-01"),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, d string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "cast(d as timestamp) as o_orderdate",
+    )
+    rows = nation_rank_movers(cust, orders, nation, 1996, 1997).collect()
+    by = {r["nation"]: r for r in rows}
+    assert (by["ALPHA"]["rank_a"], by["ALPHA"]["rank_b"]) == (1, 2)
+    assert by["ALPHA"]["rank_change"] == -1
+    assert (by["BETA"]["rank_a"], by["BETA"]["rank_b"]) == (2, 1)
+    assert by["BETA"]["rank_change"] == 1
+
+
+def test_pairwise_cosine_histogram_bins_and_cap(spark):
+    """embedding_cos_histogram: pairs come only from the capped slice,
+    bins are lower edges, shares sum to 1."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        pairwise_cosine_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.0]),    # cos(0,1)=1.0 -> bin 1.0
+            (2, [0.0, 1.0]),    # cos(0,2)=cos(1,2)=0.0 -> bin 0.0
+            (999, [1.0, 1.0]),  # beyond cap: excluded
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = pairwise_cosine_histogram(df, sample_cap=100).collect()
+    got = {r["cos_bin"]: (r["n_pairs"], r["share"]) for r in rows}
+    assert got[0.0][0] == 2 and got[1.0][0] == 1
+    assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-6

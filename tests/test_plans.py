@@ -1725,3 +1725,57 @@ def test_supplier_dominant_parts_single_fact_pass(spark):
                                plan))
     assert li_scans <= 2, plan  # formatted plans list scans twice w/ AQE
     assert_no_python(df)
+
+
+def test_lineitem_yoy_growth_bounded_window(spark):
+    """lineitem_yoy_growth: one fact rollup; the lag window runs over
+    the bounded (year, month) cells, never a fact self-join."""
+    from ksql_query_tutorial_spark.extensions import lineitem_yoy_growth
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = lineitem_yoy_growth(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
+
+
+def test_nation_rank_movers_single_fact_pass(spark):
+    """nation_rank_movers: the two years are conditional sums in ONE
+    rollup — orders is scanned once with the window pushed."""
+    from ksql_query_tutorial_spark.extensions import nation_rank_movers
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_pushed_filter,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = nation_rank_movers(spark, SF_ORACLE)
+    assert_pushed_filter(df, "o_orderdate")
+    plan = formatted_plan(df)
+    import re as _re
+
+    o_scans = len(_re.findall(r"FileScan parquet.*?orders\.parquet", plan))
+    assert o_scans <= 2, plan
+    assert_no_python(df)
+
+
+def test_embedding_cos_histogram_cap_pushed(spark):
+    """embedding_cos_histogram: the slice cap reaches both sides of
+    the self-join as a pushed filter."""
+    from ksql_query_tutorial_spark.extensions import embedding_cos_histogram
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_pushed_filter,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = embedding_cos_histogram(spark, SF_ORACLE)
+    assert_pushed_filter(df, "LessThan(vec_id")
+    assert_no_python(df)

@@ -167,6 +167,10 @@ EXT_NAMES = [
     # r5 DP release + Q20 batch.
     "privacy_dp_counts",
     "supplier_dominant_parts",
+    # r5 comparable-period / calibration batch.
+    "lineitem_yoy_growth",
+    "nation_rank_movers",
+    "embedding_cos_histogram",
 ]
 
 
