@@ -5554,3 +5554,74 @@ EXTENSION_ORACLES["embedding_cos_histogram"] = f"""
            ROUND(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
     FROM binned, t ORDER BY cos_bin
 """
+
+
+SLO_TARGET = 0.1
+
+
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-budget burn-down against a 10% target.
+    See analytics.slo_burn_down."""
+    from ksql_query_tutorial_spark.operators.analytics import slo_burn_down
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return slo_burn_down(load(spark, sf_dir, "events"), target_rate=SLO_TARGET)
+
+
+EXTENSION_QUERIES["events_slo_burn"] = events_slo_burn
+
+EXTENSION_ORACLES["events_slo_burn"] = f"""
+    WITH cells AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1)
+    SELECT hour, n_events, n_errors,
+           ROUND(CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+             AS err_rate,
+           ROUND(CAST(sum(n_errors) OVER (ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / ({SLO_TARGET} * CAST(sum(n_events) OVER (ORDER BY hour
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6)
+             AS burn_ratio
+    FROM cells ORDER BY hour
+"""
+
+
+def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup similarity graph: MinHash-LSH
+    pairs (recall-1 regime) fed straight into the key-skew bit-length
+    bucketing — an operator COMPOSITION (LSH pair generation →
+    skew report) that sizes the connected-components workload before
+    running it (a heavy tail predicts wide clusters).
+
+    Scale design: the pair list is the LSH output (bucketed, never
+    all-pairs); degrees are one key rollup over the 2|pairs| endpoint
+    stream; the histogram rides key_skew_report's bounded buckets.
+    """
+    from ksql_query_tutorial_spark.operators.skew import key_skew_report
+
+    pairs = EXTENSION_QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    ends = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    return key_skew_report(ends, "node")
+
+
+EXTENSION_QUERIES["dedup_graph_degrees"] = dedup_graph_degrees
+
+EXTENSION_ORACLES["dedup_graph_degrees"] = f"""
+    WITH pairs AS ({_JACCARD_PAIRS_ORACLE}),
+    ends AS (SELECT id_a AS node FROM pairs
+             UNION ALL SELECT id_b FROM pairs),
+    c AS (SELECT node, count(*) AS cnt FROM ends GROUP BY 1),
+    t AS (SELECT sum(cnt) AS total FROM c)
+    SELECT CAST(length(bin(cnt)) AS INT) AS freq_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           ROUND(CAST(sum(cnt) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS rows_share
+    FROM c, t
+    GROUP BY 1, total ORDER BY 1
+"""

@@ -1363,3 +1363,54 @@ def dp_noisy_counts(
         F.round(F.col("n_true") + noise, 4).alias("n_released"),
         F.lit(float(epsilon)).alias("epsilon"),
     ).orderBy("group_key")
+
+
+def slo_burn_down(
+    df: DataFrame,
+    target_rate: float = 0.1,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+) -> DataFrame:
+    """Error-budget burn-down: per hour, the error share and the
+    cumulative budget-consumption ratio against a target error rate —
+    the SRE readout that pages when the ratio crosses 1.
+
+    Scale design: ONE hourly rollup over the stream (map-side
+    partials, ≤|hours| cells); the cumulative sums are a window over
+    the bounded cell table (global ordering over calendar cells, not
+    events). Ratios divide exact integer counts once per cell.
+
+    Returns ``hour, n_events, n_errors, err_rate, burn_ratio``
+    (rounded 6) ordered by hour; burn_ratio > 1 means the cumulative
+    error budget is exhausted.
+    """
+    is_err = (F.col(type_col) == error_type).cast("long")
+    cells = (
+        df.groupBy(
+            F.date_trunc("HOUR", F.col(ts_col)).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(is_err).cast("long").alias("n_errors"),
+        )
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    cum_err = F.sum("n_errors").over(w).cast("double")
+    cum_all = F.sum("n_events").over(w).cast("double")
+    return (
+        cells.select(
+            "hour",
+            "n_events",
+            "n_errors",
+            F.round(
+                F.col("n_errors").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("err_rate"),
+            F.round(
+                cum_err / (F.lit(float(target_rate)) * cum_all), 6
+            ).alias("burn_ratio"),
+        )
+        .orderBy("hour")
+    )

@@ -3173,3 +3173,40 @@ def test_pairwise_cosine_histogram_bins_and_cap(spark):
     got = {r["cos_bin"]: (r["n_pairs"], r["share"]) for r in rows}
     assert got[0.0][0] == 2 and got[1.0][0] == 1
     assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-6
+
+
+def test_slo_burn_down_cumulative_budget(spark):
+    """events_slo_burn: burn_ratio is the CUMULATIVE error share over
+    the target — a clean hour doesn't reset it."""
+    from ksql_query_tutorial_spark.operators.analytics import slo_burn_down
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [
+            # hour 0: 2 errors of 10 events -> rate .2, burn 2.0
+            *[("error", "2024-01-01 00:05:00")] * 2,
+            *[("click", "2024-01-01 00:10:00")] * 8,
+            # hour 1: clean 10 events -> cum 2/20 over 0.1 -> burn 1.0
+            *[("view", "2024-01-01 01:00:00")] * 10,
+        ],
+        "event_type string, d string",
+    ).selectExpr("event_type", "cast(d as timestamp_ntz) as ts")
+    rows = slo_burn_down(df, target_rate=0.1).collect()
+    assert rows[0]["err_rate"] == 0.2 and rows[0]["burn_ratio"] == 2.0
+    assert rows[1]["err_rate"] == 0.0 and rows[1]["burn_ratio"] == 1.0
+
+
+def test_dedup_graph_degrees_matches_pair_volume(spark):
+    """dedup_graph_degrees: total degree mass equals 2x the LSH pair
+    count (every pair contributes two endpoints)."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        dedup_graph_degrees,
+    )
+    from tests.conftest import SF_ORACLE
+
+    n_pairs = EXTENSION_QUERIES["dedup_minhash_lsh"](
+        spark, SF_ORACLE
+    ).count()
+    rows = dedup_graph_degrees(spark, SF_ORACLE).collect()
+    assert sum(r["n_rows"] for r in rows) == 2 * n_pairs and n_pairs > 0

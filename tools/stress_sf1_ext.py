@@ -171,6 +171,9 @@ EXT_NAMES = [
     "lineitem_yoy_growth",
     "nation_rank_movers",
     "embedding_cos_histogram",
+    # r5 SLO / graph-composition batch.
+    "events_slo_burn",
+    "dedup_graph_degrees",
 ]
 
 
