@@ -5625,3 +5625,80 @@ EXTENSION_ORACLES["dedup_graph_degrees"] = f"""
     FROM c, t
     GROUP BY 1, total ORDER BY 1
 """
+
+
+def supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time mean/stddev scorecard.
+    See retail.lead_time_scorecard."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return retail.lead_time_scorecard(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+    )
+
+
+EXTENSION_QUERIES["supplier_lead_time"] = supplier_lead_time
+
+EXTENSION_ORACLES["supplier_lead_time"] = """
+    WITH cells AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(date_diff('day', o_orderdate, l_shipdate))
+                    AS BIGINT) AS s1,
+               CAST(sum(date_diff('day', o_orderdate, l_shipdate)
+                        * date_diff('day', o_orderdate, l_shipdate))
+                    AS BIGINT) AS s2
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1)
+    SELECT s_suppkey, s_name, n_lines,
+           ROUND(CAST(s1 AS DOUBLE) / CAST(n_lines AS DOUBLE), 4)
+             AS avg_lag_days,
+           CASE WHEN n_lines > 1 THEN
+               ROUND(sqrt((CAST(n_lines AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n_lines AS DOUBLE)
+                             * (CAST(n_lines AS DOUBLE) - 1))), 4)
+           END AS stddev_lag_days
+    FROM cells JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY s_suppkey
+"""
+
+
+BOT_RATE_THRESHOLD = 20
+BOT_MIN_HOURS = 2
+
+
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained-superhuman-rate bot screen. See analytics.bot_flags."""
+    from ksql_query_tutorial_spark.operators.analytics import bot_flags
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bot_flags(
+        load(spark, sf_dir, "events"),
+        rate_threshold=BOT_RATE_THRESHOLD,
+        min_active_hours=BOT_MIN_HOURS,
+    )
+
+
+EXTENSION_QUERIES["events_bot_flags"] = events_bot_flags
+
+EXTENSION_ORACLES["events_bot_flags"] = f"""
+    WITH cells AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    u AS (SELECT user_id,
+                 CAST(sum(n) AS BIGINT) AS n_events,
+                 CAST(count(*) AS BIGINT) AS active_hours,
+                 CAST(max(n) AS BIGINT) AS peak_hourly_rate
+          FROM cells GROUP BY 1)
+    SELECT user_id, n_events, active_hours, peak_hourly_rate,
+           ROUND(CAST(n_events AS DOUBLE) / CAST(active_hours AS DOUBLE), 4)
+             AS avg_hourly_rate,
+           (peak_hourly_rate >= {BOT_RATE_THRESHOLD}
+            AND active_hours >= {BOT_MIN_HOURS}) AS is_bot
+    FROM u ORDER BY user_id
+"""

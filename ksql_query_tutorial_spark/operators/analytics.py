@@ -1414,3 +1414,55 @@ def slo_burn_down(
         )
         .orderBy("hour")
     )
+
+
+def bot_flags(
+    df: DataFrame,
+    rate_threshold: int = 20,
+    min_active_hours: int = 2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bot-traffic screen: per user, the peak and mean hourly event
+    rate and a flag for sustained superhuman activity (peak rate over
+    the threshold AND at least ``min_active_hours`` active hours) —
+    the traffic-cleaning gate a behavioral-training pipeline runs
+    before everything else.
+
+    Scale design: TWO bounded rollups — (user, hour) cells first
+    (map-side partials; the only full-data exchange), then per-user
+    stats over the cells. Exact integer counts; the mean divides once.
+
+    Returns ``user_id, n_events, active_hours, peak_hourly_rate,
+    avg_hourly_rate, is_bot`` ordered by user id.
+    """
+    cells = (
+        df.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("HOUR", F.col(ts_col)).alias("__h"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    per_user = cells.groupBy("user_id").agg(
+        F.sum("__n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("active_hours"),
+        F.max("__n").cast("long").alias("peak_hourly_rate"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "active_hours",
+            "peak_hourly_rate",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("active_hours").cast("double"),
+                4,
+            ).alias("avg_hourly_rate"),
+            (
+                (F.col("peak_hourly_rate") >= rate_threshold)
+                & (F.col("active_hours") >= min_active_hours)
+            ).alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )

@@ -3210,3 +3210,61 @@ def test_dedup_graph_degrees_matches_pair_volume(spark):
     ).count()
     rows = dedup_graph_degrees(spark, SF_ORACLE).collect()
     assert sum(r["n_rows"] for r in rows) == 2 * n_pairs and n_pairs > 0
+
+
+def test_lead_time_scorecard_exact_moments(spark):
+    """supplier_lead_time: integer-moment variance matches the
+    closed-form sample stddev; single-line suppliers get NULL."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.retail import (
+        lead_time_scorecard,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, "1996-01-01"), (2, "1996-01-01")],
+        "o_orderkey long, d string",
+    ).selectExpr("o_orderkey", "cast(d as timestamp) as o_orderdate")
+    sup = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 1, "1996-01-11"),  # lag 10
+            (2, 1, "1996-01-31"),  # lag 30
+            (1, 2, "1996-02-01"),  # single line -> NULL stddev
+        ],
+        "l_orderkey long, l_suppkey long, d string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "cast(d as timestamp) as l_shipdate"
+    )
+    rows = {r["s_suppkey"]: r
+            for r in lead_time_scorecard(orders, li, sup).collect()}
+    assert rows[1]["avg_lag_days"] == 20.0
+    assert rows[1]["stddev_lag_days"] == round(math.sqrt(200.0), 4)
+    assert rows[2]["stddev_lag_days"] is None
+
+
+def test_bot_flags_requires_sustained_rate(spark):
+    """events_bot_flags: a single hot hour alone doesn't flag; the
+    threshold AND the active-hours floor must both hold."""
+    from ksql_query_tutorial_spark.operators.analytics import bot_flags
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    # user 1: 25 events in ONE hour -> hot but not sustained
+    rows += [(1, "2024-01-01 00:00:30")] * 25
+    # user 2: 25 events/hour across two hours -> bot
+    rows += [(2, "2024-01-01 00:00:30")] * 25
+    rows += [(2, "2024-01-01 01:00:30")] * 25
+    # user 3: slow and steady -> clean
+    rows += [(3, "2024-01-01 00:00:30"), (3, "2024-01-01 05:00:30")]
+    df = spark.createDataFrame(
+        rows, "user_id long, d string"
+    ).selectExpr("user_id", "cast(d as timestamp_ntz) as ts")
+    out = {r["user_id"]: r
+           for r in bot_flags(df, rate_threshold=20,
+                              min_active_hours=2).collect()}
+    assert out[1]["is_bot"] is False and out[1]["peak_hourly_rate"] == 25
+    assert out[2]["is_bot"] is True
+    assert out[3]["is_bot"] is False and out[3]["avg_hourly_rate"] == 1.0

@@ -174,6 +174,9 @@ EXT_NAMES = [
     # r5 SLO / graph-composition batch.
     "events_slo_burn",
     "dedup_graph_degrees",
+    # r5 reliability/traffic batch.
+    "supplier_lead_time",
+    "events_bot_flags",
 ]
 
 
