@@ -5702,3 +5702,34 @@ EXTENSION_ORACLES["events_bot_flags"] = f"""
             AND active_hours >= {BOT_MIN_HOURS}) AS is_bot
     FROM u ORDER BY user_id
 """
+
+
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration (HHI) per nation.
+    See retail.revenue_concentration_hhi."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    return retail.revenue_concentration_hhi(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+EXTENSION_QUERIES["nation_revenue_hhi"] = nation_revenue_hhi
+
+EXTENSION_ORACLES["nation_revenue_hhi"] = """
+    WITH cells AS (
+        SELECT n_name AS nation, c_custkey,
+               ROUND(sum(o_totalprice), 4) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2)
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           ROUND(sum(rev), 4) AS total_revenue,
+           ROUND(sum(rev * rev) / (sum(rev) * sum(rev)), 6) AS hhi,
+           ROUND(max(rev) / sum(rev), 6) AS top_share
+    FROM cells GROUP BY 1 ORDER BY 1
+"""

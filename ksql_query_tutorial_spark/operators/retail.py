@@ -1939,3 +1939,48 @@ def lead_time_scorecard(
         )
         .orderBy("s_suppkey")
     )
+
+
+def revenue_concentration_hhi(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Market-concentration index per nation: the Herfindahl–Hirschman
+    index of customer revenue shares (Σ share²; 1 = one customer owns
+    the market, 1/n = perfectly even) plus the top-customer share —
+    the concentration-risk readout.
+
+    Scale design: ONE (nation, customer) rollup over orders (customer
+    join carries only the nation key, nation dim broadcasts), then a
+    per-nation reduction over the bounded cells: HHI = Σrev² / (Σrev)²
+    over per-customer revenues ROUNDED to 4dp first, so both engines
+    square and sum identical values. No window; the top share is a
+    max over the same cells.
+
+    Returns ``nation, n_customers, total_revenue, hhi, top_share``
+    (rounded 6) ordered by nation.
+    """
+    o = orders.select("o_custkey", "o_totalprice")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("__rev"))
+    )
+    return (
+        cells.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("__rev"), 4).alias("total_revenue"),
+            F.round(
+                F.sum(F.col("__rev") * F.col("__rev"))
+                / (F.sum("__rev") * F.sum("__rev")),
+                6,
+            ).alias("hhi"),
+            F.round(F.max("__rev") / F.sum("__rev"), 6).alias("top_share"),
+        )
+        .orderBy("nation")
+    )

@@ -3268,3 +3268,28 @@ def test_bot_flags_requires_sustained_rate(spark):
     assert out[1]["is_bot"] is False and out[1]["peak_hourly_rate"] == 25
     assert out[2]["is_bot"] is True
     assert out[3]["is_bot"] is False and out[3]["avg_hourly_rate"] == 1.0
+
+
+def test_revenue_concentration_hhi_bounds(spark):
+    """nation_revenue_hhi: monopoly -> HHI 1; two equal customers ->
+    HHI 0.5 with top_share 0.5."""
+    from ksql_query_tutorial_spark.operators.retail import (
+        revenue_concentration_hhi,
+    )
+
+    nation = spark.createDataFrame(
+        [(1, "MONO"), (2, "DUO")], "n_nationkey long, n_name string"
+    )
+    cust = spark.createDataFrame(
+        [(10, 1), (20, 2), (21, 2)], "c_custkey long, c_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 100.0), (20, 50.0), (21, 50.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    rows = {r["nation"]: r
+            for r in revenue_concentration_hhi(cust, orders, nation)
+            .collect()}
+    assert rows["MONO"]["hhi"] == 1.0 and rows["MONO"]["top_share"] == 1.0
+    assert rows["DUO"]["hhi"] == 0.5 and rows["DUO"]["top_share"] == 0.5
+    assert rows["DUO"]["n_customers"] == 2

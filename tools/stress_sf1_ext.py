@@ -177,6 +177,8 @@ EXT_NAMES = [
     # r5 reliability/traffic batch.
     "supplier_lead_time",
     "events_bot_flags",
+    # r5 concentration batch.
+    "nation_revenue_hhi",
 ]
 
 
