@@ -5733,3 +5733,38 @@ EXTENSION_ORACLES["nation_revenue_hhi"] = """
            ROUND(max(rev) / sum(rev), 6) AS top_share
     FROM cells GROUP BY 1 ORDER BY 1
 """
+
+
+def corpus_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter yield curve over the hashed linear scorer.
+    See corpus.quality_yield_curve."""
+    from ksql_query_tutorial_spark.operators.corpus import (
+        quality_yield_curve,
+    )
+
+    scored = EXTENSION_QUERIES["text_quality_score"](spark, sf_dir)
+    return quality_yield_curve(scored)
+
+
+EXTENSION_QUERIES["corpus_yield_curve"] = corpus_yield_curve
+
+EXTENSION_ORACLES["corpus_yield_curve"] = f"""
+    WITH scored AS ({EXTENSION_ORACLES["text_quality_score"]}),
+    grid AS (SELECT * FROM (VALUES (-0.1), (-0.05), (0.0), (0.05), (0.1))
+             AS t(threshold))
+    SELECT threshold,
+           CAST(sum(CASE WHEN quality_score >= threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           ROUND(CAST(sum(CASE WHEN quality_score >= threshold
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS doc_share,
+           CAST(sum(CASE WHEN quality_score >= threshold
+                         THEN n_distinct_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           ROUND(CAST(sum(CASE WHEN quality_score >= threshold
+                               THEN n_distinct_tokens ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(n_distinct_tokens) AS DOUBLE), 6)
+             AS token_share
+    FROM scored CROSS JOIN grid
+    GROUP BY 1 ORDER BY 1
+"""

@@ -2060,3 +2060,55 @@ def boolean_search(
         .select(id_col, "lang", "source", "n_chars")
         .orderBy(id_col)
     )
+
+
+YIELD_THRESHOLDS = (-0.1, -0.05, 0.0, 0.05, 0.1)
+
+
+def quality_yield_curve(
+    scored: DataFrame,
+    thresholds: tuple = YIELD_THRESHOLDS,
+    score_col: str = "quality_score",
+    weight_col: str = "n_distinct_tokens",
+) -> DataFrame:
+    """Filter-calibration yield curve: for each candidate quality
+    threshold, how many documents and how much token mass survive —
+    the readout that picks the cutoff meeting a token budget (the
+    decision the curation pipeline makes BEFORE running the filter).
+
+    Scale design: the scored table fans out by the |thresholds|
+    constant (a broadcast cross join — bounded multiplier, collapsed
+    by map-side partials in the same stage), and one rollup per
+    threshold finishes. Shares divide exact integer sums once per
+    cell. Output is |thresholds| rows.
+
+    Returns ``threshold, n_docs_kept, doc_share, tokens_kept,
+    token_share`` (shares rounded 6) ordered by threshold.
+    """
+    spark = scored.sparkSession
+    grid = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "threshold double"
+    )
+    keep = F.col(score_col) >= F.col("threshold")
+    kept_doc = F.when(keep, 1).otherwise(0)
+    kept_w = F.when(keep, F.col(weight_col)).otherwise(F.lit(0))
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(kept_doc).cast("long").alias("n_docs_kept"),
+            F.round(
+                F.sum(kept_doc).cast("double") / F.count(F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("doc_share"),
+            F.sum(kept_w).cast("long").alias("tokens_kept"),
+            F.round(
+                F.sum(kept_w).cast("double")
+                / F.sum(F.col(weight_col)).cast("double"),
+                6,
+            ).alias("token_share"),
+        )
+        .orderBy("threshold")
+    )

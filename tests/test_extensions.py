@@ -3293,3 +3293,31 @@ def test_revenue_concentration_hhi_bounds(spark):
     assert rows["MONO"]["hhi"] == 1.0 and rows["MONO"]["top_share"] == 1.0
     assert rows["DUO"]["hhi"] == 0.5 and rows["DUO"]["top_share"] == 0.5
     assert rows["DUO"]["n_customers"] == 2
+
+
+def test_quality_yield_curve_monotone_and_exact(spark):
+    """corpus_yield_curve: yields are monotone non-increasing in the
+    threshold and exact on a hand-built score table."""
+    from ksql_query_tutorial_spark.operators.corpus import (
+        quality_yield_curve,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, -0.2, 10),
+            (2, 0.0, 20),
+            (3, 0.07, 30),
+            (4, 0.5, 40),
+        ],
+        "doc_id long, quality_score double, n_distinct_tokens int",
+    )
+    rows = quality_yield_curve(
+        scored, thresholds=(-0.1, 0.0, 0.1)
+    ).collect()
+    got = {r["threshold"]: (r["n_docs_kept"], r["tokens_kept"],
+                            r["token_share"]) for r in rows}
+    assert got[-0.1] == (3, 90, 0.9)
+    assert got[0.0] == (3, 90, 0.9)
+    assert got[0.1] == (1, 40, 0.4)
+    kept = [got[t][0] for t in sorted(got)]
+    assert kept == sorted(kept, reverse=True)

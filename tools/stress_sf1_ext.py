@@ -179,6 +179,8 @@ EXT_NAMES = [
     "events_bot_flags",
     # r5 concentration batch.
     "nation_revenue_hhi",
+    # r5 curation-calibration batch.
+    "corpus_yield_curve",
 ]
 
 
