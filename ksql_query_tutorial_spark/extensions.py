@@ -5768,3 +5768,88 @@ EXTENSION_ORACLES["corpus_yield_curve"] = f"""
     FROM scored CROSS JOIN grid
     GROUP BY 1 ORDER BY 1
 """
+
+
+def corpus_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit. See corpus.heaps_fit."""
+    from ksql_query_tutorial_spark.operators.corpus import heaps_fit
+    from ksql_query_tutorial_spark.tables import parquet_row_count
+
+    n = parquet_row_count(f"{sf_dir}/documents.parquet")
+    return heaps_fit(load(spark, sf_dir, "documents"), n_docs=n)
+
+
+EXTENSION_QUERIES["corpus_heaps"] = corpus_heaps
+
+EXTENSION_ORACLES["corpus_heaps"] = f"""
+    WITH nd AS (SELECT greatest(count(*), 1) AS n FROM documents),
+    fo AS (SELECT tok.term,
+                  CAST(least(CAST(floor(min(tok.doc_id) * 10.0
+                                        / (SELECT n FROM nd)) AS INT), 9)
+                       AS INT) AS bin
+           FROM (SELECT doc_id,
+                        unnest(list_distinct({_TOKS})) AS term
+                 FROM documents) tok
+           GROUP BY tok.term),
+    nv AS (SELECT bin, CAST(count(*) AS BIGINT) AS new_vocab
+           FROM fo GROUP BY 1),
+    tm AS (SELECT CAST(least(CAST(floor(doc_id * 10.0
+                                        / (SELECT n FROM nd)) AS INT), 9)
+                       AS INT) AS bin,
+                  CAST(sum(len({_TOKS})) AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+    cells AS (
+        SELECT tm.bin,
+               sum(tm.tokens) OVER (ORDER BY tm.bin
+                                    ROWS UNBOUNDED PRECEDING) AS tok_cum,
+               sum(COALESCE(nv.new_vocab, 0)) OVER (ORDER BY tm.bin
+                                    ROWS UNBOUNDED PRECEDING) AS voc_cum
+        FROM tm LEFT JOIN nv ON tm.bin = nv.bin),
+    pts AS (SELECT ln(CAST(tok_cum AS DOUBLE)) AS x,
+                   ln(CAST(voc_cum AS DOUBLE)) AS y
+            FROM cells WHERE tok_cum > 0 AND voc_cum > 0),
+    m AS (SELECT 'corpus' AS scope,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts)
+    SELECT scope, n,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0
+                      THEN (sy - (n * sxy - sx * sy)
+                                 / (n * sxx - sx * sx) * sx) / n
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 6) AS r2
+    FROM m ORDER BY scope
+"""
+
+
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Shannon entropy.
+    See analytics.behavior_entropy."""
+    from ksql_query_tutorial_spark.operators.analytics import behavior_entropy
+
+    return behavior_entropy(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_behavior_entropy"] = events_behavior_entropy
+
+EXTENSION_ORACLES["events_behavior_entropy"] = """
+    WITH cells AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    u AS (SELECT user_id,
+                 CAST(sum(c) AS BIGINT) AS n_events,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+          FROM cells GROUP BY 1)
+    SELECT user_id, n_events, n_types,
+           ROUND(ln(CAST(n_events AS DOUBLE))
+                 - clnc / CAST(n_events AS DOUBLE), 6) AS entropy
+    FROM u ORDER BY user_id
+"""

@@ -1466,3 +1466,43 @@ def bot_flags(
         )
         .orderBy("user_id")
     )
+
+
+def behavior_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user behavioral entropy: the Shannon entropy (nats) of each
+    user's event-type distribution — 0 = single-minded, ln(|types|) =
+    uniform; the feature that separates scripted/bot traffic from
+    organic browsing in behavioral models.
+
+    Scale design: (user, type) cells first (the only full exchange,
+    map-side partials), then ONE per-user reduction using
+    ``H = ln(n) − (Σ c·ln c)/n`` — counts stay exact integers and the
+    only floats are per-row ``ln`` over those integers, so the rounded
+    entropy is engine-portable (the zipf/heaps precedent).
+
+    Returns ``user_id, n_events, n_types, entropy (rounded 6)``
+    ordered by user id.
+    """
+    cells = df.groupBy(
+        F.col(user_col).alias("user_id"), F.col(type_col).alias("__t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    c = F.col("__c").cast("double")
+    per_user = cells.groupBy("user_id").agg(
+        F.sum("__c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(c * F.log(c)).alias("__clnc"),
+    )
+    n = F.col("n_events").cast("double")
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(F.log(n) - F.col("__clnc") / n, 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )

@@ -2112,3 +2112,79 @@ def quality_yield_curve(
         )
         .orderBy("threshold")
     )
+
+
+HEAPS_BINS = 10
+
+
+def heaps_fit(
+    df: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = HEAPS_BINS,
+) -> DataFrame:
+    """Heaps'-law fit: OLS of ``ln(vocabulary)`` on ``ln(tokens
+    processed)`` over cumulative corpus prefixes — the companion to
+    :func:`zipf_fit` (β well under 1 is natural language; β near 1
+    flags a corpus whose vocabulary never saturates, e.g. serial
+    numbers or noise).
+
+    Scale design: prefixes are ``n_bins`` doc-id slices (``n_docs``
+    comes from parquet footer statistics — no count job). New-vocab
+    mass per slice is one term-keyed rollup (``min(doc_id)`` per term
+    — the first-occurrence move novelty uses); token mass per slice
+    is a narrow per-doc map. Both cumulate with windows over the
+    ≤``n_bins`` cell table and the fit reuses
+    :func:`analytics.ols_regression`'s closed form. The corpus is
+    touched twice, shuffles carry vocabulary / n_bins cells only.
+    """
+    from ksql_query_tutorial_spark.operators.analytics import ols_regression
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    n = max(int(n_docs), 1)
+
+    def slice_of(col):
+        return F.least(
+            F.floor(col * n_bins / F.lit(float(n))).cast("int"),
+            F.lit(n_bins - 1),
+        )
+
+    new_vocab = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "term"
+            ),
+        )
+        .groupBy("term")
+        .agg(F.min(id_col).alias("__first"))
+        .groupBy(slice_of(F.col("__first")).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__new_vocab"))
+    )
+    token_mass = (
+        df.select(
+            slice_of(F.col(id_col)).alias("bin"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__nt"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("__nt").alias("__tokens"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cells = (
+        token_mass.join(new_vocab, "bin", "left_outer")
+        .select(
+            "bin",
+            F.sum("__tokens").over(w).alias("__tok_cum"),
+            F.sum(F.coalesce(F.col("__new_vocab"), F.lit(0)))
+            .over(w)
+            .alias("__voc_cum"),
+        )
+        .filter((F.col("__tok_cum") > 0) & (F.col("__voc_cum") > 0))
+    )
+    pts = cells.select(
+        F.lit("corpus").alias("scope"),
+        F.log(F.col("__tok_cum").cast("double")).alias("x"),
+        F.log(F.col("__voc_cum").cast("double")).alias("y"),
+    )
+    return ols_regression(pts, x_col="x", y_col="y", group_col="scope")

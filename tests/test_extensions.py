@@ -3321,3 +3321,36 @@ def test_quality_yield_curve_monotone_and_exact(spark):
     assert got[0.1] == (1, 40, 0.4)
     kept = [got[t][0] for t in sorted(got)]
     assert kept == sorted(kept, reverse=True)
+
+
+def test_heaps_fit_recovers_exact_power_law(spark):
+    """corpus_heaps: on a corpus built so cumulative vocab is an exact
+    power of cumulative tokens, OLS recovers beta with R^2 = 1."""
+    from ksql_query_tutorial_spark.operators.corpus import heaps_fit
+
+    # 100 docs, each with 10 tokens; doc i contributes exactly
+    # 10 NEW tokens -> V(N) = N (beta = 1, a clean degenerate check)
+    rows = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(10)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = heaps_fit(df, n_docs=100).collect()[0]
+    assert r["slope"] == 1.0 and r["r2"] == 1.0
+
+
+def test_behavior_entropy_uniform_and_point_mass(spark):
+    """events_behavior_entropy: point mass -> 0; uniform over 4 types
+    -> ln(4)."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        behavior_entropy,
+    )
+
+    rows = [(1, "click")] * 8
+    rows += [(2, t) for t in ("a", "b", "c", "d") for _ in range(3)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["user_id"]: r for r in behavior_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_types"] == 1
+    assert out[2]["entropy"] == round(math.log(4), 6)

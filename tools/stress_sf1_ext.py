@@ -181,6 +181,9 @@ EXT_NAMES = [
     "nation_revenue_hhi",
     # r5 curation-calibration batch.
     "corpus_yield_curve",
+    # r5 corpus-statistics / behavior batch.
+    "corpus_heaps",
+    "events_behavior_entropy",
 ]
 
 
