@@ -5853,3 +5853,52 @@ EXTENSION_ORACLES["events_behavior_entropy"] = """
                  - clnc / CAST(n_events AS DOUBLE), 6) AS entropy
     FROM u ORDER BY user_id
 """
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield accounting: the cluster-size histogram of the
+    LSH-fed connected components and the removable-document mass per
+    size — the capacity-planning readout (how much of the corpus
+    dedup will actually delete, and whether the mass sits in pairs or
+    mega-clusters). Another operator composition: clusters →
+    histogram, all bounded after the cluster labeling.
+
+    Scale design: rides dedup_clusters_lsh (banded candidate
+    generation, O(diameter) label propagation); the per-cluster size
+    rollup and the per-size histogram are two bounded aggregates.
+    ``removable = (size − 1) · n_clusters`` per cell; singleton
+    clusters report the untouched mass.
+    """
+    labels = EXTENSION_QUERIES["dedup_clusters_lsh"](spark, sf_dir)
+    sizes = labels.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__size")
+    )
+    return (
+        sizes.groupBy(F.col("__size").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias(
+                "n_docs"
+            ),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+EXTENSION_QUERIES["dedup_savings_report"] = dedup_savings_report
+
+EXTENSION_ORACLES["dedup_savings_report"] = f"""
+    WITH labels AS ({EXTENSION_ORACLES["dedup_clusters_lsh"]}),
+    sizes AS (SELECT keeper_id, CAST(count(*) AS BIGINT) AS size
+              FROM labels GROUP BY 1)
+    SELECT size AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(size * count(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY 1 ORDER BY 1
+"""

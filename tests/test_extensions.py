@@ -3354,3 +3354,21 @@ def test_behavior_entropy_uniform_and_point_mass(spark):
     out = {r["user_id"]: r for r in behavior_entropy(df).collect()}
     assert out[1]["entropy"] == 0.0 and out[1]["n_types"] == 1
     assert out[2]["entropy"] == round(math.log(4), 6)
+
+
+def test_dedup_savings_report_mass_conservation(spark):
+    """dedup_savings_report: docs partition across size cells and
+    removable mass equals corpus size minus cluster count."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        dedup_savings_report,
+    )
+    from tests.conftest import SF_ORACLE
+
+    labels = EXTENSION_QUERIES["dedup_clusters_lsh"](spark, SF_ORACLE)
+    n_docs = labels.count()
+    n_clusters = labels.select("keeper_id").distinct().count()
+    rows = dedup_savings_report(spark, SF_ORACLE).collect()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_clusters"] for r in rows) == n_clusters
+    assert sum(r["n_removable"] for r in rows) == n_docs - n_clusters

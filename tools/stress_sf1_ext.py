@@ -184,6 +184,8 @@ EXT_NAMES = [
     # r5 corpus-statistics / behavior batch.
     "corpus_heaps",
     "events_behavior_entropy",
+    # r5 dedup-accounting batch.
+    "dedup_savings_report",
 ]
 
 
