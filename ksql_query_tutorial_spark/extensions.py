@@ -5902,3 +5902,131 @@ EXTENSION_ORACLES["dedup_savings_report"] = f"""
            CAST((size - 1) * count(*) AS BIGINT) AS n_removable
     FROM sizes GROUP BY 1 ORDER BY 1
 """
+
+
+COPURCHASE_MIN_SUPPORT = 1  # raise on a real corpus; 1 keeps tiny SFs non-degenerate
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts on the co-purchase graph (parts
+    sharing ≥ COPURCHASE_MIN_SUPPORT orders). Edge generation is
+    per-order pair expansion — bounded fan-out since TPC-H-shaped
+    orders carry ≤7 lines — then degree-ordered triangle counting.
+    See graph.triangle_counts for the orientation argument.
+    """
+    from ksql_query_tutorial_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(
+            F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .filter(F.col("__support") >= COPURCHASE_MIN_SUPPORT)
+        .select("id_a", "id_b")
+    )
+    return triangle_counts(edges).withColumnRenamed("id", "part_key")
+
+
+EXTENSION_QUERIES["graph_triangles"] = graph_triangles
+
+EXTENSION_ORACLES["graph_triangles"] = f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v
+          FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}),
+    t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM e e1
+          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    m AS (SELECT x AS part_key FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t)
+    SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+LDIV_L = 3
+LDIV_QUASI = ("c_nationkey", "c_mktsegment")
+LDIV_SENSITIVE = "o_orderpriority"
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of order priorities within the customer
+    (nation, market segment) quasi-identifier classes — the companion
+    to privacy_k_anonymity. See analytics.l_diversity."""
+    from ksql_query_tutorial_spark.operators.analytics import l_diversity
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).select(*LDIV_QUASI, LDIV_SENSITIVE)
+    return l_diversity(
+        joined, list(LDIV_QUASI), LDIV_SENSITIVE, l_threshold=LDIV_L
+    )
+
+
+EXTENSION_QUERIES["privacy_l_diversity"] = privacy_l_diversity
+
+EXTENSION_ORACLES["privacy_l_diversity"] = f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3),
+    g AS (SELECT c_nationkey, c_mktsegment,
+                 CAST(sum(c) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS distinct_l,
+                 sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+          FROM cells GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, n_rows, distinct_l,
+           ROUND(exp(ln(CAST(n_rows AS DOUBLE))
+                     - clnc / CAST(n_rows AS DOUBLE)), 6) AS entropy_l,
+           distinct_l < {LDIV_L} AS at_risk
+    FROM g ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+def corpus_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words signatures over documents.
+    See corpus.feature_hash_signature."""
+    from ksql_query_tutorial_spark.operators.corpus import (
+        feature_hash_signature,
+    )
+
+    return feature_hash_signature(load(spark, sf_dir, "documents"))
+
+
+EXTENSION_QUERIES["corpus_feature_hash"] = corpus_feature_hash
+
+_FH_D = 256
+_FH_HASH = _portable_hash_sql("tok")
+
+EXTENSION_ORACLES["corpus_feature_hash"] = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    tc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok WHERE tok <> '' GROUP BY 1, 2),
+    hs AS (SELECT doc_id, cnt, {_FH_HASH} AS h FROM tc),
+    slots AS (
+        SELECT doc_id, h & {_FH_D - 1} AS bucket,
+               SUM(CASE WHEN ((h >> 8) & 1) = 0 THEN cnt ELSE -cnt END)
+                   AS val
+        FROM hs GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nnz,
+           CAST(sum(abs(val)) AS BIGINT) AS l1,
+           CAST(sum(val * val) AS BIGINT) AS sum_sq,
+           CAST(sum(bucket * val) AS BIGINT) AS checksum
+    FROM slots GROUP BY 1 ORDER BY 1
+"""

@@ -1506,3 +1506,58 @@ def behavior_entropy(
         )
         .orderBy("user_id")
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l_threshold: int = 3,
+) -> DataFrame:
+    """l-diversity audit: for every quasi-identifier equivalence class,
+    how many DISTINCT sensitive values it contains (distinct
+    l-diversity) and the entropy variant ``exp(H)`` (entropy
+    l-diversity) — the companion check to :func:`k_anonymity`, since a
+    class can be large (k-anonymous) yet leak the sensitive attribute
+    outright when every member shares one value.
+
+    Determinism design: the entropy is computed from exact integer
+    (class, value) counts as ``ln(n) − Σ c·ln(c) / n`` — the same
+    order-independent form the behavioral-entropy operator uses, so
+    any SQL engine reproduces it bit-for-bit from the same counts.
+
+    Scale design: ONE exchange keyed on (quasi tuple, sensitive value)
+    with map-side partial counts, then a second aggregate keyed on the
+    quasi tuple alone — output bounded by the quasi-identifier domain.
+    No windows, no self-joins, no driver actions.
+
+    Returns ``*quasi_cols, n_rows, distinct_l, entropy_l, at_risk``
+    (``at_risk`` ⇔ distinct_l < l_threshold) ordered by the quasi
+    columns.
+    """
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    c = F.col("__c").cast("double")
+    return (
+        cells.groupBy(*quasi_cols)
+        .agg(
+            F.sum("__c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("distinct_l"),
+            F.sum(c * F.log(c)).alias("__clnc"),
+        )
+        .select(
+            *quasi_cols,
+            "n_rows",
+            "distinct_l",
+            F.round(
+                F.exp(
+                    F.log(F.col("n_rows").cast("double"))
+                    - F.col("__clnc") / F.col("n_rows").cast("double")
+                ),
+                6,
+            ).alias("entropy_l"),
+            (F.col("distinct_l") < l_threshold).alias("at_risk"),
+        )
+        .orderBy(*quasi_cols)
+    )

@@ -2188,3 +2188,91 @@ def heaps_fit(
         F.log(F.col("__voc_cum").cast("double")).alias("y"),
     )
     return ols_regression(pts, x_col="x", y_col="y", group_col="scope")
+
+
+FEATURE_HASH_BUCKETS = 256  # power of two: bucket = h & (D-1)
+
+
+def feature_hash_signature(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = FEATURE_HASH_BUCKETS,
+    portable: bool = True,
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al.'s feature
+    hashing / scikit-learn's HashingVectorizer): every token is hashed
+    into one of ``n_buckets`` signed slots — bucket = low bits of the
+    hash, sign = the next bit — and per-document slot values are the
+    signed term-count sums. The standard way to get fixed-width
+    bag-of-words features without materializing (or shipping to every
+    executor) a vocabulary, which is what makes it the featurizer that
+    still works at 100 TB: no global vocab build, no dictionary
+    broadcast, no OOV handling.
+
+    Output is the per-document SIGNATURE of the hashed vector —
+    ``nnz`` (occupied slots after sign cancellation), ``l1``,
+    ``sum_sq``, and the slot-weighted ``checksum`` Σ bucket·value —
+    all exact integers, which pins every hash, sign, and count without
+    emitting |docs| × n_buckets rows. Callers wanting the raw vector
+    stop one aggregate earlier.
+
+    Scale design: tokenize → per-(doc, term) count (dedups BEFORE
+    hashing so the interpreted portable char-fold runs once per
+    distinct pair, not per occurrence) → per-(doc, bucket) signed sum
+    → per-doc rollup. Every exchange is doc-keyed with map-side
+    partials; no windows, no joins, no driver actions. ``n_buckets``
+    must be a power of two so the bucket/sign split is bit arithmetic
+    (``h & (D−1)``, ``(h >> log2 D) & 1``) — portable to any BIGINT
+    SQL engine, which is how the DuckDB oracle recomputes it.
+
+    Returns ``doc_id, nnz, l1, sum_sq, checksum`` ordered by doc id.
+    """
+    from ksql_query_tutorial_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = n_buckets.bit_length() - 1
+    tc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    h = (
+        portable_token_hash(F.col("tok"))
+        if portable
+        else F.xxhash64("tok").bitwiseAND(F.lit((1 << 62) - 1))
+    )
+    slots = (
+        tc.select(
+            "doc_id",
+            h.bitwiseAND(F.lit(n_buckets - 1)).alias("bucket"),
+            F.when(
+                F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 0,
+                F.col("cnt"),
+            )
+            .otherwise(-F.col("cnt"))
+            .alias("sval"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sval").alias("val"))
+    )
+    v = F.col("val")
+    return (
+        slots.groupBy("doc_id")
+        .agg(
+            F.sum((v != 0).cast("long")).cast("long").alias("nnz"),
+            F.sum(F.abs(v)).cast("long").alias("l1"),
+            F.sum(v * v).cast("long").alias("sum_sq"),
+            F.sum(F.col("bucket") * v).cast("long").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3372,3 +3372,92 @@ def test_dedup_savings_report_mass_conservation(spark):
     assert sum(r["n_docs"] for r in rows) == n_docs
     assert sum(r["n_clusters"] for r in rows) == n_clusters
     assert sum(r["n_removable"] for r in rows) == n_docs - n_clusters
+
+
+def test_triangle_counts_planted_graph(spark):
+    """triangle_counts: K4 gives every node C(3,2)=3 triangles; a
+    pendant chain adds none; edge direction/duplication in the input
+    is normalized away."""
+    from ksql_query_tutorial_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    # duplicates + reversed orientation + a pendant path 4-5-6
+    edges = k4 + [(b, a) for a, b in k4] + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_skew_star_has_none(spark):
+    """triangle_counts: a star (maximal degree skew) has zero
+    triangles and the degree-ordered orientation keeps the hub's
+    out-degree at 0 — the wedge join generates nothing from it."""
+    from ksql_query_tutorial_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 40)]
+    df = spark.createDataFrame(star, "id_a long, id_b long")
+    assert triangle_counts(df).count() == 0
+
+
+def test_l_diversity_point_mass_and_uniform(spark):
+    """l_diversity: single sensitive value -> l=1, entropy_l=1, at
+    risk; uniform over 4 values -> l=4, entropy_l=4."""
+    from ksql_query_tutorial_spark.operators.analytics import l_diversity
+
+    rows = [("g1", "x")] * 6
+    rows += [("g2", s) for s in ("a", "b", "c", "d") for _ in range(2)]
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    out = {r["grp"]: r for r in l_diversity(df, ["grp"], "sens", 3).collect()}
+    assert out["g1"]["distinct_l"] == 1 and out["g1"]["at_risk"]
+    assert out["g1"]["entropy_l"] == 1.0
+    assert out["g2"]["distinct_l"] == 4 and not out["g2"]["at_risk"]
+    assert out["g2"]["entropy_l"] == 4.0
+
+
+def test_feature_hash_signature_exact_small_doc(spark):
+    """feature_hash_signature: recompute one tiny doc's signature in
+    pure Python from portable_token_hash semantics."""
+    from ksql_query_tutorial_spark.operators.corpus import (
+        FEATURE_HASH_BUCKETS,
+        feature_hash_signature,
+    )
+
+    M = 2147483647
+
+    def pth(tok: str) -> int:
+        h0, h1 = 7, 11
+        for ch in tok:
+            h0 = (h0 * 131 + ord(ch)) % M
+            h1 = (h1 * 137 + ord(ch)) % M
+        return h0 + (h1 << 31)
+
+    text = "to be or not to be"
+    slots: dict[int, int] = {}
+    for tok in set(text.split()):
+        cnt = text.split().count(tok)
+        h = pth(tok)
+        b = h & (FEATURE_HASH_BUCKETS - 1)
+        sign = 1 if ((h >> 8) & 1) == 0 else -1
+        slots[b] = slots.get(b, 0) + sign * cnt
+    exp_nnz = sum(1 for v in slots.values() if v != 0)
+    exp_l1 = sum(abs(v) for v in slots.values())
+    exp_sq = sum(v * v for v in slots.values())
+    exp_ck = sum(b * v for b, v in slots.items())
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = feature_hash_signature(df).collect()[0]
+    assert (r["nnz"], r["l1"], r["sum_sq"], r["checksum"]) == (
+        exp_nnz, exp_l1, exp_sq, exp_ck,
+    )
+
+
+def test_feature_hash_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from ksql_query_tutorial_spark.operators.corpus import (
+        feature_hash_signature,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        feature_hash_signature(df, n_buckets=100)

@@ -186,6 +186,11 @@ EXT_NAMES = [
     "events_behavior_entropy",
     # r5 dedup-accounting batch.
     "dedup_savings_report",
+    # r5 graph/privacy/featurization batch: co-purchase triangles,
+    # l-diversity, hashing-trick signatures.
+    "graph_triangles",
+    "privacy_l_diversity",
+    "corpus_feature_hash",
 ]
 
 
