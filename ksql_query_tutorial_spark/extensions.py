@@ -6030,3 +6030,159 @@ EXTENSION_ORACLES["corpus_feature_hash"] = f"""
            CAST(sum(bucket * val) AS BIGINT) AS checksum
     FROM slots GROUP BY 1 ORDER BY 1
 """
+
+
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via a sweep line over session
+    boundaries with a hierarchical (hour-blocked) prefix sum.
+    See analytics.session_concurrency."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        session_concurrency,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return session_concurrency(e, gap_minutes=SESSION_GAP_MIN)
+
+
+EXTENSION_QUERIES["events_concurrency"] = events_concurrency
+
+EXTENSION_ORACLES["events_concurrency"] = f"""
+    WITH o AS (SELECT user_id, ts, event_id,
+                      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id)
+                               > CAST({SESSION_GAP_MIN} AS BIGINT) * 60000000
+                           THEN 1 ELSE 0 END AS nw
+               FROM events),
+    s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+          FROM o),
+    ps AS (SELECT user_id, sess,
+                  min(epoch_us(ts)) AS start_us,
+                  max(epoch_us(ts)) AS end_us
+           FROM s GROUP BY 1, 2),
+    b AS (SELECT start_us AS t, 1 AS d FROM ps
+          UNION ALL SELECT end_us + 1, -1 FROM ps),
+    inst AS (SELECT t, CAST(sum(d) AS BIGINT) AS net,
+                    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS starts
+             FROM b GROUP BY 1),
+    c AS (SELECT t, starts,
+                 sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum
+          FROM inst)
+    SELECT CAST(date_trunc('day', make_timestamp(t)) AS DATE) AS day,
+           CAST(sum(starts) AS BIGINT) AS n_starts,
+           CAST(max(cum) AS BIGINT) AS peak_concurrency
+    FROM c WHERE starts > 0 GROUP BY 1 ORDER BY 1
+"""
+
+
+def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part on the co-purchase graph
+    (the graph_triangles edge set). See graph.local_clustering."""
+    from ksql_query_tutorial_spark.operators.graph import local_clustering
+
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .filter(F.col("__support") >= COPURCHASE_MIN_SUPPORT)
+        .select("id_a", "id_b")
+    )
+    return local_clustering(edges).withColumnRenamed("id", "part_key")
+
+
+EXTENSION_QUERIES["graph_clustering_coef"] = graph_clustering_coef
+
+EXTENSION_ORACLES["graph_clustering_coef"] = f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v
+          FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2
+          HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM e e1
+          JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    m AS (SELECT x AS id FROM t
+          UNION ALL SELECT y FROM t
+          UNION ALL SELECT z FROM t),
+    tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM m GROUP BY 1)
+    SELECT deg.id AS part_key, degree,
+           CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(tc.n_triangles, 0)
+                 / (CAST(degree AS DOUBLE) * (degree - 1.0)), 6)
+               AS clustering_coef
+    FROM deg LEFT JOIN tc ON deg.id = tc.id
+    WHERE degree >= 2
+    ORDER BY part_key
+"""
+
+
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup flow matrix: MinHash-LSH pairs (recall-1
+    regime) joined to each endpoint's source, rolled up per unordered
+    source pair — the curation diagnostic that says WHERE duplication
+    comes from (mirror sites, cross-source syndication) before
+    deciding which source to keep. An operator composition: LSH pair
+    generation → two doc-keyed dimension joins → a bounded
+    |sources|² rollup.
+
+    Scale design: the pair list is the LSH output (bucketed, never
+    all-pairs); the two source lookups are doc-keyed equi-joins
+    against a two-column projection of documents; the final aggregate
+    is keyed on the bounded source-pair domain.
+    """
+    pairs = EXTENSION_QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("source")
+    )
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .withColumn("is_cross", F.col("source_a") != F.col("source_b"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+EXTENSION_QUERIES["dedup_source_matrix"] = dedup_source_matrix
+
+EXTENSION_ORACLES["dedup_source_matrix"] = f"""
+    WITH pairs AS ({_JACCARD_PAIRS_ORACLE}),
+    j AS (SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b,
+                 pairs.jaccard
+          FROM pairs
+          JOIN documents da ON pairs.id_a = da.doc_id
+          JOIN documents db ON pairs.id_b = db.doc_id)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           ROUND(avg(jaccard), 6) AS avg_jaccard,
+           source_a <> source_b AS is_cross
+    FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1561,3 +1561,95 @@ def l_diversity(
         )
         .orderBy(*quasi_cols)
     )
+
+
+CONC_BLOCK_US = 3_600 * 1_000_000  # hour blocks for the boundary cumsum
+
+
+def session_concurrency(
+    df: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning
+    occupancy metric (how many sessions are simultaneously open),
+    computed as a sweep line over session boundaries: +1 at each
+    session start, −1 just after its end, concurrency = the running
+    sum, and a day's peak is the maximum concurrency observed at that
+    day's session-START instants (a step function that only rises at
+    starts attains its global maximum at one, so the reported peaks
+    bound true occupancy exactly on any day that starts a session).
+
+    Scale design: the same ONE user-keyed exchange as session_stats
+    sessionizes the stream; boundaries collapse to one row per
+    DISTINCT microsecond instant (groupBy, map-side partials); the
+    running sum over instants is a HIERARCHICAL prefix sum in the
+    pack_sequences mold — intra-block cumulative window partitioned by
+    hour block (parallel), per-block totals, exclusive cumsum over the
+    tiny block table only, broadcast back — never one global
+    single-partition window over the corpus timeline.
+
+    Returns ``day, n_starts, peak_concurrency`` ordered by day, one
+    row per day with ≥1 session start.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    new_sess = us - F.lag(us, 1).over(w) > gap
+    per_sess = (
+        df.withColumn("_new", F.when(new_sess, 1).otherwise(0))
+        .withColumn(
+            "_sess",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(user_col, "_sess")
+        .agg(F.min(us).alias("start_us"), F.max(us).alias("end_us"))
+    )
+    bounds = per_sess.select(
+        F.col("start_us").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        per_sess.select(
+            (F.col("end_us") + 1).alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    inst = bounds.groupBy("t").agg(
+        F.sum("d").alias("net"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("starts"),
+    )
+    blk = (F.col("t") / F.lit(CONC_BLOCK_US)).cast("long")
+    base = inst.withColumn("__blk", blk)
+    intra_w = (
+        Window.partitionBy("__blk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.withColumn("__cum_in", F.sum("net").over(intra_w))
+    blk_w = Window.orderBy("__blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    blk_off = (
+        base.groupBy("__blk")
+        .agg(F.sum("net").alias("__tot"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__tot").over(blk_w), F.lit(0))
+        )
+        .select("__blk", "__off")
+    )
+    cum = local.join(F.broadcast(blk_off), "__blk").withColumn(
+        "__conc", F.col("__off") + F.col("__cum_in")
+    )
+    return (
+        cum.filter(F.col("starts") > 0)
+        .groupBy(
+            F.to_date(F.timestamp_micros(F.col("t"))).alias("day")
+        )
+        .agg(
+            F.sum("starts").cast("long").alias("n_starts"),
+            F.max("__conc").cast("long").alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )

@@ -195,6 +195,62 @@ def label_propagation(
     ).orderBy("id")
 
 
+def _normalized_edges(pairs: DataFrame) -> DataFrame:
+    """Undirected simple-graph edge list ``(a < b)`` — self-loops
+    dropped, duplicates and orientation collapsed."""
+    return (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _degrees(und: DataFrame) -> DataFrame:
+    """Per-node degree of the normalized edge list: one endpoint-keyed
+    rollup over the 2|E| endpoint stream."""
+    return (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Every triangle of the normalized edge list, once, as
+    ``(src, dst, z)`` — degree-ordered orientation + packed-array
+    intersection (see :func:`triangle_counts` for the argument)."""
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    lo_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a").join(db, "b")
+        .select(
+            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+        .persist()
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    withx = oriented.join(
+        adj.select(F.col("src"), F.col("nbrs").alias("nx")), "src"
+    )
+    withy = withx.join(
+        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("ny")),
+        "dst",
+    )
+    return withy.select(
+        "src",
+        "dst",
+        F.explode(F.array_intersect("nx", "ny")).alias("z"),
+    )
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED simple graph given
     as ``id_a``/``id_b`` pairs — the local-clustering primitive behind
@@ -224,57 +280,74 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     equi-joined them against the edge list ran 5× slower at sf1
     (153s → 30s) and scaled super-linearly (14.9× for 10× data,
     vs 5.9× for this shape) — the measured reason for this shape.
-    The oriented edge list is localCheckpoint-ed once (referenced by
-    the adjacency build and the edge probe). No windows, no driver
-    actions.
+    The normalized edge list is persist()-ed once (the degree
+    rollup and the orientation join both consume it — without it
+    Catalyst re-executes the upstream pair generation per branch);
+    the oriented list likewise (adjacency build + edge probe).
+    persist(), NOT localCheckpoint(): no lineage truncation is needed
+    (nothing iterates), and persisted blocks stay LRU-evictable —
+    checkpoint blocks pinned a 12M-row edge list per call at sf1 and
+    repeated runs in one session degraded 2.4× from GC pressure
+    (measured). No windows, no driver actions.
 
     Returns ``id, n_triangles`` for every node in ≥1 triangle,
     ordered by id.
     """
-    und = (
-        pairs.select(
-            F.least("id_a", "id_b").alias("a"),
-            F.greatest("id_a", "id_b").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("a").alias("id"))
-        .union(und.select(F.col("b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    # orient each edge from the (degree, id)-smaller endpoint
-    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
-    lo_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    oriented = (
-        und.join(da, "a").join(db, "b")
-        .select(
-            F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        )
-        .localCheckpoint()
-    )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-    withx = oriented.join(
-        adj.select(F.col("src"), F.col("nbrs").alias("nx")), "src"
-    )
-    withy = withx.join(
-        adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("ny")),
-        "dst",
-    )
-    tri = withy.select(
-        "src",
-        "dst",
-        F.explode(F.array_intersect("nx", "ny")).alias("z"),
-    )
+    und = _normalized_edges(pairs).persist()
+    tri = _triangle_triples(und, _degrees(und))
     return (
         tri.select(F.explode(F.array("src", "dst", "z")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("id")
+    )
+
+
+def local_clustering(pairs: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node — 2·T(v) / (d(v)·(d(v)−1))
+    over the undirected simple graph given as ``id_a``/``id_b`` pairs:
+    the fraction of a node's neighbor pairs that are themselves
+    connected. High coefficient + high degree = a tight community hub;
+    high degree + near-zero coefficient = a broker/hub spanning
+    unrelated neighborhoods (on co-purchase graphs: staple parts that
+    co-occur with everything without their partners relating).
+
+    Scale design: shares ONE checkpointed normalized edge list across
+    the degree rollup, the orientation, and the final coefficient join
+    (a first cut that called triangle_counts() on the raw pairs
+    re-executed the upstream pair-generation subtree per branch —
+    3 scans instead of 1); the triangle core is the packed-array
+    intersection of :func:`triangle_counts`. Nodes with degree < 2
+    have no neighbor pairs and are excluded (the coefficient is
+    undefined there).
+
+    Returns ``id, degree, n_triangles, clustering_coef`` (rounded 6)
+    ordered by id.
+    """
+    und = _normalized_edges(pairs).persist()
+    deg = _degrees(und).persist()
+    tri_nodes = (
+        _triangle_triples(und, deg)
+        .select(F.explode(F.array("src", "dst", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    d = F.col("d").cast("double")
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri_nodes, "id", "left")
+        .select(
+            "id",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (d * (d - 1.0)),
+                6,
+            ).alias("clustering_coef"),
+        )
         .orderBy("id")
     )

@@ -3461,3 +3461,89 @@ def test_feature_hash_rejects_non_power_of_two(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         feature_hash_signature(df, n_buckets=100)
+
+
+def test_session_concurrency_planted_overlap(spark):
+    """session_concurrency: two overlapping sessions peak at 2; a
+    lone later session peaks at 1; day rollup counts starts."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        session_concurrency,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        # user 1: one session 00:00-00:10
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1),
+        (2, datetime(2024, 1, 1, 0, 10, 0), 1),
+        # user 2: one session at 00:05 (inside user 1's span)
+        (3, datetime(2024, 1, 1, 0, 5, 0), 2),
+        # user 2: a second session on day 2, alone
+        (4, datetime(2024, 1, 2, 12, 0, 0), 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = {str(r["day"]): r for r in session_concurrency(df).collect()}
+    assert out["2024-01-01"]["n_starts"] == 2
+    assert out["2024-01-01"]["peak_concurrency"] == 2
+    assert out["2024-01-02"]["n_starts"] == 1
+    assert out["2024-01-02"]["peak_concurrency"] == 1
+
+
+def test_session_concurrency_boundary_touch(spark):
+    """session_concurrency: a session STARTING at the exact instant
+    another ENDS counts both (inclusive ends — the -1 lands at
+    end+1µs)."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        session_concurrency,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (1, datetime(2024, 3, 1, 9, 0, 0), 10),   # u10 session = [9:00]
+        (2, datetime(2024, 3, 1, 9, 0, 0), 20),   # u20 starts same instant
+        (3, datetime(2024, 3, 1, 9, 1, 0), 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    out = session_concurrency(df).collect()
+    assert len(out) == 1 and out[0]["peak_concurrency"] == 2
+
+
+def test_local_clustering_k4_and_path(spark):
+    """local_clustering: K4 nodes have coef 1.0; a path's middle node
+    has degree 2, zero triangles, coef 0; leaves (degree 1) excluded."""
+    from ksql_query_tutorial_spark.operators.graph import local_clustering
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    path = [(10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + path, "id_a long, id_b long")
+    out = {r["id"]: r for r in local_clustering(df).collect()}
+    for v in (1, 2, 3, 4):
+        assert out[v]["degree"] == 3 and out[v]["n_triangles"] == 3
+        assert out[v]["clustering_coef"] == 1.0
+    assert out[11]["degree"] == 2 and out[11]["clustering_coef"] == 0.0
+    assert 10 not in out and 12 not in out
+
+
+def test_dedup_source_matrix_mass_conservation(spark):
+    """dedup_source_matrix: pair mass across matrix cells equals the
+    LSH pair count, and is_cross matches the cell key."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        dedup_source_matrix,
+    )
+    from tests.conftest import SF_ORACLE
+
+    n_pairs = EXTENSION_QUERIES["dedup_minhash_lsh"](
+        spark, SF_ORACLE
+    ).count()
+    rows = dedup_source_matrix(spark, SF_ORACLE).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["is_cross"] == (r["source_a"] != r["source_b"])

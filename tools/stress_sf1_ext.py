@@ -191,6 +191,10 @@ EXT_NAMES = [
     "graph_triangles",
     "privacy_l_diversity",
     "corpus_feature_hash",
+    # r5 occupancy/graph-coefficient/provenance batch.
+    "events_concurrency",
+    "graph_clustering_coef",
+    "dedup_source_matrix",
 ]
 
 
