@@ -6186,3 +6186,97 @@ EXTENSION_ORACLES["dedup_source_matrix"] = f"""
            source_a <> source_b AS is_cross
     FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per (type, day) with
+    sample-and-hold semantics. See analytics.time_weighted_value."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        time_weighted_value,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return time_weighted_value(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_twa"] = events_twa
+
+EXTENSION_ORACLES["events_twa"] = """
+    WITH d AS (
+        SELECT event_type, ts, value,
+               (lead(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                - epoch_us(ts)) / 1000000.0 AS dur
+        FROM events)
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           ROUND(sum(value * dur) / sum(dur), 6) AS twa_value,
+           ROUND(sum(dur), 6) AS total_dur_sec,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def customer_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier reorder-gap survival per market segment, with the
+    last-order-to-corpus-end gaps entering as censored observations.
+    See retail.reorder_survival."""
+    from ksql_query_tutorial_spark.operators.retail import reorder_survival
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return reorder_survival(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "customer")
+    )
+
+
+EXTENSION_QUERIES["customer_survival"] = customer_survival
+
+EXTENSION_ORACLES["customer_survival"] = """
+    WITH g AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', o_orderdate,
+                    COALESCE(lead(o_orderdate) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey),
+                        (SELECT max(o_orderdate) FROM orders)))
+                    AS BIGINT) AS gap_days,
+               CASE WHEN lead(o_orderdate) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) IS NULL
+                    THEN 0 ELSE 1 END AS ev
+        FROM orders),
+    cells AS (
+        SELECT c_mktsegment AS mktsegment, gap_days,
+               CAST(sum(ev) AS BIGINT) AS n_events,
+               CAST(sum(1 - ev) AS BIGINT) AS n_censored
+        FROM g JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+    staged AS (
+        SELECT *,
+               CAST(sum(n_events + n_censored) OVER
+                        (PARTITION BY mktsegment)
+                    - COALESCE(sum(n_events + n_censored) OVER
+                        (PARTITION BY mktsegment ORDER BY gap_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM cells),
+    curved AS (
+        SELECT *,
+               sum(CASE WHEN n_events = 0 THEN 0.0
+                        WHEN n_events < n_at_risk
+                            THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                        / CAST(n_at_risk AS DOUBLE))
+                        ELSE 0.0 END) OVER
+                   (PARTITION BY mktsegment ORDER BY gap_days
+                    ROWS UNBOUNDED PRECEDING) AS lns,
+               sum(CASE WHEN n_events > 0 AND n_events >= n_at_risk
+                        THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY mktsegment ORDER BY gap_days
+                    ROWS UNBOUNDED PRECEDING) AS dead
+        FROM staged)
+    SELECT mktsegment, gap_days, n_at_risk, n_events, n_censored,
+           ROUND(CASE WHEN dead > 0 THEN 0.0 ELSE exp(lns) END, 6)
+               AS survival
+    FROM curved WHERE n_events > 0 ORDER BY 1, 2
+"""

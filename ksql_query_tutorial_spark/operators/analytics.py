@@ -1653,3 +1653,60 @@ def session_concurrency(
         )
         .orderBy("day")
     )
+
+
+def time_weighted_value(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average value per (event type, day) — each
+    reading holds until the SAME user's next event (sample-and-hold),
+    so a value that persisted for an hour weighs 60× one replaced
+    after a minute. The standard aggregate for irregularly-sampled
+    state (sensor readings, prices, engagement levels) where the
+    arithmetic mean over-weights busy periods; each user's final
+    reading has no holding interval and is excluded (right-open
+    sample-and-hold, documented).
+
+    Determinism design: holding durations are exact integer
+    microsecond differences converted to seconds by the SAME double
+    division in both engines, and the value·duration products stay
+    ≤ ~1e8 — double sums keep full integer-part precision, so the
+    rounded quotient is engine-portable (the q23 precedent).
+
+    Scale design: ONE user-keyed exchange for the lead window, then a
+    rollup keyed on the bounded (type, day) domain with map-side
+    partials. No joins, no driver actions.
+
+    Returns ``day, event_type, twa_value, total_dur_sec,
+    n_intervals`` ordered by (day, event_type).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dur_sec = (F.lead(us, 1).over(w) - us).cast("double") / 1e6
+    cells = (
+        df.withColumn("__dur", dur_sec)
+        .filter(F.col("__dur").isNotNull())
+        .groupBy(
+            F.date_trunc("DAY", F.col(ts_col)).cast("date").alias("day"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(
+            F.sum(F.col(value_col) * F.col("__dur")).alias("__vw"),
+            F.sum("__dur").alias("__w"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+    )
+    return cells.select(
+        "day",
+        "event_type",
+        F.round(F.col("__vw") / F.col("__w"), 6).alias("twa_value"),
+        F.round(F.col("__w"), 6).alias("total_dur_sec"),
+        "n_intervals",
+    ).orderBy("day", "event_type")

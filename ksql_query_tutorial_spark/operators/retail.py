@@ -1984,3 +1984,114 @@ def revenue_concentration_hhi(
         )
         .orderBy("nation")
     )
+
+
+def reorder_survival(
+    orders: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """Kaplan–Meier survival curve of customer reorder gaps per market
+    segment — "what fraction of customers have NOT yet reordered t
+    days after an order", the churn-analysis staple that handles
+    censoring correctly: the gap from each customer's LAST order to
+    the corpus end is an incomplete observation (the customer may
+    still reorder) and must enter the at-risk denominator without
+    counting as an event, or the curve is biased pessimistic.
+
+    Estimator: with d_t events and n_t at risk at gap t,
+    ``S(t) = Π_{u ≤ t} (1 − d_u/n_u)`` — computed as
+    ``exp(Σ ln(1 − d/n))`` over event cells, with an explicit
+    exhausted-risk-set flag (d = n → S = 0) so neither engine
+    evaluates ln(0).
+
+    Scale design: one customer-keyed window builds the gaps, one
+    doc-keyed join attaches the segment, and everything after the
+    (segment, gap) rollup runs over BOUNDED cells — |segments| ×
+    |distinct day gaps| — so the per-segment cumulative windows sort
+    cells, not orders. The corpus end date is a one-row broadcast
+    (the PageRank ``n`` pattern), not a driver collect.
+
+    Returns ``mktsegment, gap_days, n_at_risk, n_events, n_censored,
+    survival`` (rounded 6) for event cells (d > 0), ordered by
+    (segment, gap).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    end = orders.groupBy().agg(
+        F.max("o_orderdate").alias("__end")
+    )
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("__next", F.lead("o_orderdate", 1).over(w))
+        .crossJoin(F.broadcast(end))
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.coalesce(F.col("__next"), F.col("__end")),
+                F.col("o_orderdate"),
+            ).cast("long").alias("gap_days"),
+            F.col("__next").isNotNull().cast("int").alias("__event"),
+        )
+    )
+    seg = customer.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    cells = (
+        gaps.join(seg, "o_custkey")
+        .groupBy("mktsegment", "gap_days")
+        .agg(
+            F.sum("__event").cast("long").alias("n_events"),
+            F.sum(1 - F.col("__event")).cast("long").alias("n_censored"),
+        )
+    )
+    cw = Window.partitionBy("mktsegment").orderBy("gap_days")
+    before = (
+        F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(
+                cw.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+    )
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        Window.partitionBy("mktsegment")
+    )
+    staged = cells.select(
+        "mktsegment",
+        "gap_days",
+        "n_events",
+        "n_censored",
+        (total - before).cast("long").alias("n_at_risk"),
+    )
+    d = F.col("n_events").cast("double")
+    n = F.col("n_at_risk").cast("double")
+    lnf = F.when(F.col("n_events") == 0, F.lit(0.0)).otherwise(
+        F.when(F.col("n_events") < F.col("n_at_risk"), F.log(1.0 - d / n))
+    )
+    zf = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") >= F.col("n_at_risk")),
+        1,
+    ).otherwise(0)
+    cum = cw.rowsBetween(Window.unboundedPreceding, 0)
+    curved = staged.withColumn(
+        "__lns", F.sum(F.coalesce(lnf, F.lit(0.0))).over(cum)
+    ).withColumn("__dead", F.sum(zf).over(cum))
+    return (
+        curved.filter(F.col("n_events") > 0)
+        .select(
+            "mktsegment",
+            "gap_days",
+            "n_at_risk",
+            "n_events",
+            "n_censored",
+            F.round(
+                F.when(F.col("__dead") > 0, F.lit(0.0)).otherwise(
+                    F.exp(F.col("__lns"))
+                ),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("mktsegment", "gap_days")
+    )

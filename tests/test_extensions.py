@@ -3547,3 +3547,87 @@ def test_dedup_source_matrix_mass_conservation(spark):
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     for r in rows:
         assert r["is_cross"] == (r["source_a"] != r["source_b"])
+
+
+def test_time_weighted_value_sample_and_hold(spark):
+    """time_weighted_value: a value held 2x as long weighs 2x; the
+    final reading (no holding interval) is excluded."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        time_weighted_value,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), 1, "m", 10.0),
+        (2, datetime(2024, 1, 1, 0, 1, 0), 1, "m", 30.0),
+        (3, datetime(2024, 1, 1, 0, 3, 0), 1, "m", 99.0),  # last: excluded
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = time_weighted_value(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # (10*60 + 30*120) / 180
+    assert r["twa_value"] == round((10 * 60 + 30 * 120) / 180.0, 6)
+    assert r["total_dur_sec"] == 180.0 and r["n_intervals"] == 2
+
+
+def test_reorder_survival_hand_computed_km(spark):
+    """reorder_survival: 3-customer cohort with censoring matches the
+    hand-computed Kaplan-Meier table."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.retail import reorder_survival
+
+    d = lambda x: datetime(2024, 1, 1 + x)
+    orders = spark.createDataFrame(
+        [
+            (1, 100, d(0)), (2, 100, d(10)),          # A: gap 10 ev, 10 cens
+            (3, 200, d(0)), (4, 200, d(20)),          # B: gap 20 ev, 0 cens
+            (5, 300, d(0)),                           # C: 20 cens
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(100, "SEG"), (200, "SEG"), (300, "SEG")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = reorder_survival(orders, customer).collect()
+    assert [(r["gap_days"], r["n_at_risk"], r["n_events"], r["n_censored"],
+             r["survival"]) for r in rows] == [
+        (10, 4, 1, 1, 0.75),     # 5 at risk minus the 0-gap censor
+        (20, 2, 1, 1, 0.375),    # 0.75 * (1 - 1/2)
+    ]
+
+
+def test_reorder_survival_exhausted_risk_set(spark):
+    """reorder_survival: when every remaining duration is an event at
+    the last gap, survival hits exactly 0 (no ln(0) NULL leak)."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.retail import reorder_survival
+
+    d = lambda x: datetime(2024, 1, 1 + x)
+    # one customer, two orders, second order ON the corpus end date:
+    # gap 5 is an event AND the censor gap is 0 -> at t=5 the remaining
+    # risk set is exhausted by the event only if no censor... plant two
+    # customers whose last orders land on the end date so the censored
+    # gaps are 0 and every positive gap is an event.
+    orders = spark.createDataFrame(
+        [
+            (1, 100, d(0)), (2, 100, d(5)),
+            (3, 200, d(0)), (4, 200, d(5)),
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(100, "SEG"), (200, "SEG")],
+        "c_custkey long, c_mktsegment string",
+    )
+    rows = reorder_survival(orders, customer).collect()
+    assert [(r["gap_days"], r["survival"]) for r in rows] == [(5, 0.0)]

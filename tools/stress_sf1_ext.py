@@ -195,6 +195,9 @@ EXT_NAMES = [
     "events_concurrency",
     "graph_clustering_coef",
     "dedup_source_matrix",
+    # r5 temporal/churn batch.
+    "events_twa",
+    "customer_survival",
 ]
 
 
