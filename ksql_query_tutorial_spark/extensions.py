@@ -6280,3 +6280,110 @@ EXTENSION_ORACLES["customer_survival"] = """
                AS survival
     FROM curved WHERE n_events > 0 ORDER BY 1, 2
 """
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB twin of graph.kcore over exact-Jaccard pairs: the fixed
+    peel count is UNROLLED as chained CTEs (the PageRank pattern),
+    each round a degree rollup + two semi-filters."""
+    cte = [f"""
+    p AS ({_JACCARD_PAIRS_ORACLE.replace("ORDER BY id_a, id_b", "")}),
+    e0 AS (SELECT id_a AS a, id_b AS b FROM p)"""]
+    for r in range(1, rounds + 1):
+        cte.append(f"""
+    d{r} AS (SELECT id, count(*) AS c
+             FROM (SELECT a AS id FROM e{r - 1}
+                   UNION ALL SELECT b FROM e{r - 1})
+             GROUP BY 1),
+    e{r} AS (SELECT a, b FROM e{r - 1}
+             WHERE a IN (SELECT id FROM d{r} WHERE c >= {k})
+               AND b IN (SELECT id FROM d{r} WHERE c >= {k}))""")
+    return (
+        "WITH " + ",".join(cte) + f"""
+    SELECT id, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+    GROUP BY 1 ORDER BY id
+""")
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 2-core of the near-dup similarity graph (LSH pairs
+    — recall 1 at the oracle sf): keeps mutually-corroborated
+    duplicate families, peels pendant single-link chains.
+    See graph.kcore."""
+    from ksql_query_tutorial_spark.operators.graph import kcore
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+    return kcore(pairs, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+EXTENSION_QUERIES["graph_kcore"] = graph_kcore
+
+EXTENSION_ORACLES["graph_kcore"] = _kcore_oracle_sql()
+
+
+CUSUM_SLACK_SIGMAS = 0.5
+CUSUM_ALARM_SIGMAS = 4.0
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on hourly event volumes per type,
+    computed via the reflected-walk closed form (two cumulative
+    windows, no recursion). See analytics.cusum_drift."""
+    from ksql_query_tutorial_spark.operators.analytics import cusum_drift
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cusum_drift(
+        load(spark, sf_dir, "events"),
+        slack_sigmas=CUSUM_SLACK_SIGMAS,
+        alarm_sigmas=CUSUM_ALARM_SIGMAS,
+    )
+
+
+EXTENSION_QUERIES["events_cusum"] = events_cusum
+
+EXTENSION_ORACLES["events_cusum"] = f"""
+    WITH cells AS (
+        SELECT event_type AS etype, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT etype,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(c) AS DOUBLE) / count(*) AS mu,
+               sqrt(greatest(
+                   CAST(sum(c * c) AS DOUBLE) / count(*)
+                   - (CAST(sum(c) AS DOUBLE) / count(*))
+                     * (CAST(sum(c) AS DOUBLE) / count(*)), 0.0)) AS sigma
+        FROM cells GROUP BY 1),
+    dev AS (
+        SELECT cells.etype, h, n_hours, mu, sigma,
+               CAST(c AS DOUBLE) - mu - {CUSUM_SLACK_SIGMAS} * sigma AS y
+        FROM cells JOIN stats ON cells.etype = stats.etype),
+    pref AS (
+        SELECT *,
+               sum(y) OVER (PARTITION BY etype ORDER BY h
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM dev),
+    walked AS (
+        SELECT *,
+               p - least(0.0, min(p) OVER (PARTITION BY etype ORDER BY h
+                                           ROWS UNBOUNDED PRECEDING)) AS s
+        FROM pref),
+    alarmed AS (
+        SELECT *,
+               CASE WHEN s > {CUSUM_ALARM_SIGMAS} * sigma
+                    THEN 1 ELSE 0 END AS alarm
+        FROM walked)
+    SELECT etype AS event_type, n_hours,
+           ROUND(mu, 6) AS mu, ROUND(sigma, 6) AS sigma,
+           ROUND(max(s), 6) AS max_cusum,
+           CAST(sum(alarm) AS BIGINT) AS n_alarm_hours,
+           min(CASE WHEN alarm = 1 THEN h END) AS first_alarm_hour
+    FROM alarmed GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""

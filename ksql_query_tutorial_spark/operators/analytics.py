@@ -1710,3 +1710,106 @@ def time_weighted_value(
         F.round(F.col("__w"), 6).alias("total_dur_sec"),
         "n_intervals",
     ).orderBy("day", "event_type")
+
+
+def cusum_drift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    slack_sigmas: float = 0.5,
+    alarm_sigmas: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM drift detection on hourly event volumes per
+    type: ``S_t = max(0, S_{t−1} + (x_t − μ − κ))`` with slack
+    ``κ = slack_sigmas·σ`` and alarm threshold ``h = alarm_sigmas·σ``
+    — the classic sequential change detector that accumulates small
+    sustained shifts a fixed-threshold alarm misses and resets on
+    in-control hours.
+
+    The recursion is NOT computed recursively: the reflected walk
+    obeys the closed form ``S_t = P_t − min(0, min_{j≤t} P_j)`` where
+    ``P`` is the plain prefix sum of the deviations — a standard
+    identity (S is the walk reflected at 0, so the reflection absorbs
+    exactly the running minimum), which turns CUSUM into TWO ordinary
+    cumulative windows and makes it expressible in any SQL engine.
+    CUSUM runs over OBSERVED hours only (an hour with zero events is
+    absent, not an in-control reset — documented; compose with a
+    dense calendar spine to change that).
+
+    Determinism design: μ and σ derive from exact integer count
+    moments (Σc, Σc² as BIGINT); both engines then apply identical
+    double arithmetic in the identical window order, so the prefix
+    sums agree bit-for-bit before the final rounding.
+
+    Scale design: ONE (type, hour)-keyed rollup collapses the corpus;
+    the moment aggregate and both cumulative windows run over those
+    bounded cells, partitioned per type. No self-joins, no driver
+    actions.
+
+    Returns one summary row per type: ``event_type, n_hours, mu,
+    sigma, max_cusum, n_alarm_hours, first_alarm_hour`` (doubles
+    rounded 6), ordered by type.
+    """
+    hour = F.date_trunc("HOUR", F.col(ts_col))
+    cells = df.groupBy(
+        F.col(type_col).alias("etype"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    moments = cells.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    n = F.col("n_hours").cast("double")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    stats = moments.select(
+        "etype",
+        "n_hours",
+        mu.alias("mu"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("sigma"),
+    )
+    dev = cells.join(stats, "etype").withColumn(
+        "__y",
+        F.col("c").cast("double")
+        - F.col("mu")
+        - F.lit(slack_sigmas) * F.col("sigma"),
+    )
+    cw = (
+        Window.partitionBy("etype")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = (
+        dev.withColumn("__p", F.sum("__y").over(cw))
+        .withColumn(
+            "__s",
+            F.col("__p")
+            - F.least(F.lit(0.0), F.min("__p").over(cw)),
+        )
+        .withColumn(
+            "__alarm",
+            (F.col("__s") > F.lit(alarm_sigmas) * F.col("sigma")).cast(
+                "int"
+            ),
+        )
+    )
+    return (
+        walked.groupBy("etype", "n_hours", "mu", "sigma")
+        .agg(
+            F.max("__s").alias("__max_s"),
+            F.sum("__alarm").cast("long").alias("n_alarm_hours"),
+            F.min(F.when(F.col("__alarm") == 1, F.col("h"))).alias(
+                "first_alarm_hour"
+            ),
+        )
+        .select(
+            F.col("etype").alias("event_type"),
+            "n_hours",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            F.round("__max_s", 6).alias("max_cusum"),
+            "n_alarm_hours",
+            "first_alarm_hour",
+        )
+        .orderBy("event_type")
+    )

@@ -3631,3 +3631,77 @@ def test_reorder_survival_exhausted_risk_set(spark):
     )
     rows = reorder_survival(orders, customer).collect()
     assert [(r["gap_days"], r["survival"]) for r in rows] == [(5, 0.0)]
+
+
+def test_kcore_peels_pendants_keeps_cliques_and_cycles(spark):
+    """kcore(k=2): pendant chains peel away; K4 and a 3-cycle survive
+    with their in-core degrees."""
+    from ksql_query_tutorial_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(4, 50), (50, 51)]           # pendant path off the K4
+    cycle = [(7, 8), (8, 9), (7, 9)]
+    df = spark.createDataFrame(k4 + chain + cycle, "id_a long, id_b long")
+    out = {r["id"]: r["degree"] for r in kcore(df, k=2, rounds=3).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 7: 2, 8: 2, 9: 2}
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    """kcore: a path hanging off a triangle peels one node per round
+    from the far end — 3 rounds fully remove a 3-node tail."""
+    from ksql_query_tutorial_spark.operators.graph import kcore
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(tri + tail, "id_a long, id_b long")
+    after1 = set(
+        r["id"] for r in kcore(df, k=2, rounds=1).collect()
+    )
+    after3 = set(
+        r["id"] for r in kcore(df, k=2, rounds=3).collect()
+    )
+    assert 12 not in after1 and 10 in after1      # only the end peeled
+    assert after3 == {1, 2, 3}                    # tail fully gone
+
+
+def test_cusum_drift_matches_direct_recursion(spark):
+    """cusum_drift: the reflected-walk closed form equals the direct
+    S_t = max(0, S_{t-1} + y_t) recursion on a planted shifted
+    series."""
+    import math
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import cusum_drift
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    counts = [10] * 20 + [14] * 10           # sustained +4 shift
+    rows, eid = [], 0
+    t0 = datetime(2024, 5, 1)
+    for hh, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=hh), eid, "a", 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = cusum_drift(df, slack_sigmas=0.5, alarm_sigmas=4.0).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    n = len(counts)
+    mu = sum(counts) / n
+    sigma = math.sqrt(sum(c * c for c in counts) / n - mu * mu)
+    s, smax, alarms, first = 0.0, 0.0, 0, None
+    for hh, c in enumerate(counts):
+        s = max(0.0, s + (c - mu - 0.5 * sigma))
+        smax = max(smax, s)
+        if s > 4.0 * sigma:
+            alarms += 1
+            first = first if first is not None else hh
+    assert r["n_hours"] == n
+    assert r["mu"] == round(mu, 6) and r["sigma"] == round(sigma, 6)
+    assert r["max_cusum"] == round(smax, 6)
+    assert r["n_alarm_hours"] == alarms and alarms > 0
+    assert r["first_alarm_hour"] == t0 + timedelta(hours=first)

@@ -198,6 +198,9 @@ EXT_NAMES = [
     # r5 temporal/churn batch.
     "events_twa",
     "customer_survival",
+    # r5 peeling/drift batch.
+    "graph_kcore",
+    "events_cusum",
 ]
 
 
