@@ -6387,3 +6387,167 @@ EXTENSION_ORACLES["events_cusum"] = f"""
            min(CASE WHEN alarm = 1 THEN h END) AS first_alarm_hour
     FROM alarmed GROUP BY 1, 2, 3, 4 ORDER BY 1
 """
+
+
+GENERALIZATION_K = KANON_K
+
+
+def privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization ladder over the customer
+    quasi-identifier: (nation, segment) → (region, segment) →
+    (segment) → full suppression. See analytics.generalization_ladder."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        generalization_ladder,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cr = c.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        c["c_nationkey"] == F.col("n_nationkey"),
+    )
+    frames = [
+        (0, "nation+segment", c, ["c_nationkey", "c_mktsegment"]),
+        (1, "region+segment", cr, ["n_regionkey", "c_mktsegment"]),
+        (2, "segment", c, ["c_mktsegment"]),
+        (3, "suppressed", c, []),
+    ]
+    return generalization_ladder(frames, k=GENERALIZATION_K)
+
+
+EXTENSION_QUERIES["privacy_generalization"] = privacy_generalization
+
+EXTENSION_ORACLES["privacy_generalization"] = f"""
+    WITH l0 AS (SELECT count(*) AS sz FROM customer
+                GROUP BY c_nationkey, c_mktsegment),
+    l1 AS (SELECT count(*) AS sz
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_regionkey, c_mktsegment),
+    l2 AS (SELECT count(*) AS sz FROM customer GROUP BY c_mktsegment),
+    l3 AS (SELECT count(*) AS sz FROM customer),
+    prof AS (
+        SELECT 0 AS level, 'nation+segment' AS label, * FROM l0
+        UNION ALL SELECT 1, 'region+segment', * FROM l1
+        UNION ALL SELECT 2, 'segment', * FROM l2
+        UNION ALL SELECT 3, 'suppressed', * FROM l3)
+    SELECT CAST(level AS INT) AS level, label,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(sz) AS BIGINT) AS min_class_size,
+           CAST(sum(CASE WHEN sz < {GENERALIZATION_K} THEN sz ELSE 0 END)
+                AS BIGINT) AS n_at_risk_rows,
+           min(sz) >= {GENERALIZATION_K} AS k_ok
+    FROM prof GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+AB_MDE_REL = 0.05
+
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size requirements per event type from observed
+    value variance. See analytics.power_analysis."""
+    from ksql_query_tutorial_spark.operators.analytics import power_analysis
+
+    return power_analysis(
+        load(spark, sf_dir, "events"), mde_rel=AB_MDE_REL
+    )
+
+
+EXTENSION_QUERIES["events_power_analysis"] = events_power_analysis
+
+EXTENSION_ORACLES["events_power_analysis"] = f"""
+    WITH m AS (SELECT event_type,
+                      CAST(count(*) AS BIGINT) AS n_obs,
+                      sum(value) AS s1,
+                      sum(value * value) AS s2
+               FROM events GROUP BY 1)
+    SELECT event_type, n_obs,
+           ROUND(s1 / n_obs, 6) AS mu,
+           ROUND(sqrt(greatest(s2 / n_obs
+                               - (s1 / n_obs) * (s1 / n_obs), 0.0)), 6)
+               AS sigma,
+           ROUND({AB_MDE_REL} * (s1 / n_obs), 6) AS mde_abs,
+           CAST(ceil(16.0 * greatest(s2 / n_obs
+                                     - (s1 / n_obs) * (s1 / n_obs), 0.0)
+                     / (({AB_MDE_REL} * (s1 / n_obs))
+                        * ({AB_MDE_REL} * (s1 / n_obs)))) AS BIGINT)
+               AS n_required_per_arm
+    FROM m ORDER BY event_type
+"""
+
+
+SWEEP_THRESHOLDS = (0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-dedup threshold yield sweep: for each candidate
+    threshold (all ≥ the LSH base threshold, so the verified pair set
+    is complete for every rung), the surviving pair count and the
+    number of distinct vectors touched — the calibration table read
+    BEFORE committing a near-dup cosine cutoff, the embedding twin of
+    corpus_yield_curve.
+
+    Scale design: pairs come from the LSH-verified generator (never
+    all-pairs); the sweep fans each pair out by a broadcast
+    |thresholds| grid and both rollups are keyed on the bounded
+    (threshold) / (threshold, vec) domains.
+    """
+    pairs = EXTENSION_QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+    grid = spark.createDataFrame(
+        [(float(t),) for t in SWEEP_THRESHOLDS], "threshold double"
+    )
+    hits = pairs.crossJoin(F.broadcast(grid)).filter(
+        F.col("cosine") >= F.col("threshold")
+    )
+    per_t = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    touched = (
+        hits.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("vid")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs_affected"))
+    )
+    return (
+        grid.join(per_t, "threshold", "left")
+        .join(touched, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_vecs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_vecs_affected"),
+        )
+        .orderBy("threshold")
+    )
+
+
+EXTENSION_QUERIES["embedding_threshold_sweep"] = embedding_threshold_sweep
+
+EXTENSION_ORACLES["embedding_threshold_sweep"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v)
+                    >= {COSINE_THRESHOLD}),
+    grid AS (SELECT unnest(CAST([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}]
+                 AS DOUBLE[])) AS threshold),
+    hits AS (SELECT threshold, id_a, id_b FROM pairs CROSS JOIN grid
+             WHERE cosine >= threshold),
+    pt AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM hits GROUP BY 1),
+    tv AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_vecs_affected
+           FROM (SELECT DISTINCT threshold, vid
+                 FROM (SELECT threshold, id_a AS vid FROM hits
+                       UNION ALL SELECT threshold, id_b FROM hits))
+           GROUP BY 1)
+    SELECT grid.threshold,
+           COALESCE(pt.n_pairs, 0) AS n_pairs,
+           COALESCE(tv.n_vecs_affected, 0) AS n_vecs_affected
+    FROM grid LEFT JOIN pt ON grid.threshold = pt.threshold
+              LEFT JOIN tv ON grid.threshold = tv.threshold
+    ORDER BY 1
+"""

@@ -1813,3 +1813,101 @@ def cusum_drift(
         )
         .orderBy("event_type")
     )
+
+
+def generalization_ladder(
+    frames: list[tuple[int, str, DataFrame, list[str]]],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity generalization ladder: for each pre-declared
+    generalization LEVEL of the quasi-identifier (e.g. nation →
+    region → segment-only → suppress-all), the equivalence-class
+    profile — how many classes, the smallest class, and how many rows
+    sit in classes below ``k``. This is the table a data-release
+    process reads to pick the COARSEST level that satisfies k — the
+    repair step after :func:`k_anonymity` flags a leak.
+
+    ``frames``: ``(level, label, df, quasi_cols)`` per rung —
+    pre-joined inputs so rungs may generalize through dimensions
+    (nation → region) without this function knowing the schema. An
+    empty ``quasi_cols`` rung is the full-suppression ladder top
+    (one global class).
+
+    Scale design: one (quasi tuple)-keyed exchange per rung with
+    map-side partials (the rung count is a small constant), then
+    constant-size per-rung reductions unioned into a |levels|-row
+    report. No windows, no driver actions.
+
+    Returns ``level, label, n_classes, min_class_size, n_at_risk_rows,
+    k_ok`` ordered by level.
+    """
+    outs = []
+    for level, label, df, quasi in frames:
+        grouped = (
+            df.groupBy(*quasi) if quasi else df.groupBy(F.lit(1))
+        )
+        classes = grouped.agg(F.count(F.lit(1)).alias("__sz"))
+        outs.append(
+            classes.agg(
+                F.count(F.lit(1)).cast("long").alias("n_classes"),
+                F.min("__sz").cast("long").alias("min_class_size"),
+                F.sum(
+                    F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0)
+                ).cast("long").alias("n_at_risk_rows"),
+            ).select(
+                F.lit(level).cast("int").alias("level"),
+                F.lit(label).alias("label"),
+                "n_classes",
+                "min_class_size",
+                "n_at_risk_rows",
+                (F.col("min_class_size") >= k).alias("k_ok"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("level")
+
+
+def power_analysis(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    mde_rel: float = 0.05,
+) -> DataFrame:
+    """A/B-test sample-size calculator from observed metric variance:
+    per event type, the classic two-sided α=0.05 / power=0.8
+    approximation ``n_per_arm = 16·σ²/δ²`` for a minimum detectable
+    effect of ``mde_rel`` of the mean — the pre-experiment readout
+    that says whether a test is even feasible at current traffic.
+
+    Determinism design: σ² comes from double moment sums whose
+    magnitudes stay far below 2^53 (values are O(100), counts O(n)),
+    and both engines compute the identical ceil over the identical
+    double quotient.
+
+    Scale design: one type-keyed exchange with map-side partial
+    moment sums; output bounded by |types|. No windows, no joins.
+
+    Returns ``event_type, n_obs, mu, sigma, mde_abs,
+    n_required_per_arm`` (doubles rounded 6) ordered by type.
+    """
+    moments = df.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(F.col(value_col)).alias("__s1"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("__s2"),
+    )
+    n = F.col("n_obs").cast("double")
+    mu = F.col("__s1") / n
+    var = F.greatest(F.col("__s2") / n - mu * mu, F.lit(0.0))
+    delta = F.lit(mde_rel) * mu
+    return moments.select(
+        "event_type",
+        "n_obs",
+        F.round(mu, 6).alias("mu"),
+        F.round(F.sqrt(var), 6).alias("sigma"),
+        F.round(delta, 6).alias("mde_abs"),
+        F.ceil(F.lit(16.0) * var / (delta * delta))
+        .cast("long")
+        .alias("n_required_per_arm"),
+    ).orderBy("event_type")

@@ -3705,3 +3705,65 @@ def test_cusum_drift_matches_direct_recursion(spark):
     assert r["max_cusum"] == round(smax, 6)
     assert r["n_alarm_hours"] == alarms and alarms > 0
     assert r["first_alarm_hour"] == t0 + timedelta(hours=first)
+
+
+def test_generalization_ladder_monotone_repair(spark):
+    """generalization_ladder: coarser rungs never have MORE at-risk
+    rows; full suppression is always one k-ok class (given >= k
+    rows)."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        generalization_ladder,
+    )
+
+    rows = [("n1", "A")] * 2 + [("n2", "A")] * 4 + [("n3", "B")] * 7
+    df = spark.createDataFrame(rows, "nat string, seg string")
+    frames = [
+        (0, "nat+seg", df, ["nat", "seg"]),
+        (1, "seg", df, ["seg"]),
+        (2, "suppressed", df, []),
+    ]
+    out = generalization_ladder(frames, k=5).collect()
+    assert [r["level"] for r in out] == [0, 1, 2]
+    risk = [r["n_at_risk_rows"] for r in out]
+    assert risk == [6, 0, 0]              # n1:2 + n2:4 at risk at L0
+    assert [r["k_ok"] for r in out] == [False, True, True]
+    assert out[2]["n_classes"] == 1 and out[2]["min_class_size"] == 13
+
+
+def test_power_analysis_known_variance(spark):
+    """power_analysis: zero-variance metric needs n=0; a planted
+    two-point metric matches 16*var/delta^2 by hand."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.analytics import power_analysis
+
+    rows = [("const", 5.0)] * 10 + [("ab", 1.0)] * 50 + [("ab", 3.0)] * 50
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r["event_type"]: r for r in power_analysis(df, mde_rel=0.05).collect()}
+    assert out["const"]["sigma"] == 0.0
+    assert out["const"]["n_required_per_arm"] == 0
+    mu, var = 2.0, 1.0                    # mean 2, var ((1-2)^2+(3-2)^2)/2
+    delta = 0.05 * mu
+    assert out["ab"]["mu"] == mu and out["ab"]["sigma"] == 1.0
+    assert out["ab"]["n_required_per_arm"] == math.ceil(16 * var / delta**2)
+
+
+def test_embedding_threshold_sweep_monotone(spark):
+    """embedding_threshold_sweep: yields are non-increasing in the
+    threshold and the base rung equals the full LSH pair count."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        SWEEP_THRESHOLDS,
+        embedding_threshold_sweep,
+    )
+    from tests.conftest import SF_ORACLE
+
+    base_pairs = EXTENSION_QUERIES["dedup_embedding_lsh"](
+        spark, SF_ORACLE
+    ).count()
+    rows = embedding_threshold_sweep(spark, SF_ORACLE).collect()
+    assert [r["threshold"] for r in rows] == sorted(SWEEP_THRESHOLDS)
+    assert rows[0]["n_pairs"] == base_pairs
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_vecs_affected"] >= b["n_vecs_affected"]

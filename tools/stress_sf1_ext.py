@@ -201,6 +201,10 @@ EXT_NAMES = [
     # r5 peeling/drift batch.
     "graph_kcore",
     "events_cusum",
+    # r5 governance/experimentation/calibration batch.
+    "privacy_generalization",
+    "events_power_analysis",
+    "embedding_threshold_sweep",
 ]
 
 
