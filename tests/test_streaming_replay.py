@@ -624,3 +624,79 @@ def test_decayed_engagement_streams_in_update_mode(spark):
     assert final == batch
     # user 1: 4*2^-1 + 1*2^(-3/7) + 10*2^(-1/7); spot-check count
     assert batch[1][0] == 3 and batch[2][0] == 2
+
+
+def test_cusum_stream_matches_batch_twin(spark):
+    """cusum_stream with the batch twin's estimated (mu, kappa, h)
+    folds the same hours to the same max/alarm state once a trailing
+    sentinel hour closes the last real hour; a late hour is dropped,
+    not folded out of order."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.operators.analytics import cusum_drift
+    from ksql_query_tutorial_spark.streaming.stateful import cusum_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 5, 1)
+    counts = [10] * 12 + [14] * 8                    # sustained shift
+    rows, eid = [], 0
+    for hh, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append(
+                {"event_id": eid,
+                 "ts": (t0 + dt.timedelta(hours=hh)).strftime(
+                     "%Y-%m-%d %H:%M:%S"),
+                 "user_id": eid, "event_type": "a", "value": 1.0}
+            )
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def with_ts(s):
+        return s.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    batch = cusum_drift(
+        with_ts(spark.createDataFrame(
+            [tuple(r.values()) for r in rows], schema)),
+        slack_sigmas=0.5, alarm_sigmas=4.0,
+    ).collect()[0]
+    mu, sigma = batch["mu"], batch["sigma"]
+
+    # sentinel one hour past the series closes the final real hour;
+    # a LATE straggler for hour 0 (after hour 0 folded) must be dropped
+    stream_rows = rows + [
+        {"event_id": 9001,
+         "ts": (t0 + dt.timedelta(hours=len(counts))).strftime(
+             "%Y-%m-%d %H:%M:%S"),
+         "user_id": 9001, "event_type": "a", "value": 1.0},
+    ]
+    late = {"event_id": 9002, "ts": t0.strftime("%Y-%m-%d %H:%M:%S"),
+            "user_id": 9002, "event_type": "a", "value": 1.0}
+    chunks = stream_rows[: len(stream_rows) // 2], \
+        [late] + stream_rows[len(stream_rows) // 2:]
+
+    R.replay(
+        spark, list(chunks[0]) + list(chunks[1]), schema,
+        lambda s: cusum_stream(
+            with_ts(s), mu=mu, kappa=0.5 * sigma, alarm_h=4.0 * sigma
+        ),
+        name="cusumstream", output_mode="update",
+        chunk_size=len(chunks[0]),
+    )
+    final = spark.table("cusumstream").collect()[-1]
+    assert final["n_hours"] == len(counts)
+    # the stream was handed the batch row's ROUNDED mu/sigma, so the
+    # folded statistic may differ in the 1e-6 rounding tail
+    assert abs(final["max_cusum"] - batch["max_cusum"]) < 2e-6
+    assert final["n_alarm_hours"] == batch["n_alarm_hours"]
+    exp_first = int(
+        batch["first_alarm_hour"].timestamp() // 3600
+    ) if batch["first_alarm_hour"] else -1
+    assert final["first_alarm_hour"] == exp_first
