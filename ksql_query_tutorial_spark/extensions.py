@@ -6551,3 +6551,49 @@ EXTENSION_ORACLES["embedding_threshold_sweep"] = f"""
               LEFT JOIN tv ON grid.threshold = tv.threshold
     ORDER BY 1
 """
+
+
+def asof_click_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — time-to-convert attribution: each click
+    matched to the user's EARLIEST purchase at or after it (ties on
+    ts broken by highest purchase event id), the mirror of
+    asof_purchase_click through the same single-shuffle union-window
+    operator with direction='forward'. See asof.asof_join."""
+    from ksql_query_tutorial_spark.operators import asof
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof.asof_join(
+        clicks, purchases, time_col="ts", by_cols=["user_id"],
+        order_col="purchase_event_id", direction="forward",
+    ).select(
+        "event_id", "user_id", "ts", "purchase_event_id", "purchase_ts"
+    )
+
+
+EXTENSION_QUERIES["asof_click_next_purchase"] = asof_click_next_purchase
+
+EXTENSION_ORACLES["asof_click_next_purchase"] = """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_event_id, user_id,
+                 ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_event_id, p.purchase_ts
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id AND p.purchase_ts >= c.ts
+    QUALIFY row_number() OVER (
+      PARTITION BY c.event_id
+      ORDER BY p.purchase_ts ASC NULLS LAST,
+               p.purchase_event_id DESC NULLS LAST) = 1
+    ORDER BY c.event_id
+"""

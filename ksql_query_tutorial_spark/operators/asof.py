@@ -39,9 +39,20 @@ def asof_join(
     order_col: str | None = None,
     how: str = "left",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Join each left row to the latest right row with
     ``right.time_col <= left.time_col``, matching on ``by_cols``.
+
+    ``direction`` (the pandas ``merge_asof`` trio): ``"backward"``
+    (default — latest right at or before), ``"forward"`` (earliest
+    right at or after, via the mirrored window frame — same single
+    shuffle), ``"nearest"`` (both fills on the same partitioning —
+    one extra in-partition sort, NO extra exchange — then a per-row
+    pick of the smaller |Δt|, ties to the backward match). Equal
+    timestamps match in every direction (inclusive); ties among
+    equal-timestamp right rows go to the highest ``order_col`` in all
+    directions.
 
     ``right``'s payload columns (everything except ``by_cols`` +
     ``time_col``) must not collide with left column names — rename
@@ -51,10 +62,15 @@ def asof_join(
 
     ``how``: ``"left"`` keeps unmatched left rows with null payload;
     ``"inner"`` drops them. ``tolerance_seconds`` nulls/drops matches
-    older than the window.
+    further than the window in the match direction (exact to the
+    microsecond).
 
     Returns all left columns + right payload columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     overlap = (set(right.columns) - set(by_cols) - {time_col}) & set(left.columns)
     if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
@@ -73,7 +89,6 @@ def asof_join(
         raise ValueError("right side has no payload columns beyond keys/time")
     payload_t = T.StructType([right.schema[c] for c in payload])
 
-    sort_keys = ["__t", "__is_l"] + (["__ord"] if order_col else [])
     l2 = left.select(
         *by_cols,
         F.col(time_col).alias("__t"),
@@ -95,29 +110,69 @@ def asof_join(
     )
     u = l2.unionByName(r2)
 
-    w = (
+    ords_b = [F.col("__ord").asc()] if order_col else []
+    ords_f = [F.col("__ord").desc()] if order_col else []
+    wb = (
         Window.partitionBy(*by_cols)
-        .orderBy(*[F.col(k).asc() for k in sort_keys])
+        .orderBy(F.col("__t").asc(), F.col("__is_l").asc(), *ords_b)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col("__t").asc(), F.col("__is_l").desc(), *ords_f)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills += [
+            F.last("__rt", ignorenulls=True).over(wb).alias("__bt"),
+            F.last("__rp", ignorenulls=True).over(wb).alias("__bp"),
+        ]
+    if direction in ("forward", "nearest"):
+        fills += [
+            F.first("__rt", ignorenulls=True).over(wf).alias("__ft"),
+            F.first("__rp", ignorenulls=True).over(wf).alias("__fp"),
+        ]
     filled = u.select(
-        *by_cols,
-        "__t",
-        "__is_l",
-        *left_payload,
-        F.last("__rt", ignorenulls=True).over(w).alias("__rt"),
-        F.last("__rp", ignorenulls=True).over(w).alias("__rp"),
+        *by_cols, "__t", "__is_l", *left_payload, *fills
     ).filter(F.col("__is_l") == 1)
 
-    if tolerance_seconds is not None:
-        in_tol = (
-            F.col("__rt").isNotNull()
-            & (F.unix_timestamp("__t") - F.unix_timestamp("__rt")
-               <= F.lit(float(tolerance_seconds)))
+    tol_us = (
+        None if tolerance_seconds is None
+        else int(round(float(tolerance_seconds) * 1_000_000))
+    )
+
+    def _tol(t_col: str, delta):
+        if tol_us is None:
+            return F.col(t_col).isNotNull()
+        return F.col(t_col).isNotNull() & (delta <= F.lit(tol_us))
+
+    if direction == "backward":
+        ok = _tol("__bt", F.unix_micros("__t") - F.unix_micros("__bt"))
+        filled = filled.select(
+            *by_cols, "__t", *left_payload,
+            F.when(ok, F.col("__bt")).alias("__rt"),
+            F.when(ok, F.col("__bp")).alias("__rp"),
         )
-        filled = (
-            filled.withColumn("__rp", F.when(in_tol, F.col("__rp")))
-            .withColumn("__rt", F.when(in_tol, F.col("__rt")))
+    elif direction == "forward":
+        ok = _tol("__ft", F.unix_micros("__ft") - F.unix_micros("__t"))
+        filled = filled.select(
+            *by_cols, "__t", *left_payload,
+            F.when(ok, F.col("__ft")).alias("__rt"),
+            F.when(ok, F.col("__fp")).alias("__rp"),
+        )
+    else:
+        db = F.unix_micros("__t") - F.unix_micros("__bt")
+        df_ = F.unix_micros("__ft") - F.unix_micros("__t")
+        ok_b = _tol("__bt", db)
+        ok_f = _tol("__ft", df_)
+        pick_b = ok_b & (~ok_f | (db <= df_))
+        filled = filled.select(
+            *by_cols, "__t", *left_payload,
+            F.when(pick_b, F.col("__bt"))
+            .when(ok_f, F.col("__ft")).alias("__rt"),
+            F.when(pick_b, F.col("__bp"))
+            .when(ok_f, F.col("__fp")).alias("__rp"),
         )
 
     if how == "inner":

@@ -3767,3 +3767,87 @@ def test_embedding_threshold_sweep_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert a["n_pairs"] >= b["n_pairs"]
         assert a["n_vecs_affected"] >= b["n_vecs_affected"]
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """asof_join directions: forward picks the earliest right at or
+    after (equal ts inclusive, highest order_col on ties); nearest
+    picks the closer side and ties go backward; tolerance applies in
+    the match direction."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(10)), (1, 20, t(31))],
+        "user long, lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, t(10)),   # equal-ts match for lid 10
+            (1, 101, t(10)),   # same ts, higher id -> wins ties
+            (1, 102, t(30)),   # 1 min before lid 20
+            (1, 103, t(33)),   # 2 min after lid 20
+        ],
+        "user long, rid long, ts timestamp",
+    )
+
+    fwd = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "ts", ["user"], order_col="rid",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {10: 101, 20: 103}      # inclusive equal-ts, tie->101
+
+    near = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "ts", ["user"], order_col="rid",
+            direction="nearest",
+        ).collect()
+    }
+    assert near == {10: 101, 20: 102}     # 1 min back beats 2 min fwd
+
+    # forward tolerance of 60s: lid 20's next right is 120s away -> null
+    fwd_tol = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "ts", ["user"], order_col="rid",
+            direction="forward", tolerance_seconds=60.0,
+        ).collect()
+    }
+    assert fwd_tol == {10: 101, 20: None}
+
+    # nearest with backward side out of tolerance flips to forward
+    near_tol = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left.filter(F.col("lid") == 20), right, "ts", ["user"],
+            order_col="rid", direction="nearest",
+            tolerance_seconds=30.0,
+        ).collect()
+    }
+    assert near_tol == {20: None}         # both sides out of 30s
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.asof import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 10, t(20))], "user long, lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, t(15)), (1, 101, t(25))],
+        "user long, rid long, ts timestamp",
+    )
+    out = asof_join(
+        left, right, "ts", ["user"], order_col="rid",
+        direction="nearest",
+    ).collect()
+    assert out[0]["rid"] == 100           # 5 min each way -> backward

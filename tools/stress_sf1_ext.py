@@ -205,6 +205,8 @@ EXT_NAMES = [
     "privacy_generalization",
     "events_power_analysis",
     "embedding_threshold_sweep",
+    # r5 forward-asof batch.
+    "asof_click_next_purchase",
 ]
 
 
