@@ -6597,3 +6597,42 @@ EXTENSION_ORACLES["asof_click_next_purchase"] = """
                p.purchase_event_id DESC NULLS LAST) = 1
     ORDER BY c.event_id
 """
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def events_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per observed day.
+    See analytics.rolling_actives."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        rolling_actives,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return rolling_actives(
+        load(spark, sf_dir, "events"), window_days=ROLLING_WINDOW_DAYS
+    )
+
+
+EXTENSION_QUERIES["events_rolling_actives"] = events_rolling_actives
+
+EXTENSION_ORACLES["events_rolling_actives"] = f"""
+    WITH cells AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                       AS day, user_id
+                   FROM events),
+    observed AS (SELECT DISTINCT day FROM cells),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+            FROM cells GROUP BY 1),
+    contrib AS (SELECT DISTINCT o.day, c.user_id
+                FROM cells c JOIN observed o
+                  ON o.day BETWEEN c.day
+                     AND c.day + INTERVAL {ROLLING_WINDOW_DAYS - 1} DAYS),
+    wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+            FROM contrib GROUP BY 1)
+    SELECT dau.day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+               AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY 1
+"""

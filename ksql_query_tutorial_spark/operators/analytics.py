@@ -1911,3 +1911,66 @@ def power_analysis(
         .cast("long")
         .alias("n_required_per_arm"),
     ).orderBy("event_type")
+
+
+ROLLING_ACTIVE_DAYS = 7
+
+
+def rolling_actives(
+    df: DataFrame,
+    window_days: int = ROLLING_ACTIVE_DAYS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Rolling active users: per observed day, the distinct users of
+    that day (DAU), of the trailing ``window_days`` window (WAU), and
+    the DAU/WAU stickiness ratio — the growth dashboard's headline
+    trio.
+
+    Scale design: the corpus collapses to (day, user) cells first
+    (one user-keyed exchange); each cell then fans out to the ≤
+    ``window_days`` report days it contributes to — a BOUNDED
+    constant-factor explode, not a range join whose per-day task
+    would re-scan the window — and the trailing distinct is one more
+    (day, user)-keyed dedup + count. Report days are the OBSERVED
+    event days (a day with no events is absent; join a calendar spine
+    upstream to change that).
+
+    Returns ``day, dau, wau, stickiness`` (rounded 6) ordered by day.
+    """
+    cells = df.select(
+        F.date_trunc("DAY", F.col(ts_col)).cast("date").alias("day"),
+        F.col(user_col).alias("uid"),
+    ).distinct()
+    observed = cells.select("day").distinct()
+    dau = cells.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    contrib = (
+        cells.select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.date_add(F.col("day"), window_days - 1),
+                )
+            ).alias("day"),
+            "uid",
+        )
+        .join(F.broadcast(observed), "day", "left_semi")
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -3851,3 +3851,25 @@ def test_asof_join_nearest_tie_prefers_backward(spark):
         direction="nearest",
     ).collect()
     assert out[0]["rid"] == 100           # 5 min each way -> backward
+
+
+def test_rolling_actives_window_math(spark):
+    """rolling_actives: WAU unions the trailing window's users; DAU is
+    that day only; stickiness = DAU/WAU."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        rolling_actives,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = lambda x, u: (datetime(2024, 1, 1 + x, 12), u)
+    rows = [d(0, 1), d(0, 2), d(3, 2), d(3, 3), d(10, 9)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {str(r["day"]): r for r in rolling_actives(df, 7).collect()}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["wau"] == 2
+    # day 4 sees users {1,2} from day 1 and {2,3} from day 4 -> 3
+    assert out["2024-01-04"]["dau"] == 2 and out["2024-01-04"]["wau"] == 3
+    assert out["2024-01-04"]["stickiness"] == round(2 / 3, 6)
+    # day 11 is 10 days after day 1: only its own user remains
+    assert out["2024-01-11"]["dau"] == 1 and out["2024-01-11"]["wau"] == 1

@@ -207,6 +207,8 @@ EXT_NAMES = [
     "embedding_threshold_sweep",
     # r5 forward-asof batch.
     "asof_click_next_purchase",
+    # r5 growth-metrics batch.
+    "events_rolling_actives",
 ]
 
 
