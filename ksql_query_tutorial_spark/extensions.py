@@ -6636,3 +6636,87 @@ EXTENSION_ORACLES["events_rolling_actives"] = f"""
     FROM dau JOIN wau ON dau.day = wau.day
     ORDER BY 1
 """
+
+
+TCLOSE_T = 0.2
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of order priorities within the customer
+    (nation, segment) quasi-identifier classes — the third rung of
+    the privacy triad. See analytics.t_closeness."""
+    from ksql_query_tutorial_spark.operators.analytics import t_closeness
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).select(*LDIV_QUASI, LDIV_SENSITIVE)
+    return t_closeness(
+        joined, list(LDIV_QUASI), LDIV_SENSITIVE, t_threshold=TCLOSE_T
+    )
+
+
+EXTENSION_QUERIES["privacy_t_closeness"] = privacy_t_closeness
+
+EXTENSION_ORACLES["privacy_t_closeness"] = f"""
+    WITH cells AS (
+        SELECT c_nationkey, c_mktsegment, o_orderpriority AS sv,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2, 3),
+    cls AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(sum(c) AS BIGINT) AS n_rows
+            FROM cells GROUP BY 1, 2),
+    gtot AS (SELECT sv, sum(c) AS gc FROM cells GROUP BY 1),
+    gp AS (SELECT sv, CAST(gc AS DOUBLE)
+                      / (SELECT sum(gc) FROM gtot) AS pg
+           FROM gtot),
+    grid AS (SELECT cls.*, gp.sv, gp.pg FROM cls CROSS JOIN gp),
+    j AS (SELECT grid.c_nationkey, grid.c_mktsegment, grid.n_rows,
+                 CAST(COALESCE(cells.c, 0) AS DOUBLE)
+                     / CAST(grid.n_rows AS DOUBLE) AS pc,
+                 grid.pg
+          FROM grid LEFT JOIN cells
+            ON grid.c_nationkey = cells.c_nationkey
+           AND grid.c_mktsegment = cells.c_mktsegment
+           AND grid.sv = cells.sv)
+    SELECT c_nationkey, c_mktsegment, n_rows,
+           ROUND(0.5 * sum(abs(pc - pg)), 6) AS tv_distance,
+           ROUND(0.5 * sum(abs(pc - pg)), 6) > {TCLOSE_T} AS at_risk
+    FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2
+"""
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signals per document.
+    See text.code_signals."""
+    from ksql_query_tutorial_spark.operators.text import code_signals
+
+    return code_signals(load(spark, sf_dir, "documents"))
+
+
+EXTENSION_QUERIES["text_code_detect"] = text_code_detect
+
+EXTENSION_ORACLES["text_code_detect"] = r"""
+    WITH sig AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+               CAST(len(regexp_extract_all(text, '(?m)^[ \t]'))
+                    AS INT) AS n_indented,
+               len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+                   AS n_sym,
+               CAST(len(regexp_extract_all(lower(text),
+                   '\b(def|class|function|return|import|var|let|const|void|public|static|if|else|for|while|lambda|struct|enum)\b'))
+                   AS INT) AS kw_hits,
+               CAST(len(regexp_extract_all(text,
+                   '\b[a-z]+[A-Z][a-zA-Z]*\b')) AS INT) AS camel_hits,
+               greatest(length(text), 1) AS nc
+        FROM documents)
+    SELECT doc_id, n_lines, n_indented,
+           ROUND(CAST(n_sym AS DOUBLE) / nc, 6) AS symbol_ratio,
+           kw_hits, camel_hits,
+           (ROUND(CAST(n_sym AS DOUBLE) / nc, 6) >= 0.05
+            OR kw_hits >= 3) AS is_code
+    FROM sig ORDER BY doc_id
+"""

@@ -1974,3 +1974,65 @@ def rolling_actives(
         )
         .orderBy("day")
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_threshold: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy triad after
+    :func:`k_anonymity` and :func:`l_diversity`: a class can be large
+    AND diverse yet still leak if its sensitive-value DISTRIBUTION
+    deviates from the corpus (e.g. a class that is 90% 1-URGENT
+    against a 20% base rate). Reports each quasi-identifier class's
+    total-variation distance ``TV = ½·Σ_v |p_class(v) − p_global(v)|``
+    (the categorical form of the t-closeness EMD) and flags classes
+    with TV > ``t_threshold``.
+
+    Determinism design: both distributions derive from exact integer
+    counts; the per-value |p−q| terms are identical double ops in both
+    engines and the Σ runs over the BOUNDED sensitive domain per
+    class, so summation order is the same grouped fold everywhere.
+
+    Scale design: one (quasi, sensitive)-keyed exchange collapses the
+    corpus; the class × sensitive-domain grid (needed so values ABSENT
+    from a class still contribute |0 − p_global|) is a broadcast cross
+    join of two bounded frames. No windows, no driver actions.
+
+    Returns ``*quasi_cols, n_rows, tv_distance, at_risk`` ordered by
+    the quasi columns.
+    """
+    cells = df.groupBy(
+        *quasi_cols, F.col(sensitive_col).alias("__sv")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    cls = cells.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("n_rows")
+    )
+    glob = (
+        cells.groupBy("__sv")
+        .agg(F.sum("__c").alias("__gc"))
+        .withColumn(
+            "__pg",
+            F.col("__gc").cast("double")
+            / F.sum("__gc").over(Window.partitionBy()),
+        )
+        .select("__sv", "__pg")
+    )
+    grid = cls.crossJoin(F.broadcast(glob))
+    joined = grid.join(cells, [*quasi_cols, "__sv"], "left").withColumn(
+        "__pc",
+        F.coalesce(F.col("__c"), F.lit(0)).cast("double")
+        / F.col("n_rows").cast("double"),
+    )
+    return (
+        joined.groupBy(*quasi_cols, "n_rows")
+        .agg(
+            F.round(
+                0.5 * F.sum(F.abs(F.col("__pc") - F.col("__pg"))), 6
+            ).alias("tv_distance")
+        )
+        .withColumn("at_risk", F.col("tv_distance") > t_threshold)
+        .orderBy(*quasi_cols)
+    )

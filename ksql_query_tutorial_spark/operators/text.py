@@ -404,3 +404,66 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_syll.cast("int").alias("n_syllables"),
         F.round(score, 4).alias("flesch"),
     ).orderBy("doc_id")
+
+
+CODE_SYMBOL_RE = r"[{}();=<>\[\]]"
+CODE_KEYWORD_RE = (
+    r"\b(def|class|function|return|import|var|let|const|void|"
+    r"public|static|if|else|for|while|lambda|struct|enum)\b"
+)
+CODE_CAMEL_RE = r"\b[a-z]+[A-Z][a-zA-Z]*\b"
+CODE_SYMBOL_RATIO_MIN = 0.05
+CODE_KEYWORD_MIN = 3
+
+
+def code_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-vs-prose detection signals — the filter every LLM text
+    pipeline runs to route source code away from (or into) the prose
+    mixture: structural-symbol density, indented-line share, language
+    keyword hits, camelCase identifier hits, and the combined
+    ``is_code`` verdict (symbol-dense OR keyword-heavy).
+
+    Everything is codegen JVM regexp arithmetic over one projection —
+    no shuffle, no Python, no UDFs (the text.py discipline); the
+    patterns are RE2-compatible so the DuckDB oracle evaluates the
+    identical expressions.
+
+    Returns ``doc_id, n_lines, n_indented, symbol_ratio, kw_hits,
+    camel_hits, is_code`` (ratio rounded 6) ordered by doc id.
+    """
+    n_chars = F.length(text_col)
+    n_lines = F.size(F.split(F.col(text_col), "\n", -1))
+    n_indent = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"(?m)^[ \t]"), F.lit(0)
+        )
+    )
+    n_sym = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(CODE_SYMBOL_RE), F.lit(0))
+    )
+    kw = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(CODE_KEYWORD_RE), F.lit(0)
+        )
+    )
+    camel = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(CODE_CAMEL_RE), F.lit(0))
+    )
+    sym_ratio = F.round(
+        n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        6,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.cast("int").alias("n_lines"),
+        n_indent.cast("int").alias("n_indented"),
+        sym_ratio.alias("symbol_ratio"),
+        kw.cast("int").alias("kw_hits"),
+        camel.cast("int").alias("camel_hits"),
+        (
+            (sym_ratio >= CODE_SYMBOL_RATIO_MIN)
+            | (kw >= CODE_KEYWORD_MIN)
+        ).alias("is_code"),
+    ).orderBy("doc_id")

@@ -3873,3 +3873,41 @@ def test_rolling_actives_window_math(spark):
     assert out["2024-01-04"]["stickiness"] == round(2 / 3, 6)
     # day 11 is 10 days after day 1: only its own user remains
     assert out["2024-01-11"]["dau"] == 1 and out["2024-01-11"]["wau"] == 1
+
+
+def test_t_closeness_skew_vs_uniform(spark):
+    """t_closeness: a class mirroring the global distribution scores
+    ~0; a point-mass class scores 1 - p_global(value) ... computed by
+    hand on a planted 2-class corpus."""
+    from ksql_query_tutorial_spark.operators.analytics import t_closeness
+
+    # global: a appears 6 times, b 2 -> p=(0.75, 0.25)
+    rows = [("g1", "a")] * 3 + [("g1", "b")] * 1      # g1 = 0.75/0.25
+    rows += [("g2", "a")] * 3 + [("g2", "b")] * 1     # g2 identical
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    out = {r["grp"]: r for r in t_closeness(df, ["grp"], "sens", 0.2).collect()}
+    assert out["g1"]["tv_distance"] == 0.0 and not out["g1"]["at_risk"]
+
+    rows2 = [("g1", "a")] * 4 + [("g2", "a")] * 1 + [("g2", "b")] * 3
+    df2 = spark.createDataFrame(rows2, "grp string, sens string")
+    # global: a=5/8, b=3/8; g1 point mass on a: TV = 0.5*(|1-5/8|+|0-3/8|)
+    out2 = {r["grp"]: r for r in t_closeness(df2, ["grp"], "sens", 0.2).collect()}
+    assert out2["g1"]["tv_distance"] == round(0.5 * (3 / 8 + 3 / 8), 6)
+    assert out2["g1"]["at_risk"]
+
+
+def test_code_signals_routes_code_from_prose(spark):
+    """code_signals: a code-ish doc trips is_code on symbols AND
+    keywords; plain prose does not; indented lines counted."""
+    from ksql_query_tutorial_spark.operators.text import code_signals
+
+    code = "def f(x):\n    return x + 1\nclass Foo:\n    pass\nimport os"
+    prose = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, code), (2, prose)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in code_signals(df).collect()}
+    assert out[1]["is_code"] and not out[2]["is_code"]
+    assert out[1]["n_lines"] == 5 and out[1]["n_indented"] == 2
+    assert out[1]["kw_hits"] >= 3
+    assert out[2]["symbol_ratio"] == 0.0 and out[2]["kw_hits"] == 0

@@ -209,6 +209,9 @@ EXT_NAMES = [
     "asof_click_next_purchase",
     # r5 growth-metrics batch.
     "events_rolling_actives",
+    # r5 privacy-triad/text-routing batch.
+    "privacy_t_closeness",
+    "text_code_detect",
 ]
 
 
