@@ -6720,3 +6720,41 @@ EXTENSION_ORACLES["text_code_detect"] = r"""
             OR kw_hits >= 3) AS is_code
     FROM sig ORDER BY doc_id
 """
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half centroid stability per label (even vs odd vec ids).
+    See similarity.centroid_drift."""
+    return similarity.centroid_drift(load(spark, sf_dir, "embeddings"))
+
+
+EXTENSION_QUERIES["embedding_centroid_drift"] = embedding_centroid_drift
+
+EXTENSION_ORACLES["embedding_centroid_drift"] = """
+    WITH q AS (SELECT label, vec_id % 2 AS par,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[]))
+                                      AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                        AS qv
+               FROM embeddings),
+    cells AS (SELECT label, dim,
+                     sum(CASE WHEN par = 0 THEN qv ELSE 0 END) AS s0,
+                     sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS n0,
+                     sum(CASE WHEN par = 1 THEN qv ELSE 0 END) AS s1,
+                     sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS n1
+              FROM q GROUP BY 1, 2),
+    pd AS (SELECT label, n0, n1,
+                  CAST(s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * 1000000.0)
+                      AS c0,
+                  CAST(s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * 1000000.0)
+                      AS c1
+           FROM cells WHERE n0 > 0 AND n1 > 0)
+    SELECT label,
+           CAST(max(n0) AS BIGINT) AS n_even,
+           CAST(max(n1) AS BIGINT) AS n_odd,
+           ROUND(sqrt(sum((c0 - c1) * (c0 - c1))), 6) AS centroid_l2,
+           ROUND(sum(c0 * c1)
+                 / sqrt(sum(c0 * c0) * sum(c1 * c1)), 6)
+               AS centroid_cosine
+    FROM pd GROUP BY 1 ORDER BY 1
+"""

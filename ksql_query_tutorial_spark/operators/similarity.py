@@ -1373,3 +1373,88 @@ def pairwise_cosine_histogram(
         )
         .orderBy("cos_bin")
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = COV_SCALE,
+) -> DataFrame:
+    """Split-half centroid stability per label — the embedding-space
+    drift monitor: quantize vectors to integer micro-units, split each
+    label's vectors into even/odd id halves, and compare the two
+    half-centroids by L2 distance and cosine. Stable, well-sampled
+    labels sit at distance ≈ 0 / cosine ≈ 1; a drifting or
+    under-sampled label splits apart. (Run across snapshots instead of
+    id parity by mapping the snapshot id into ``id_col``.)
+
+    Determinism design: the covariance_stats move — per-dim sums are
+    exact INT64 over ``floor(x·scale + 0.5)`` micro-units, so both
+    engines derive the identical double centroids; the distance and
+    cosine are fixed-shape expressions over the BOUNDED per-label
+    64-dim cell table.
+
+    Plan shape: posexplode → hash aggregate keyed (label, parity,
+    dim). Map-side partials collapse every task to its bounded cell
+    set before the exchange, so the shuffle carries |labels|·2·d
+    cells per task, not corpus rows. One more bounded rollup per
+    label finishes; no joins, no windows.
+
+    Returns ``label, n_even, n_odd, centroid_l2, centroid_cosine``
+    (rounded 6, original units) ordered by label.
+    """
+    q = F.floor(F.col("x") * scale + F.lit(0.5)).cast("long")
+    cells = (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.pmod(F.col(id_col), F.lit(2)).cast("int").alias("par"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select("label", "par", "dim", q.alias("q"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.when(F.col("par") == 0, F.col("q")).otherwise(0))
+            .alias("s0"),
+            F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("par") == 1, F.col("q")).otherwise(0))
+            .alias("s1"),
+            F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    sc = float(scale)
+    c0 = F.col("s0").cast("double") / (F.col("n0").cast("double") * sc)
+    c1 = F.col("s1").cast("double") / (F.col("n1").cast("double") * sc)
+    per_dim = cells.filter((F.col("n0") > 0) & (F.col("n1") > 0)).select(
+        "label",
+        "n0",
+        "n1",
+        c0.alias("c0"),
+        c1.alias("c1"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n0").cast("long").alias("n_even"),
+            F.max("n1").cast("long").alias("n_odd"),
+            F.sqrt(
+                F.sum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))
+            ).alias("__l2"),
+            (
+                F.sum(F.col("c0") * F.col("c1"))
+                / F.sqrt(
+                    F.sum(F.col("c0") * F.col("c0"))
+                    * F.sum(F.col("c1") * F.col("c1"))
+                )
+            ).alias("__cos"),
+        )
+        .select(
+            "label",
+            "n_even",
+            "n_odd",
+            F.round("__l2", 6).alias("centroid_l2"),
+            F.round("__cos", 6).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

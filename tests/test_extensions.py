@@ -3911,3 +3911,27 @@ def test_code_signals_routes_code_from_prose(spark):
     assert out[1]["n_lines"] == 5 and out[1]["n_indented"] == 2
     assert out[1]["kw_hits"] >= 3
     assert out[2]["symbol_ratio"] == 0.0 and out[2]["kw_hits"] == 0
+
+
+def test_centroid_drift_identical_halves_and_shift(spark):
+    """centroid_drift: identical even/odd halves -> L2 0, cosine 1; a
+    planted shifted half -> the exact L2 of the shift."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    v = [1.0] + [0.0] * 63
+    w = [0.0, 1.0] + [0.0] * 62
+    rows = [(0, v, "stable"), (1, v, "stable"),
+            (2, v, "stable"), (3, v, "stable"),
+            (10, v, "drift"), (11, w, "drift")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["label"]: r for r in centroid_drift(df).collect()}
+    assert out["stable"]["centroid_l2"] == 0.0
+    assert out["stable"]["centroid_cosine"] == 1.0
+    assert out["stable"]["n_even"] == 2 and out["stable"]["n_odd"] == 2
+    # drift: even centroid = v, odd centroid = w -> L2 = sqrt(2), cos 0
+    assert out["drift"]["centroid_l2"] == round(2 ** 0.5, 6)
+    assert out["drift"]["centroid_cosine"] == 0.0

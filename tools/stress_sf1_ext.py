@@ -212,6 +212,8 @@ EXT_NAMES = [
     # r5 privacy-triad/text-routing batch.
     "privacy_t_closeness",
     "text_code_detect",
+    # r5 embedding-monitoring batch.
+    "embedding_centroid_drift",
 ]
 
 
