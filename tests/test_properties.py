@@ -457,3 +457,150 @@ def test_key_skew_report_conserves_rows_and_shares(spark, keys):
     assert abs(sum(r["rows_share"] for r in out) - 1.0) < 1e-4
     # bucket must match the bit length of every count it aggregates
     assert all(r["freq_bucket"] >= 1 for r in out)
+
+
+# ---------------------------------------------------- asof direction trio
+
+ASOF_LEFT = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 500)),
+    min_size=1, max_size=12,
+)
+# unique right timestamps per key (pandas breaks equal-ts ties by frame
+# order, this operator by order_col — identical only without ties)
+ASOF_RIGHT = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 500)),
+    min_size=1, max_size=12,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=ASOF_LEFT, right=ASOF_RIGHT,
+       direction=st.sampled_from(["backward", "forward", "nearest"]),
+       tol=st.sampled_from([None, 60.0]))
+def test_asof_directions_match_pandas_merge_asof(
+    spark, left, right, direction, tol
+):
+    """asof_join == pandas.merge_asof for every direction and
+    tolerance on random tie-free inputs."""
+    import pandas as pd
+
+    ldf = spark.createDataFrame(
+        [(k, i, pd.Timestamp(2024, 1, 1).value // 1000 + t * 1_000_000)
+         for i, (k, t) in enumerate(left)],
+        "user long, lid long, us long",
+    ).select("user", "lid", F.timestamp_micros("us").alias("ts"))
+    rdf = spark.createDataFrame(
+        [(k, 1000 + i, pd.Timestamp(2024, 1, 1).value // 1000 + t * 1_000_000)
+         for i, (k, t) in enumerate(right)],
+        "user long, rid long, us long",
+    ).select("user", "rid", F.timestamp_micros("us").alias("ts"))
+
+    from ksql_query_tutorial_spark.operators.asof import asof_join
+
+    got = {
+        (r["user"], r["lid"]): r["rid"]
+        for r in asof_join(
+            ldf, rdf, "ts", ["user"], order_col="rid",
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=t))
+         for i, (k, t) in enumerate(left)],
+        columns=["user", "lid", "ts"],
+    ).sort_values(["ts", "lid"]).reset_index(drop=True)
+    rp = pd.DataFrame(
+        [(k, 1000 + i, pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=t))
+         for i, (k, t) in enumerate(right)],
+        columns=["user", "rid", "ts"],
+    ).sort_values(["ts", "rid"]).reset_index(drop=True)
+    kwargs = {} if tol is None else {"tolerance": pd.Timedelta(seconds=tol)}
+    exp_df = pd.merge_asof(
+        lp, rp, on="ts", by="user", direction=direction, **kwargs
+    )
+    exp = {
+        (r.user, r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
+
+
+# ------------------------------------------------- triangle brute force
+
+EDGES = st.lists(
+    st.tuples(st.integers(1, 12), st.integers(1, 12)),
+    min_size=0, max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=EDGES)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """triangle_counts == itertools brute force on random graphs
+    (self-loops and duplicate/reversed edges included in the input)."""
+    from itertools import combinations
+
+    from ksql_query_tutorial_spark.operators.graph import triangle_counts
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    expected: dict[int, int] = {}
+    for x, y, z in combinations(sorted({v for e in und for v in e}), 3):
+        if ((x, y) in und and (x, z) in und and (y, z) in und):
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+
+    df = spark.createDataFrame(
+        edges or [(1, 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
+
+
+# --------------------------------------------------- CUSUM reflection
+
+SERIES = st.lists(st.integers(0, 40), min_size=2, max_size=40)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=SERIES)
+def test_cusum_reflection_identity_random_series(spark, counts):
+    """cusum_drift's reflected-walk closed form == the direct
+    max(0, S+y) recursion on random hourly series."""
+    import math
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import cusum_drift
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for hh, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, t0 + timedelta(hours=hh), eid, "x", 1.0))
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    r = cusum_drift(df, slack_sigmas=0.5, alarm_sigmas=4.0).collect()[0]
+    obs = [c for c in counts if c > 0]      # absent hours don't score
+    n = len(obs)
+    mu = sum(obs) / n
+    sigma = math.sqrt(max(sum(c * c for c in obs) / n - mu * mu, 0.0))
+    s, smax, alarms = 0.0, 0.0, 0
+    for c in obs:
+        s = max(0.0, s + (c - mu - 0.5 * sigma))
+        smax = max(smax, s)
+        if s > 4.0 * sigma:
+            alarms += 1
+    assert r["n_hours"] == n
+    assert r["max_cusum"] == round(smax, 6)
+    assert r["n_alarm_hours"] == alarms
