@@ -6758,3 +6758,35 @@ EXTENSION_ORACLES["embedding_centroid_drift"] = """
                AS centroid_cosine
     FROM pd GROUP BY 1 ORDER BY 1
 """
+
+
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap (shared users + Jaccard) across
+    event types. See analytics.audience_overlap."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        audience_overlap,
+    )
+
+    return audience_overlap(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_audience_overlap"] = events_audience_overlap
+
+EXTENSION_ORACLES["events_audience_overlap"] = """
+    WITH cells AS (SELECT DISTINCT event_type AS t, user_id AS u
+                   FROM events),
+    sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+              FROM cells GROUP BY 1),
+    both_t AS (SELECT a.t AS type_a, b.t AS type_b,
+                      CAST(count(*) AS BIGINT) AS n_both
+               FROM cells a JOIN cells b
+                 ON a.u = b.u AND a.t < b.t
+               GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(n_both AS DOUBLE)
+                 / CAST(sa.n + sb.n - n_both AS DOUBLE), 6) AS jaccard
+    FROM both_t JOIN sizes sa ON type_a = sa.t
+                JOIN sizes sb ON type_b = sb.t
+    ORDER BY 1, 2
+"""

@@ -2036,3 +2036,64 @@ def t_closeness(
         .withColumn("at_risk", F.col("tv_distance") > t_threshold)
         .orderBy(*quasi_cols)
     )
+
+
+def audience_overlap(
+    df: DataFrame,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Audience overlap matrix: for every unordered pair of event
+    types, the distinct users doing BOTH, plus the Jaccard overlap of
+    the two audiences — the segmentation readout behind "users who
+    search also buy" questions and campaign-targeting unions.
+
+    Scale design: the corpus collapses to distinct (type, user) cells
+    first (one user-keyed exchange with map-side partials); the pair
+    expansion is a self-equi-join ON USER of that deduplicated cell
+    table — per-user fan-out is bounded by |types|² (a bounded
+    domain), never corpus rows — and the final rollup is keyed on the
+    bounded type-pair domain. Exact counts; swap in HLL sketch unions
+    when |users| per type stops fitting a shuffle (events_hll_users
+    is the sketch precedent).
+
+    Returns ``type_a, type_b, n_both, n_a, n_b, jaccard`` (rounded 6)
+    for pairs with ≥1 shared user, ordered by (type_a, type_b).
+    """
+    cells = df.select(
+        F.col(type_col).alias("t"), F.col(user_col).alias("u")
+    ).distinct()
+    sizes = cells.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = cells.select(F.col("t").alias("ta"), "u")
+    b = cells.select(F.col("t").alias("tb"), "u")
+    both = (
+        a.join(b, "u")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy(
+            F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = sizes.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -3935,3 +3935,21 @@ def test_centroid_drift_identical_halves_and_shift(spark):
     # drift: even centroid = v, odd centroid = w -> L2 = sqrt(2), cos 0
     assert out["drift"]["centroid_l2"] == round(2 ** 0.5, 6)
     assert out["drift"]["centroid_cosine"] == 0.0
+
+
+def test_audience_overlap_hand_computed(spark):
+    """audience_overlap: planted user sets give exact intersection
+    and Jaccard; disjoint pairs are absent."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        audience_overlap,
+    )
+
+    rows = [("a", u) for u in (1, 2, 3)] + [("b", u) for u in (2, 3, 4)]
+    rows += [("c", 9)] + [("a", 1)]       # duplicate event, disjoint c
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    out = audience_overlap(df).collect()
+    assert len(out) == 1                  # only (a, b) share users
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 3, 3)
+    assert r["jaccard"] == 0.5            # |{2,3}| / |{1,2,3,4}|

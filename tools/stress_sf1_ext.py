@@ -214,6 +214,8 @@ EXT_NAMES = [
     "text_code_detect",
     # r5 embedding-monitoring batch.
     "embedding_centroid_drift",
+    # r5 audience-analytics batch.
+    "events_audience_overlap",
 ]
 
 
