@@ -95,7 +95,15 @@ _GATE_PRIORITY = [
     # supplier_part_counts, ann_recall_eval, text_readability,
     # orders_reorder_intervals), and the changelog/privacy wave
     # (events_tombstone_state, events_value_quantiles,
-    # privacy_dp_counts, supplier_dominant_parts) — all
+    # privacy_dp_counts, supplier_dominant_parts), and the r5
+    # continuation wave (graph_triangles, graph_clustering_coef,
+    # graph_kcore, privacy_l_diversity, privacy_t_closeness,
+    # privacy_generalization, corpus_feature_hash, events_concurrency,
+    # events_twa, events_cusum, events_power_analysis,
+    # events_rolling_actives, events_audience_overlap,
+    # customer_survival, dedup_source_matrix,
+    # embedding_threshold_sweep, embedding_centroid_drift,
+    # asof_click_next_purchase, text_code_detect) — all
     # hash-verified in-repo by tests/test_oracle.py every pytest run;
     # the window's 20 non-tutorial slots are already maximally
     # allocated to ops awaiting their FIRST driver round.
