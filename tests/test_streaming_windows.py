@@ -151,3 +151,36 @@ def test_hopping_window_stream_matches_batch_twin(spark):
         ).agg(F.count(F.lit(1)).alias("n_events")).collect()
     }
     assert final == expected, (final, expected)
+
+
+def test_interval_join_left_outer_null_pads_on_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: an impression with no
+    click in its window emits null-padded — but only after the global
+    watermark passes the window end (plus one batch of propagation);
+    matched rows emit normally."""
+    imps = (
+        ts_rows((0, 0, "x", 1), (0, 10, "y", 1))
+        + ts_rows((40, 0, "zz", 1))        # advance left watermark
+        + ts_rows((41, 0, "zz", 1))        # propagation batch
+    )
+    clicks = (
+        ts_rows((0, 30, "x", 10))
+        + ts_rows((40, 0, "none", 99))     # advance right watermark
+        + ts_rows((41, 0, "none", 99))
+    )
+    d1, d2 = str(tmp_path / "imps"), str(tmp_path / "clicks")
+    R.write_chunks(d1, imps, chunk_size=1)
+    R.write_chunks(d2, clicks, chunk_size=1)
+    left = R.stream_source(spark, d1, TS).withColumnRenamed("ts", "imp_ts") \
+        .withColumnRenamed("v", "imp_v")
+    right = R.stream_source(spark, d2, TS).withColumnRenamed("ts", "click_ts") \
+        .withColumnRenamed("k", "k2").withColumnRenamed("v", "click_v")
+    joined = W.interval_join(
+        left, right, F.col("k") == F.col("k2"), "imp_ts", "click_ts",
+        lower="interval 0 seconds", upper="interval 1 minute",
+        watermark="1 minute", how="left_outer",
+    ).select("k", "imp_ts", "click_ts", "click_v")
+    q = R.run_to_memory(joined, "ijlo", output_mode="append",
+                        with_batch_id=True)
+    got = {(r.k, r.click_v) for _, r in q.emissions if r.k in ("x", "y")}
+    assert got == {("x", 10), ("y", None)}
