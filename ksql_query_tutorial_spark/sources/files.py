@@ -32,8 +32,9 @@ def read_table(
 ) -> DataFrame:
     """Read a table with an explicit schema (required for text formats).
 
-    parquet carries its own schema; JSON/CSV without a declared schema
-    would trigger inference (an extra scan + type drift) — refused.
+    parquet/ORC carry their own schema; JSON/CSV without a declared
+    schema would trigger inference (an extra scan + type drift) —
+    refused.
     """
     fmt = fmt.lower()
     reader = spark.read.format(fmt)

@@ -80,11 +80,12 @@ def test_file_roundtrip_all_formats(spark, tmp_path):
     want = {(r.doc_id, r.text, r.lang) for r in d.collect()}
     schema = "doc_id long, text string, lang string"
 
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         path = str(tmp_path / fmt)
         write_table(d, path, fmt=fmt)
         back = read_table(spark, path, fmt=fmt,
-                          schema=None if fmt == "parquet" else schema)
+                          schema=None if fmt in ("parquet", "orc")
+                          else schema)
         got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
         assert got == want, fmt
 
