@@ -1779,3 +1779,51 @@ def test_embedding_cos_histogram_cap_pushed(spark):
     df = embedding_cos_histogram(spark, SF_ORACLE)
     assert_pushed_filter(df, "LessThan(vec_id")
     assert_no_python(df)
+
+
+def test_graph_triangles_no_wedge_shuffle(spark):
+    """graph_triangles: the wedge volume must stay packed in per-edge
+    adjacency arrays — the plan intersects arrays (array_intersect)
+    and the exchange count stays bounded (the wedge-row rewrite these
+    pins replaced shuffled Θ(Σoutdeg²) rows and regressed 5× at sf1)."""
+    import re as _re
+
+    from ksql_query_tutorial_spark.extensions import graph_triangles
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = graph_triangles(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "array_intersect" in plan, plan
+    n_exchanges = len(set(_re.findall(r"Exchange \((\d+)\)", plan)))
+    # full lineage incl. co-purchase edge generation measures 15; the
+    # pin is the packed-array path (array_intersect above) plus a
+    # loose exchange ceiling that a wedge-row rewrite would blow
+    assert n_exchanges <= 16, plan
+    assert_no_python(df)
+
+
+def test_audience_overlap_dedup_before_pair_join(spark):
+    """events_audience_overlap: the user self-join runs over DISTINCT
+    (type, user) cells — both join inputs aggregate before the join,
+    so per-user fan-out is bounded by the type domain."""
+    from ksql_query_tutorial_spark.extensions import events_audience_overlap
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    import re as _re
+
+    df = events_audience_overlap(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert _re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+                      plan), plan
+    # the distinct aggregate (keys t, u) must exist upstream of the join
+    aggs = set(_re.findall(r"HashAggregate \((\d+)\)", plan))
+    assert len(aggs) >= 4, plan   # partial+final dedup, sizes, pair rollup
+    assert_no_python(df)
