@@ -21,7 +21,8 @@ relational semantics match the reference:
 
 Statement coverage = the reference's surface: SET, CREATE SOURCE
 CONNECTOR, CREATE TABLE/STREAM (source + AS SELECT), INSERT INTO,
-SELECT, SHOW TOPICS/STREAMS/TABLES/CONNECTORS/QUERIES, TERMINATE, DROP.
+SELECT, SHOW TOPICS/STREAMS/TABLES/CONNECTORS/QUERIES, DESCRIBE
+[EXTENDED], EXPLAIN, TERMINATE, DROP.
 """
 
 from __future__ import annotations
@@ -114,6 +115,12 @@ def _execute_one(session, stmt: str) -> Any:
 
     if head == "SHOW":
         return _show(session, stmt)
+
+    if head == "DESCRIBE":
+        return _describe(session, stmt)
+
+    if head == "EXPLAIN":
+        return _explain(session, stmt)
 
     if head == "TERMINATE":
         session.terminate(stmt.split()[1])
@@ -305,6 +312,57 @@ def _show(session, stmt: str) -> list[str]:
     if what == "QUERIES":
         return session.show_queries()
     raise ValueError(f"unsupported SHOW: {stmt!r}")
+
+
+def _describe(session, stmt: str) -> list[str]:
+    """``DESCRIBE [EXTENDED] name;`` — the ksqlDB field/type listing
+    (ksqlDB CLI's DESCRIBE output table), EXTENDED adding the
+    collection metadata block (kind, key, format, topic, partitions,
+    running queries against it)."""
+    m = re.match(r"DESCRIBE\s+(EXTENDED\s+)?(\w+)\s*;?\s*$", stmt, re.I)
+    if not m:
+        raise ValueError(f"unsupported DESCRIBE: {stmt!r}")
+    extended, name = bool(m.group(1)), m.group(2).lower()
+    if name not in session.catalog:
+        raise ValueError(f"unknown stream/table: {name}")
+    coll = session.catalog[name]
+    fields = [
+        f"{f.name.upper()} | {f.dataType.simpleString().upper()}"
+        + (" (key)" if f.name in coll.key_cols else "")
+        for f in session.spark.table(name).schema.fields
+    ]
+    if not extended:
+        return fields
+    queries = [
+        q for q in getattr(session, "persistent_queries", {})
+        if q == name or q.endswith(name)
+    ]
+    meta = [
+        f"Name: {coll.name.upper()}",
+        f"Type: {coll.kind}",
+        f"Key columns: {', '.join(c.upper() for c in coll.key_cols) or '-'}",
+        f"Value format: {coll.value_format}",
+        f"Kafka topic: {coll.topic or '-'} (partitions: {coll.partitions})",
+        f"Queries that write from this {coll.kind}: "
+        + (', '.join(queries) or '-'),
+    ]
+    return meta + fields
+
+
+def _explain(session, stmt: str) -> str:
+    """``EXPLAIN <select>;`` — the optimized/physical plan for a push
+    or pull query (ksqlDB's EXPLAIN analog, rendered as Spark's
+    formatted plan, which is this engine's execution plan)."""
+    body = re.sub(r"^EXPLAIN\s+", "", stmt.strip(), flags=re.I)
+    if not re.match(r"SELECT\b", body, re.I):
+        raise ValueError(f"EXPLAIN expects a SELECT, got: {body[:60]!r}")
+    sql, _ = dialect.rewrite_select(
+        body, ts_col=_ts_col_of(session, body),
+        ts_of=lambda t: _ts_prop(session, t))
+    df = session.spark.sql(sql)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
 
 
 def print_topic(session, name: str) -> DataFrame:

@@ -378,3 +378,30 @@ def test_ansi_passthrough_surface(eng):
     ).collect()
     # VARCHAR ids compare lexicographically: '1', '10', '2', '3'
     assert btw[0].n == 4
+
+
+def test_describe_and_explain(eng):
+    """DESCRIBE lists fields with key markers; DESCRIBE EXTENDED adds
+    the metadata block; EXPLAIN returns the engine's physical plan for
+    a rewritten SELECT."""
+    out = eng.ksql("DESCRIBE players;")
+    assert any(line.startswith("ID | ") and "(key)" in line for line in out)
+    assert any(line.startswith("NAME | STRING") for line in out)
+
+    ext = eng.ksql("DESCRIBE EXTENDED players;")
+    assert any(line.startswith("Type: TABLE") for line in ext)
+    assert any(line.startswith("Value format:") for line in ext)
+    assert any(line.startswith("ID | ") for line in ext)
+
+    plan = eng.ksql("EXPLAIN SELECT UCASE(name) AS n FROM players;")
+    # the fixture registers players as an in-memory view, so the plan
+    # shows the relation, not a file scan — pin structure + rewrite
+    assert "== Physical Plan ==" in plan
+    assert "upper" in plan.lower()        # UCASE rewritten to upper()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.ksql("DESCRIBE no_such_thing;")
+    with _pytest.raises(ValueError):
+        eng.ksql("EXPLAIN DROP TABLE players;")
