@@ -6790,3 +6790,118 @@ EXTENSION_ORACLES["events_audience_overlap"] = """
                 JOIN sizes sb ON type_b = sb.t
     ORDER BY 1, 2
 """
+
+
+SHINGLE_SWEEP_NS = (2, 3, 5)
+# the frequency cut is MANDATORY here: the n=2 rung's posting lists on
+# a duplicated corpus explode quadratically without it (the sf1 sweep
+# run timed out before the cut; with it the rung prunes the
+# vocabulary-shared shingles that carry no near-dup signal anyway)
+SHINGLE_SWEEP_MAX_POSTING = 64
+
+
+def dedup_shingle_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-size sensitivity sweep for exact-Jaccard dedup: the
+    pair yield, docs touched, and mean similarity at n-gram sizes
+    2/5 vs the production 3 under the SAME threshold and the SAME
+    frequency cut — the calibration table read before fixing a
+    shingle size (small n over-matches on shared vocabulary, large n
+    under-matches short documents; this shows where THIS corpus
+    sits). Each rung is the production inverted-index pair generator
+    with max_posting applied, so the sweep measures exactly what the
+    pipeline would run.
+
+    Scale design: one pair generation per rung (a small fixed
+    constant), each the bucketed ngram_jaccard_pairs plan — inverted-
+    index candidates, the max_posting frequency cut (shingles shared
+    by more than SHINGLE_SWEEP_MAX_POSTING docs carry no near-dup
+    signal and explode the n=2 rung's self-join without it), exact
+    verify on candidates only; per-rung reductions are single bounded
+    rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    outs = []
+    for n in SHINGLE_SWEEP_NS:
+        pairs = dedup.ngram_jaccard_pairs(
+            d, "doc_id", n=n, threshold=JACCARD_THRESHOLD,
+            max_posting=SHINGLE_SWEEP_MAX_POSTING,
+        )
+        ends = pairs.select(F.explode(F.array("id_a", "id_b")).alias("i"))
+        outs.append(
+            pairs.agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            )
+            .crossJoin(
+                ends.agg(
+                    F.countDistinct("i").cast("long").alias("n_docs")
+                )
+            )
+            .select(
+                F.lit(n).cast("int").alias("shingle_n"),
+                "n_pairs",
+                F.coalesce("avg_jaccard", F.lit(0.0)).alias("avg_jaccard"),
+                "n_docs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("shingle_n")
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB n-gram shingle expression for arbitrary n (the _SHINGLES
+    twin generalized)."""
+    concat = "||' '||".join(f"toks[i+{k}]" if k else "toks[i]"
+                            for k in range(n))
+    return (
+        f"list_distinct(CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks)-{n}+2), i -> {concat}) "
+        "ELSE [] END)"
+    )
+
+
+def _jaccard_rung_sql(n: int) -> str:
+    return f"""
+        SELECT CAST({n} AS INT) AS shingle_n,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               COALESCE(ROUND(avg(jaccard), 6), 0.0) AS avg_jaccard,
+               (SELECT CAST(count(DISTINCT i) AS BIGINT)
+                FROM (SELECT id_a AS i FROM pairs{n}
+                      UNION ALL SELECT id_b FROM pairs{n})) AS n_docs
+        FROM pairs{n}"""
+
+
+def _shingle_sweep_oracle() -> str:
+    ctes = ["t AS (SELECT doc_id, " + _TOKS + " AS toks FROM documents)"]
+    for n in SHINGLE_SWEEP_NS:
+        ctes.append(f"""
+    sh{n} AS (SELECT doc_id, {_shingles_sql(n)} AS s FROM t),
+    postraw{n} AS (SELECT doc_id, unnest(s) AS shingle FROM sh{n}),
+    post{n} AS (SELECT doc_id, shingle FROM postraw{n}
+                QUALIFY count(*) OVER (PARTITION BY shingle)
+                        <= {SHINGLE_SWEEP_MAX_POSTING}),
+    sizes{n} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                 FROM post{n} GROUP BY 1),
+    inter{n} AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        count(*) AS i
+                 FROM post{n} a JOIN post{n} b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+    pairs{n} AS (SELECT id_a, id_b,
+                        ROUND(CAST(i AS DOUBLE)
+                              / CAST(sa.n + sb.n - i AS DOUBLE), 6)
+                            AS jaccard
+                 FROM inter{n}
+                 JOIN sizes{n} sa ON id_a = sa.doc_id
+                 JOIN sizes{n} sb ON id_b = sb.doc_id
+                 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                       >= {JACCARD_THRESHOLD})""")
+    rungs = " UNION ALL ".join(_jaccard_rung_sql(n) for n in SHINGLE_SWEEP_NS)
+    return ("WITH " + ",".join(ctes)
+            + f" SELECT * FROM ({rungs}) ORDER BY shingle_n")
+
+
+EXTENSION_QUERIES["dedup_shingle_sweep"] = dedup_shingle_sweep
+EXTENSION_ORACLES["dedup_shingle_sweep"] = _shingle_sweep_oracle()

@@ -3953,3 +3953,27 @@ def test_audience_overlap_hand_computed(spark):
     assert (r["type_a"], r["type_b"]) == ("a", "b")
     assert (r["n_both"], r["n_a"], r["n_b"]) == (2, 3, 3)
     assert r["jaccard"] == 0.5            # |{2,3}| / |{1,2,3,4}|
+
+
+def test_shingle_sweep_monotone_pair_yield(spark):
+    """dedup_shingle_sweep: smaller shingles can only match MORE pairs
+    at a fixed threshold on this fixture's near-dup corpus, and every
+    rung's n=3 row equals the production pair generator's count."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        JACCARD_THRESHOLD,
+        dedup_shingle_sweep,
+    )
+    from ksql_query_tutorial_spark.operators import dedup
+    from ksql_query_tutorial_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    rows = {r["shingle_n"]: r for r in
+            dedup_shingle_sweep(spark, SF_ORACLE).collect()}
+    assert sorted(rows) == [2, 3, 5]
+    d = load(spark, SF_ORACLE, "documents")
+    n3 = dedup.ngram_jaccard_pairs(
+        d, "doc_id", n=3, threshold=JACCARD_THRESHOLD
+    ).count()
+    assert rows[3]["n_pairs"] == n3
+    assert rows[2]["n_pairs"] >= rows[3]["n_pairs"] >= rows[5]["n_pairs"]

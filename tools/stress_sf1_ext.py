@@ -216,6 +216,8 @@ EXT_NAMES = [
     "embedding_centroid_drift",
     # r5 audience-analytics batch.
     "events_audience_overlap",
+    # r5 shingle-calibration batch.
+    "dedup_shingle_sweep",
 ]
 
 
