@@ -6905,3 +6905,50 @@ def _shingle_sweep_oracle() -> str:
 
 EXTENSION_QUERIES["dedup_shingle_sweep"] = dedup_shingle_sweep
 EXTENSION_ORACLES["dedup_shingle_sweep"] = _shingle_sweep_oracle()
+
+
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor (day-of-week x hour-of-day) additive seasonality
+    decomposition per event type. See analytics.seasonal_profile."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        seasonal_profile,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return seasonal_profile(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_seasonal_profile"] = events_seasonal_profile
+
+EXTENSION_ORACLES["events_seasonal_profile"] = """
+    WITH hourly AS (
+        SELECT event_type AS etype, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    cells AS (
+        SELECT etype, dayofweek(h) + 1 AS dow, hour(h) AS hod,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(c) AS BIGINT) AS s
+        FROM hourly GROUP BY 1, 2, 3),
+    grand AS (SELECT etype,
+                     CAST(sum(s) AS DOUBLE) / sum(n_hours) AS gmean
+              FROM cells GROUP BY 1),
+    bd AS (SELECT etype, dow,
+                  CAST(sum(s) AS DOUBLE) / sum(n_hours) AS dmean
+           FROM cells GROUP BY 1, 2),
+    bh AS (SELECT etype, hod,
+                  CAST(sum(s) AS DOUBLE) / sum(n_hours) AS hmean
+           FROM cells GROUP BY 1, 2)
+    SELECT cells.etype AS event_type,
+           CAST(cells.dow AS INT) AS dow, CAST(cells.hod AS INT) AS hod,
+           n_hours,
+           ROUND(CAST(s AS DOUBLE) / n_hours, 6) AS mean_count,
+           ROUND(dmean + hmean - gmean, 6) AS fitted,
+           ROUND(CAST(s AS DOUBLE) / n_hours
+                 - (dmean + hmean - gmean), 6) AS residual
+    FROM cells
+    JOIN grand ON cells.etype = grand.etype
+    JOIN bd ON cells.etype = bd.etype AND cells.dow = bd.dow
+    JOIN bh ON cells.etype = bh.etype AND cells.hod = bh.hod
+    ORDER BY 1, 2, 3
+"""

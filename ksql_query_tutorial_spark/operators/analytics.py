@@ -2097,3 +2097,76 @@ def audience_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Two-factor additive seasonality decomposition of hourly volume:
+    per event type, fit ``count ≈ grand_mean + dow_effect +
+    hour_effect`` over the (day-of-week × hour-of-day) grid and report
+    each cell's observed mean, additive fit, and residual — the
+    calendar profile behind staffing/capacity curves and the residual
+    map that exposes patterns the two factors can't explain (lunch
+    spikes only on Fridays, launch anomalies).
+
+    Determinism design: all three factor means derive from the same
+    exact integer (type, dow, hour) cell sums; the fit and residual
+    are fixed-shape double expressions over them, rounded 6.
+
+    Scale design: ONE (type, hour-truncated-ts) rollup collapses the
+    corpus; everything after runs on the bounded |types|·168 grid —
+    the factor means are grid rollups and the join back is broadcast.
+    A calendar hour with no events is absent (consistent with
+    cusum_drift's observed-hours convention).
+
+    Returns ``event_type, dow, hod, n_hours, mean_count, fitted,
+    residual`` ordered by (type, dow, hod).
+    """
+    hourly = df.groupBy(
+        F.col(type_col).alias("etype"),
+        F.date_trunc("HOUR", F.col(ts_col)).alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cells = hourly.groupBy(
+        "etype",
+        F.dayofweek("h").alias("dow"),
+        F.hour("h").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    grand = cells.groupBy("etype").agg(
+        (F.sum("s").cast("double") / F.sum("n_hours").cast("double"))
+        .alias("gmean")
+    )
+    by_dow = cells.groupBy("etype", "dow").agg(
+        (F.sum("s").cast("double") / F.sum("n_hours").cast("double"))
+        .alias("dmean")
+    )
+    by_hod = cells.groupBy("etype", "hod").agg(
+        (F.sum("s").cast("double") / F.sum("n_hours").cast("double"))
+        .alias("hmean")
+    )
+    fitted = (
+        F.col("gmean")
+        + (F.col("dmean") - F.col("gmean"))
+        + (F.col("hmean") - F.col("gmean"))
+    )
+    mean_c = F.col("s").cast("double") / F.col("n_hours").cast("double")
+    return (
+        cells.join(F.broadcast(grand), "etype")
+        .join(F.broadcast(by_dow), ["etype", "dow"])
+        .join(F.broadcast(by_hod), ["etype", "hod"])
+        .select(
+            F.col("etype").alias("event_type"),
+            "dow",
+            "hod",
+            "n_hours",
+            F.round(mean_c, 6).alias("mean_count"),
+            F.round(fitted, 6).alias("fitted"),
+            F.round(mean_c - fitted, 6).alias("residual"),
+        )
+        .orderBy("event_type", "dow", "hod")
+    )

@@ -3977,3 +3977,42 @@ def test_shingle_sweep_monotone_pair_yield(spark):
     ).count()
     assert rows[3]["n_pairs"] == n3
     assert rows[2]["n_pairs"] >= rows[3]["n_pairs"] >= rows[5]["n_pairs"]
+
+
+def test_seasonal_profile_hand_computed_cells(spark):
+    """seasonal_profile: planted hours give the hand-computed additive
+    fit per (dow, hod) cell and residual = observed - fitted."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        seasonal_profile,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # 2024-01-01 is a Monday (Spark dayofweek: Mon=2)
+    mon10_a = datetime(2024, 1, 1, 10)
+    mon10_b = datetime(2024, 1, 8, 10)    # second Monday, same hour
+    tue11 = datetime(2024, 1, 2, 11)
+    rows = []
+    eid = 0
+    for t, c in ((mon10_a, 3), (mon10_b, 5), (tue11, 2)):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, t + timedelta(minutes=eid % 50), eid, "x", 1.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    out = {(r["dow"], r["hod"]): r for r in seasonal_profile(df).collect()}
+    g = (3 + 5 + 2) / 3                    # grand hourly mean
+    d_mon, d_tue = (3 + 5) / 2, 2.0        # dow means
+    h10, h11 = (3 + 5) / 2, 2.0            # hod means
+    cell = out[(2, 10)]
+    assert cell["n_hours"] == 2 and cell["mean_count"] == 4.0
+    assert cell["fitted"] == round(d_mon + h10 - g, 6)
+    assert cell["residual"] == round(4.0 - (d_mon + h10 - g), 6)
+    cell2 = out[(3, 11)]
+    assert cell2["fitted"] == round(d_tue + h11 - g, 6)
+    for r in out.values():
+        assert r["residual"] == round(r["mean_count"] - r["fitted"], 6)

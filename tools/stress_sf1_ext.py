@@ -218,6 +218,8 @@ EXT_NAMES = [
     "events_audience_overlap",
     # r5 shingle-calibration batch.
     "dedup_shingle_sweep",
+    # r5 calendar-analytics batch.
+    "events_seasonal_profile",
 ]
 
 
