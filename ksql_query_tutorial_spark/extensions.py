@@ -6952,3 +6952,76 @@ EXTENSION_ORACLES["events_seasonal_profile"] = """
     JOIN bh ON cells.etype = bh.etype AND cells.hod = bh.hod
     ORDER BY 1, 2, 3
 """
+
+
+SIMHASH_HIST_CAP = 256
+
+
+def text_simhash_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance calibration histogram over a fixed
+    doc-id slice: the distance distribution that tells you where to
+    put the banding radius BEFORE running simhash dedup (near-dups
+    pile up at small distances, the random-pair bulk sits near 31 of
+    62 bits) — the simhash twin of embedding_cos_histogram and
+    dedup_shingle_sweep in the calibration family.
+
+    Scale design: the all-pairs distance matrix is quadratic by
+    definition, so it runs over a FIXED id slice (the cos_histogram
+    precedent: the cap is pushed into the scan, pairs ≤ CAP²/2
+    regardless of corpus size); sketches come from the one-shuffle
+    portable simhash. Production banding never materializes this —
+    it's the calibration readout only.
+    """
+    from pyspark.sql.functions import bit_count
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH_HIST_CAP
+    )
+    sk = dedup.simhash64(d, "doc_id", portable=True)
+    a = sk.select(F.col("id").alias("ia"), F.col("simhash").alias("sa"))
+    b = sk.select(F.col("id").alias("ib"), F.col("simhash").alias("sb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming")
+    )
+    binned = pairs.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    total = binned.agg(F.sum("n_pairs").alias("__tot"))
+    return (
+        binned.crossJoin(F.broadcast(total))
+        .select(
+            F.col("hamming").cast("int").alias("hamming"),
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("__tot").cast("double"),
+                6,
+            ).alias("pair_share"),
+        )
+        .orderBy("hamming")
+    )
+
+
+EXTENSION_QUERIES["text_simhash_histogram"] = text_simhash_histogram
+
+EXTENSION_ORACLES["text_simhash_histogram"] = f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok
+                 FROM documents WHERE doc_id < {SIMHASH_HIST_CAP}),
+    hs AS (SELECT DISTINCT doc_id, {_PTH} AS h FROM tok),
+    bits AS (SELECT doc_id, r.b,
+                    CASE WHEN 2 * SUM((h >> r.b) & 1) > COUNT(*)
+                         THEN 1 ELSE 0 END AS bit
+             FROM hs, (SELECT unnest(range(62)) AS b) r
+             GROUP BY doc_id, r.b),
+    sim AS (SELECT doc_id,
+                   SUM(bit * (CAST(1 AS BIGINT) << b)) AS simhash
+            FROM bits GROUP BY doc_id),
+    pairs AS (SELECT bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM sim a JOIN sim b ON a.doc_id < b.doc_id),
+    binned AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM pairs GROUP BY 1),
+    t AS (SELECT sum(n_pairs) AS tot FROM binned)
+    SELECT CAST(hamming AS INT) AS hamming, n_pairs,
+           ROUND(CAST(n_pairs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS pair_share
+    FROM binned, t ORDER BY 1
+"""

@@ -4016,3 +4016,21 @@ def test_seasonal_profile_hand_computed_cells(spark):
     assert cell2["fitted"] == round(d_tue + h11 - g, 6)
     for r in out.values():
         assert r["residual"] == round(r["mean_count"] - r["fitted"], 6)
+
+
+def test_simhash_histogram_planted_near_dups(spark):
+    """text_simhash_histogram: the fixture's planted near-dup families
+    put mass at small Hamming distances while the random bulk sits
+    near the 31-bit center; shares sum to 1."""
+    from ksql_query_tutorial_spark.extensions import text_simhash_histogram
+    from tests.conftest import SF_ORACLE
+
+    rows = text_simhash_histogram(spark, SF_ORACLE).collect()
+    assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-4
+    near = sum(r["n_pairs"] for r in rows if r["hamming"] <= 3)
+    assert near > 0                        # planted families exist
+    # the distribution must separate: non-dup pairs spread well past
+    # the banding radius (this corpus's shared template vocabulary
+    # keeps the mode low — single digits — but the tail is wide)
+    assert max(r["hamming"] for r in rows) > 15
+    assert near < sum(r["n_pairs"] for r in rows) * 0.5

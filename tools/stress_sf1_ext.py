@@ -220,6 +220,8 @@ EXT_NAMES = [
     "dedup_shingle_sweep",
     # r5 calendar-analytics batch.
     "events_seasonal_profile",
+    # r5 simhash-calibration batch.
+    "text_simhash_histogram",
 ]
 
 
