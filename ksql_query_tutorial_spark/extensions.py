@@ -7025,3 +7025,66 @@ EXTENSION_ORACLES["text_simhash_histogram"] = f"""
                AS pair_share
     FROM binned, t ORDER BY 1
 """
+
+
+def corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per BPE-ish token
+    and BPE tokens per whitespace word — the efficiency readout that
+    decides whether a tokenizer (or a language's share of the mixture)
+    is burning context budget. High fertility = more tokens per char =
+    more compute per byte of text; tracked per language because
+    fertility disparities are the classic multilingual-tokenizer
+    failure. Rides the exact token signals of text_token_stats
+    (operator composition).
+
+    Scale design: one narrow codegen projection per doc (the token
+    stats), one lang-keyed rollup with map-side partials over exact
+    integer sums; output bounded by |langs|.
+    """
+    from ksql_query_tutorial_spark.operators import text
+
+    d = load(spark, sf_dir, "documents")
+    stats = text.with_token_stats(d).select(
+        "lang", "n_tokens", "n_bpe_tokens", "n_chars_measured"
+    )
+    agg = stats.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars_measured").cast("long").alias("__chars"),
+        F.sum("n_bpe_tokens").cast("long").alias("__bpe"),
+        F.sum("n_tokens").cast("long").alias("__words"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.col("__chars").cast("double")
+            / F.greatest(F.col("__bpe"), F.lit(1)).cast("double"),
+            6,
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("__bpe").cast("double")
+            / F.greatest(F.col("__words"), F.lit(1)).cast("double"),
+            6,
+        ).alias("tokens_per_word"),
+    ).orderBy("lang")
+
+
+EXTENSION_QUERIES["corpus_fertility"] = corpus_fertility
+
+EXTENSION_ORACLES["corpus_fertility"] = f"""
+    WITH s AS (SELECT lang,
+                      CAST(len({_TOKS}) AS BIGINT) AS words,
+                      CAST(len(regexp_extract_all(lower(text),
+                           '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe,
+                      CAST(length(text) AS BIGINT) AS chars
+               FROM documents),
+    a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 sum(chars) AS c, sum(bpe) AS b, sum(words) AS w
+          FROM s GROUP BY 1)
+    SELECT lang, n_docs,
+           ROUND(CAST(c AS DOUBLE) / greatest(b, 1), 6)
+               AS chars_per_token,
+           ROUND(CAST(b AS DOUBLE) / greatest(w, 1), 6)
+               AS tokens_per_word
+    FROM a ORDER BY lang
+"""

@@ -4034,3 +4034,34 @@ def test_simhash_histogram_planted_near_dups(spark):
     # keeps the mode low — single digits — but the tail is wide)
     assert max(r["hamming"] for r in rows) > 15
     assert near < sum(r["n_pairs"] for r in rows) * 0.5
+
+
+def test_corpus_fertility_hand_computed(spark):
+    """corpus_fertility: exact integer sums give the hand-computed
+    per-lang ratios (punctuation splits into extra BPE tokens)."""
+    from ksql_query_tutorial_spark.extensions import corpus_fertility
+    from ksql_query_tutorial_spark.tables import load  # noqa: F401
+
+    import ksql_query_tutorial_spark.extensions as ext
+
+    rows = [
+        (1, "hello world", "en", "s", 11),
+        (2, "a b, c", "en", "s", 6),        # "," is its own BPE token
+        (3, "xx yy", "de", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    )
+    orig = ext.load
+    try:
+        ext.load = lambda spark, sf, t: df
+        out = {r["lang"]: r for r in
+               corpus_fertility(spark, "ignored").collect()}
+    finally:
+        ext.load = orig
+    # en: chars 11+6=17, bpe 2 + 4 ("a","b",",","c") = 6, words 2+3=5
+    assert out["en"]["n_docs"] == 2
+    assert out["en"]["chars_per_token"] == round(17 / 6, 6)
+    assert out["en"]["tokens_per_word"] == round(6 / 5, 6)
+    assert out["de"]["chars_per_token"] == round(5 / 2, 6)

@@ -222,6 +222,8 @@ EXT_NAMES = [
     "events_seasonal_profile",
     # r5 simhash-calibration batch.
     "text_simhash_histogram",
+    # r5 tokenizer-economics batch.
+    "corpus_fertility",
 ]
 
 
