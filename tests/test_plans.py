@@ -1795,6 +1795,10 @@ def test_graph_triangles_no_wedge_shuffle(spark):
     )
     from tests.conftest import SF_ORACLE
 
+    # a previously-run triangle-family test leaves the edge frames
+    # cached, and InMemoryRelation sections embed their own exchanges
+    # in the formatted plan — clear so the count is cache-independent
+    spark.catalog.clearCache()
     df = graph_triangles(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "array_intersect" in plan, plan
