@@ -7088,3 +7088,106 @@ EXTENSION_ORACLES["corpus_fertility"] = f"""
                AS tokens_per_word
     FROM a ORDER BY lang
 """
+
+
+def embedding_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid label separability eval (even-id centroids,
+    odd-id assignments). See similarity.centroid_confusion."""
+    return similarity.centroid_confusion(load(spark, sf_dir, "embeddings"))
+
+
+EXTENSION_QUERIES["embedding_centroid_confusion"] = embedding_centroid_confusion
+
+EXTENSION_ORACLES["embedding_centroid_confusion"] = """
+    WITH q AS (SELECT vec_id, label, vec_id % 2 AS par,
+                      generate_subscripts(embedding, 1) - 1 AS dim,
+                      CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[]))
+                                      AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                        AS qv
+               FROM embeddings),
+    cents AS (SELECT label AS clabel, dim,
+                     CAST(floor(CAST(sum(qv) AS DOUBLE) / count(*) + 0.5)
+                          AS BIGINT) AS cq
+              FROM q WHERE par = 0 GROUP BY 1, 2),
+    test AS (SELECT vec_id AS vid, label AS true_label, dim, qv
+             FROM q WHERE par = 1),
+    scored AS (SELECT vid, true_label, clabel,
+                      CAST(sum(qv * cq) AS DOUBLE)
+                      / sqrt(CAST(sum(qv * qv) AS DOUBLE)
+                             * (SELECT CAST(sum(c2.cq * c2.cq) AS DOUBLE)
+                                FROM cents c2
+                                WHERE c2.clabel = cents.clabel)) AS cos
+               FROM test JOIN cents ON test.dim = cents.dim
+               GROUP BY vid, true_label, clabel),
+    best AS (SELECT vid, true_label, clabel AS pred_label
+             FROM scored
+             QUALIFY row_number() OVER (PARTITION BY vid
+                     ORDER BY cos DESC, clabel ASC) = 1),
+    conf AS (SELECT true_label, pred_label,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM best GROUP BY 1, 2),
+    tot AS (SELECT true_label, sum(n) AS t FROM conf GROUP BY 1)
+    SELECT conf.true_label, pred_label, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS row_share
+    FROM conf JOIN tot ON conf.true_label = tot.true_label
+    ORDER BY 1, 2
+"""
+
+
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass ROI of near-dup removal: total corpus tokens vs the
+    tokens surviving keeper-only dedup — the number a TRAINING budget
+    actually cares about (dedup_savings_report counts documents; long
+    duplicates cost more than short ones). Operator composition: LSH
+    connected components → keeper flags → one doc-keyed token join →
+    a single-row reduction.
+
+    Scale design: rides dedup_clusters_lsh (banded candidates,
+    O(diameter) labeling); the token counts are one narrow codegen
+    projection joined doc-keyed; the output is ONE row.
+    """
+    labels = EXTENSION_QUERIES["dedup_clusters_lsh"](spark, sf_dir)
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("__tok"),
+    )
+    j = labels.join(toks, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_keeper").cast("long")).cast("long").alias("n_kept"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("is_keeper"), F.col("__tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    ).select(
+        "n_docs",
+        "n_kept",
+        "n_tokens",
+        "tokens_kept",
+        F.round(
+            F.col("tokens_kept").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("token_share_kept"),
+    )
+
+
+EXTENSION_QUERIES["dedup_token_savings"] = dedup_token_savings
+
+EXTENSION_ORACLES["dedup_token_savings"] = f"""
+    WITH labels AS ({EXTENSION_ORACLES["dedup_clusters_lsh"]}),
+    toks AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS tok
+             FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN is_keeper THEN tok ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           ROUND(CAST(sum(CASE WHEN is_keeper THEN tok ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(tok) AS DOUBLE), 6) AS token_share_kept
+    FROM labels JOIN toks USING (doc_id)
+"""

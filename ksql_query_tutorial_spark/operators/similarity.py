@@ -1458,3 +1458,118 @@ def centroid_drift(
         )
         .orderBy("label")
     )
+
+
+def centroid_confusion(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    scale: int = COV_SCALE,
+) -> DataFrame:
+    """Nearest-centroid classification eval with a leakage-free parity
+    split: per-label centroids fit on EVEN ids, ODD ids assigned to
+    the nearest centroid by cosine, and the (true, predicted)
+    confusion matrix reported — the quick "are these labels even
+    separable in embedding space" readout before training anything.
+
+    Determinism design: centroids come from exact INT64 micro-unit
+    sums (the centroid_drift move) and are RE-QUANTIZED to micro-unit
+    integers, test vectors are quantized the same way, so every dot
+    product and norm is an exact integer in both engines — cosine
+    argmax ties break to the smallest label. No float summation-order
+    hazard anywhere (the similarity_topk_q8 discipline).
+
+    Scale design: centroids are a broadcast |labels|·d table; the
+    assignment is one narrow pass over test vectors with the argmax
+    as min(struct(−cos, label)) per row; the confusion rollup is keyed
+    on the bounded label² domain.
+
+    Returns ``true_label, pred_label, n, row_share`` (rounded 6)
+    ordered by (true, pred).
+    """
+    q = F.floor(F.col("x") * scale + F.lit(0.5)).cast("long")
+    cents = (
+        df.filter(F.pmod(F.col(id_col), F.lit(2)) == 0)
+        .select(
+            F.col(label_col).alias("clabel"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select("clabel", "dim", q.alias("qv"))
+        .groupBy("clabel", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "clabel",
+            "dim",
+            # centroid re-quantized to micro-units: exact in both engines
+            F.floor(
+                F.col("s").cast("double") / F.col("n").cast("double") + 0.5
+            ).cast("long").alias("cq"),
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cq"))
+                ),
+                lambda s: s["cq"],
+            ).alias("cvec")
+        )
+    )
+    test = df.filter(F.pmod(F.col(id_col), F.lit(2)) == 1).select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("true_label"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ).alias("tq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("tq", "cvec", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        test.crossJoin(F.broadcast(cents))
+        .select(
+            "vid",
+            "true_label",
+            "clabel",
+            (
+                dot.cast("double")
+                / F.sqrt(nrm(F.col("tq")).cast("double")
+                         * nrm(F.col("cvec")).cast("double"))
+            ).alias("cos"),
+        )
+    )
+    best = (
+        scored.groupBy("vid", "true_label")
+        .agg(
+            F.min(
+                F.struct((-F.col("cos")).alias("nc"),
+                         F.col("clabel").alias("lab"))
+            ).alias("__b")
+        )
+        .select("vid", "true_label", F.col("__b.lab").alias("pred_label"))
+    )
+    conf = best.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = conf.groupBy("true_label").agg(F.sum("n").alias("__t"))
+    return (
+        conf.join(F.broadcast(tot), "true_label")
+        .select(
+            "true_label",
+            "pred_label",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__t").cast("double"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("true_label", "pred_label")
+    )

@@ -4065,3 +4065,46 @@ def test_corpus_fertility_hand_computed(spark):
     assert out["en"]["chars_per_token"] == round(17 / 6, 6)
     assert out["en"]["tokens_per_word"] == round(6 / 5, 6)
     assert out["de"]["chars_per_token"] == round(5 / 2, 6)
+
+
+def test_centroid_confusion_separable_labels(spark):
+    """centroid_confusion: perfectly separable planted labels give a
+    diagonal confusion matrix with row_share 1."""
+    from ksql_query_tutorial_spark.operators.similarity import (
+        centroid_confusion,
+    )
+
+    a = [1.0] + [0.0] * 63
+    b = [0.0, 1.0] + [0.0] * 62
+    rows = []
+    for i in range(8):
+        rows.append((2 * i, a, "A"))       # even -> centroid fit
+        rows.append((2 * i + 1, a, "A"))   # odd -> test
+        rows.append((100 + 2 * i, b, "B"))
+        rows.append((101 + 2 * i, b, "B"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {(r["true_label"], r["pred_label"]): r
+           for r in centroid_confusion(df).collect()}
+    assert set(out) == {("A", "A"), ("B", "B")}
+    assert all(r["row_share"] == 1.0 for r in out.values())
+
+
+def test_token_savings_mass_conservation(spark):
+    """dedup_token_savings: kept + removed token mass equals the
+    corpus total and doc counts match the savings report."""
+    from ksql_query_tutorial_spark.extensions import (
+        EXTENSION_QUERIES,
+        dedup_token_savings,
+    )
+    from tests.conftest import SF_ORACLE
+
+    r = dedup_token_savings(spark, SF_ORACLE).collect()[0]
+    labels = EXTENSION_QUERIES["dedup_clusters_lsh"](spark, SF_ORACLE)
+    assert r["n_docs"] == labels.count()
+    assert r["n_kept"] == labels.filter("is_keeper").count()
+    assert 0 < r["tokens_kept"] <= r["n_tokens"]
+    assert r["token_share_kept"] == round(
+        r["tokens_kept"] / r["n_tokens"], 6
+    )

@@ -224,6 +224,9 @@ EXT_NAMES = [
     "text_simhash_histogram",
     # r5 tokenizer-economics batch.
     "corpus_fertility",
+    # r5 embedding-eval / token-accounting batch.
+    "embedding_centroid_confusion",
+    "dedup_token_savings",
 ]
 
 
