@@ -7191,3 +7191,40 @@ EXTENSION_ORACLES["dedup_token_savings"] = f"""
                  / CAST(sum(tok) AS DOUBLE), 6) AS token_share_kept
     FROM labels JOIN toks USING (doc_id)
 """
+
+
+def events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch hygiene check over the same hash-bucketed
+    arms as events_ab_test. See analytics.ab_srm_check."""
+    from ksql_query_tutorial_spark.operators.analytics import ab_srm_check
+
+    return ab_srm_check(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_ab_srm"] = events_ab_srm
+
+EXTENSION_ORACLES["events_ab_srm"] = """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (SELECT ((user_id % 1048573) * 2654435761) % 2 AS arm
+             FROM u),
+    wide AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b
+             FROM arms)
+    SELECT n_users, n_a, n_b,
+           ROUND(n_users * 0.5, 6) AS expected_a,
+           ROUND(CASE WHEN n_users > 0 THEN
+                 (n_a - n_users * 0.5) * (n_a - n_users * 0.5)
+                     / (n_users * 0.5)
+                 + (n_b - n_users * 0.5) * (n_b - n_users * 0.5)
+                     / (n_users * 0.5) END, 6) AS chi2,
+           CASE WHEN n_users > 0 THEN
+                (n_a - n_users * 0.5) * (n_a - n_users * 0.5)
+                    / (n_users * 0.5)
+                + (n_b - n_users * 0.5) * (n_b - n_users * 0.5)
+                    / (n_users * 0.5) > 3.841
+           END AS srm_flag
+    FROM wide
+"""

@@ -2170,3 +2170,51 @@ def seasonal_profile(
         )
         .orderBy("event_type", "dow", "hod")
     )
+
+
+def ab_srm_check(
+    events: DataFrame,
+    user_col: str = "user_id",
+    expected_share_a: float = 0.5,
+    chi2_critical: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check for the hash-bucketed A/B
+    assignment — the experiment-hygiene gate run BEFORE reading any
+    metric: if the observed arm split deviates from the design split
+    beyond chance (one-degree-of-freedom chi-square above the 95%
+    critical value 3.841), the bucketing or logging pipeline is broken
+    and every downstream readout is invalid. Uses the SAME
+    deterministic user-hash arms as ab_test_conversion, so it audits
+    exactly the assignment the readout uses.
+
+    Scale design: one user-keyed distinct rollup (map-side partials),
+    then a two-cell chi-square on a single row. Exact integer counts;
+    the statistic is one fixed-shape double expression.
+
+    Returns one row: ``n_users, n_a, n_b, expected_a, chi2, srm_flag``
+    (chi2 rounded 6).
+    """
+    arm = ((F.col(user_col) % 1048573) * 2654435761 % 2).cast("int")
+    per_user = events.select(user_col).distinct().select(arm.alias("__arm"))
+    wide = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0))
+        .cast("long").alias("n_b"),
+    )
+    ea = F.col("n_users").cast("double") * expected_share_a
+    eb = F.col("n_users").cast("double") * (1.0 - expected_share_a)
+    chi2 = F.when(
+        F.col("n_users") > 0,
+        (F.col("n_a") - ea) * (F.col("n_a") - ea) / ea
+        + (F.col("n_b") - eb) * (F.col("n_b") - eb) / eb,
+    )
+    return wide.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        F.round(ea, 6).alias("expected_a"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > chi2_critical).alias("srm_flag"),
+    )

@@ -4108,3 +4108,29 @@ def test_token_savings_mass_conservation(spark):
     assert r["token_share_kept"] == round(
         r["tokens_kept"] / r["n_tokens"], 6
     )
+
+
+def test_ab_srm_balanced_and_broken(spark):
+    """ab_srm_check: an even planted split passes; a grossly skewed
+    one flags; chi2 matches the hand computation."""
+    from ksql_query_tutorial_spark.operators.analytics import ab_srm_check
+
+    # find user ids for each arm under the production hash
+    arm = lambda u: ((u % 1048573) * 2654435761) % 2
+    a_ids = [u for u in range(1, 4000) if arm(u) == 0][:100]
+    b_ids = [u for u in range(1, 4000) if arm(u) == 1][:100]
+
+    even = spark.createDataFrame(
+        [(u,) for u in a_ids + b_ids], "user_id long"
+    )
+    r = ab_srm_check(even).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (100, 100)
+    assert r["chi2"] == 0.0 and not r["srm_flag"]
+
+    skewed = spark.createDataFrame(
+        [(u,) for u in a_ids + b_ids[:50]], "user_id long"
+    )
+    r2 = ab_srm_check(skewed).collect()[0]
+    n, na, nb = 150, 100, 50
+    chi2 = (na - n / 2) ** 2 / (n / 2) + (nb - n / 2) ** 2 / (n / 2)
+    assert r2["chi2"] == round(chi2, 6) and r2["srm_flag"]

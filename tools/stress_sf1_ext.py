@@ -227,6 +227,8 @@ EXT_NAMES = [
     # r5 embedding-eval / token-accounting batch.
     "embedding_centroid_confusion",
     "dedup_token_savings",
+    # r5 experiment-hygiene batch.
+    "events_ab_srm",
 ]
 
 
