@@ -7228,3 +7228,120 @@ EXTENSION_ORACLES["events_ab_srm"] = """
            END AS srm_flag
     FROM wide
 """
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user is NEW on their
+    first-seen day and RETURNING on every later active day — the
+    growth-accounting twin of events_rolling_actives (is the DAU curve
+    acquisition or retention?).
+
+    Scale design: one user-keyed rollup finds first-seen days; the
+    daily split joins the bounded (day, user) cell table against it
+    doc-keyed and rolls up per day. No windows.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    cells = e.select(
+        F.date_trunc("DAY", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    first = cells.groupBy("user_id").agg(F.min("day").alias("__first"))
+    return (
+        cells.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("__first"), 1).otherwise(0)
+            ).cast("long").alias("n_new"),
+            F.sum(
+                F.when(F.col("day") != F.col("__first"), 1).otherwise(0)
+            ).cast("long").alias("n_returning"),
+        )
+        .select(
+            "day",
+            "n_new",
+            "n_returning",
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_new") + F.col("n_returning")).cast("double"),
+                6,
+            ).alias("new_share"),
+        )
+        .orderBy("day")
+    )
+
+
+EXTENSION_QUERIES["events_new_vs_returning"] = events_new_vs_returning
+
+EXTENSION_ORACLES["events_new_vs_returning"] = """
+    WITH cells AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                       AS day, user_id
+                   FROM events),
+    first_d AS (SELECT user_id, min(day) AS fd FROM cells GROUP BY 1)
+    SELECT day,
+           CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN day <> fd THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning,
+           ROUND(CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS new_share
+    FROM cells JOIN first_d USING (user_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+def supplier_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source supply risk per nation: parts served by exactly
+    ONE supplier and the lineitem revenue riding on them — the
+    procurement readout that sizes what a single supplier failure
+    strands. One lineitem rollup per (part, supplier), a bounded
+    part-level reduction, then a nation rollup with the dim broadcast.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum(rev), 4).alias("__rev")
+    )
+    parts = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.max("l_suppkey").alias("__solo_supp"),
+        F.sum("__rev").alias("__part_rev"),
+    )
+    solo = parts.filter(F.col("__n_supp") == 1)
+    return (
+        solo.join(
+            s, solo["__solo_supp"] == s["s_suppkey"]
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_single_source_parts"),
+            F.round(F.sum("__part_rev"), 4).alias("revenue_at_risk"),
+        )
+        .orderBy("nation")
+    )
+
+
+EXTENSION_QUERIES["supplier_single_source"] = supplier_single_source
+
+EXTENSION_ORACLES["supplier_single_source"] = """
+    WITH ps AS (SELECT l_partkey, l_suppkey,
+                       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 4)
+                           AS rev
+                FROM lineitem GROUP BY 1, 2),
+    parts AS (SELECT l_partkey, count(*) AS n_supp,
+                     max(l_suppkey) AS solo_supp,
+                     sum(rev) AS part_rev
+              FROM ps GROUP BY 1),
+    solo AS (SELECT * FROM parts WHERE n_supp = 1)
+    SELECT n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_single_source_parts,
+           ROUND(sum(part_rev), 4) AS revenue_at_risk
+    FROM solo
+    JOIN supplier ON solo_supp = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1
+"""

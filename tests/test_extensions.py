@@ -4134,3 +4134,45 @@ def test_ab_srm_balanced_and_broken(spark):
     n, na, nb = 150, 100, 50
     chi2 = (na - n / 2) ** 2 / (n / 2) + (nb - n / 2) ** 2 / (n / 2)
     assert r2["chi2"] == round(chi2, 6) and r2["srm_flag"]
+
+
+def test_new_vs_returning_first_day_logic(spark):
+    """events_new_vs_returning: users count as new exactly on their
+    first active day."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.extensions import (
+        events_new_vs_returning,
+    )
+    import ksql_query_tutorial_spark.extensions as ext
+
+    d = lambda x, u: (datetime(2024, 1, 1 + x, 9), u)
+    rows = [d(0, 1), d(0, 2), d(1, 1), d(1, 3), d(2, 1), d(2, 2)]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    orig = ext.load
+    try:
+        ext.load = lambda spark, sf, t: df
+        out = {str(r["day"]): r for r in
+               events_new_vs_returning(spark, "x").collect()}
+    finally:
+        ext.load = orig
+    assert (out["2024-01-01"]["n_new"], out["2024-01-01"]["n_returning"]) == (2, 0)
+    assert (out["2024-01-02"]["n_new"], out["2024-01-02"]["n_returning"]) == (1, 1)
+    assert (out["2024-01-03"]["n_new"], out["2024-01-03"]["n_returning"]) == (0, 2)
+
+
+def test_single_source_counts_match_direct(spark):
+    """supplier_single_source: the flagged part count equals the
+    direct single-supplier part count and risk mass is positive."""
+    from ksql_query_tutorial_spark.extensions import supplier_single_source
+    from ksql_query_tutorial_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    li = load(spark, SF_ORACLE, "lineitem")
+    direct = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .groupBy("l_partkey").count().filter("count = 1").count()
+    )
+    rows = supplier_single_source(spark, SF_ORACLE).collect()
+    assert sum(r["n_single_source_parts"] for r in rows) == direct
+    assert all(r["revenue_at_risk"] > 0 for r in rows)

@@ -229,6 +229,9 @@ EXT_NAMES = [
     "dedup_token_savings",
     # r5 experiment-hygiene batch.
     "events_ab_srm",
+    # r5 growth/supply-risk batch.
+    "events_new_vs_returning",
+    "supplier_single_source",
 ]
 
 
