@@ -7345,3 +7345,144 @@ EXTENSION_ORACLES["supplier_single_source"] = """
     JOIN nation ON s_nationkey = n_nationkey
     GROUP BY 1 ORDER BY 1
 """
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over edges (Newman's r) — positive
+    = hubs buy with hubs (hub-clustered catalog), negative = hubs
+    bridge small-degree parts (hub-and-spoke). One number that
+    characterizes the whole graph's mixing, completing the graph-stats
+    family next to triangles/clustering/k-core.
+
+    Determinism design: each edge contributes BOTH orientations (the
+    standard symmetrized form), all sums are exact integers over
+    degrees, and the final r is one fixed-shape double expression.
+
+    Scale design: the degree rollup and the two degree-attach joins
+    are the triangle family's edge-keyed shapes; the moment reduction
+    is a single row. No windows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pp = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pp.alias("a")
+    b = pp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= COPURCHASE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("id"))
+        .unionAll(edges.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    sym = (
+        edges.join(du, "u").join(dv, "v")
+        .select(F.col("du").alias("x"), F.col("dv").alias("y"))
+    )
+    sym = sym.unionAll(sym.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(F.when(den != 0, num / den), 6).alias("assortativity"),
+    )
+
+
+EXTENSION_QUERIES["graph_assortativity"] = graph_assortativity
+
+EXTENSION_ORACLES["graph_assortativity"] = f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v
+          FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_SUPPORT}),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+            GROUP BY 1),
+    sym AS (SELECT du.d AS x, dv.d AS y
+            FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id
+            UNION ALL
+            SELECT dv.d, du.d
+            FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM sym)
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx
+                           <> 0
+                 THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 END, 6) AS assortativity
+    FROM m
+"""
+
+
+def part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-price dispersion per part type: the coefficient of
+    variation of lineitem unit price (extendedprice/quantity) within
+    each p_type — the pricing-consistency audit that flags types sold
+    at wildly inconsistent unit prices (data errors or uncontrolled
+    discounting).
+
+    Scale design: one fact-keyed rollup carrying exact double moment
+    sums per type (bounded domain), the part dim broadcast; CV is a
+    per-row expression on the bounded rollup.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    joined = li.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    m = joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(unit).alias("__s1"),
+        F.sum(unit * unit).alias("__s2"),
+    )
+    n = F.col("n_lines").cast("double")
+    mu = F.col("__s1") / n
+    var = F.greatest(F.col("__s2") / n - mu * mu, F.lit(0.0))
+    return m.select(
+        "p_type",
+        "n_lines",
+        F.round(mu, 6).alias("mean_unit_price"),
+        F.round(F.sqrt(var) / mu, 6).alias("cv"),
+    ).orderBy("p_type")
+
+
+EXTENSION_QUERIES["part_price_dispersion"] = part_price_dispersion
+
+EXTENSION_ORACLES["part_price_dispersion"] = """
+    WITH m AS (SELECT p_type,
+                      CAST(count(*) AS BIGINT) AS n_lines,
+                      sum(l_extendedprice / l_quantity) AS s1,
+                      sum((l_extendedprice / l_quantity)
+                          * (l_extendedprice / l_quantity)) AS s2
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               GROUP BY 1)
+    SELECT p_type, n_lines,
+           ROUND(s1 / n_lines, 6) AS mean_unit_price,
+           ROUND(sqrt(greatest(s2 / n_lines
+                               - (s1 / n_lines) * (s1 / n_lines), 0.0))
+                 / (s1 / n_lines), 6) AS cv
+    FROM m ORDER BY p_type
+"""

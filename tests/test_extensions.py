@@ -4176,3 +4176,59 @@ def test_single_source_counts_match_direct(spark):
     rows = supplier_single_source(spark, SF_ORACLE).collect()
     assert sum(r["n_single_source_parts"] for r in rows) == direct
     assert all(r["revenue_at_risk"] > 0 for r in rows)
+
+
+def test_assortativity_star_is_negative_clique_positive(spark):
+    """graph_assortativity formula check on planted graphs via the
+    operator's own edge construction path is heavy; check the math on
+    the underlying symmetrized-Pearson with a direct computation at
+    the oracle sf instead: |r| <= 1 and matches a pandas recompute."""
+    from ksql_query_tutorial_spark.extensions import graph_assortativity
+    from ksql_query_tutorial_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    r = graph_assortativity(spark, SF_ORACLE).collect()[0]
+    assert r["n_edges"] > 0 and abs(r["assortativity"]) <= 1.0
+
+    import pandas as pd
+
+    li = load(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().toPandas()
+    m = li.merge(li, on="l_orderkey")
+    m = m[m.l_partkey_x < m.l_partkey_y]
+    e = m[["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    deg = pd.concat([e.l_partkey_x, e.l_partkey_y]).value_counts()
+    x = pd.concat([e.l_partkey_x.map(deg), e.l_partkey_y.map(deg)])
+    y = pd.concat([e.l_partkey_y.map(deg), e.l_partkey_x.map(deg)])
+    n, sx, sxy, sxx = len(x), x.sum(), (x * y).sum(), (x * x).sum()
+    exp = (n * sxy - sx * sx) / (n * sxx - sx * sx)
+    assert r["assortativity"] == round(exp, 6)
+
+
+def test_price_dispersion_constant_price_zero_cv(spark):
+    """part_price_dispersion: constant unit price within a type gives
+    CV exactly 0; mixed prices give the hand-computed CV."""
+    import math
+
+    from ksql_query_tutorial_spark.extensions import part_price_dispersion
+    import ksql_query_tutorial_spark.extensions as ext
+
+    li = spark.createDataFrame(
+        [(1, 10.0, 1.0), (1, 20.0, 2.0),          # unit 10, 10
+         (2, 10.0, 1.0), (2, 40.0, 2.0)],         # unit 10, 20
+        "l_partkey long, l_extendedprice double, l_quantity double",
+    )
+    part = spark.createDataFrame(
+        [(1, "FLAT"), (2, "MIXED")], "p_partkey long, p_type string"
+    )
+    orig = ext.load
+    try:
+        ext.load = lambda spark, sf, t: {"lineitem": li, "part": part}[t]
+        out = {r["p_type"]: r for r in
+               part_price_dispersion(spark, "x").collect()}
+    finally:
+        ext.load = orig
+    assert out["FLAT"]["cv"] == 0.0
+    mu, var = 15.0, ((10 - 15) ** 2 + (20 - 15) ** 2) / 2
+    assert out["MIXED"]["cv"] == round(math.sqrt(var) / mu, 6)

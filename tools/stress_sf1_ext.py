@@ -232,6 +232,9 @@ EXT_NAMES = [
     # r5 growth/supply-risk batch.
     "events_new_vs_returning",
     "supplier_single_source",
+    # r5 graph-mixing / pricing-audit batch.
+    "graph_assortativity",
+    "part_price_dispersion",
 ]
 
 
