@@ -7486,3 +7486,103 @@ EXTENSION_ORACLES["part_price_dispersion"] = """
                  / (s1 / n_lines), 6) AS cv
     FROM m ORDER BY p_type
 """
+
+
+LENGTH_DRIFT_BIN = 64  # chars per histogram bin
+
+
+def corpus_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half document-length distribution drift: bin doc lengths
+    (chars, fixed-width bins), build the even-id and odd-id half
+    histograms, and report the KS-style max CDF gap plus the total
+    variation distance — the text-side twin of embedding_centroid_drift
+    (run across snapshots by mapping the snapshot into the parity).
+    A stable corpus scores ≈ 0 on both; ingestion drift (truncation
+    bugs, a new source's length profile) moves them.
+
+    Determinism design: histograms are exact integer counts on a
+    bounded bin domain; the CDFs are cumulative sums over ordered
+    bins (identical grouped folds in both engines); KS and TV are
+    fixed-shape expressions, rounded 6.
+
+    Scale design: one narrow projection + a (parity, bin)-keyed rollup
+    with map-side partials; the CDF windows run over bounded bins.
+    """
+    d = load(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.pmod(F.col("doc_id"), F.lit(2)).cast("int").alias("par"),
+            F.floor(F.length("text") / F.lit(LENGTH_DRIFT_BIN))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("par") == 0, 1).otherwise(0))
+            .cast("long").alias("c0"),
+            F.sum(F.when(F.col("par") == 1, 1).otherwise(0))
+            .cast("long").alias("c1"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    staged = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__f0",
+            F.sum("c0").over(w).cast("double") / F.col("t0").cast("double"),
+        )
+        .withColumn(
+            "__f1",
+            F.sum("c1").over(w).cast("double") / F.col("t1").cast("double"),
+        )
+    )
+    return staged.agg(
+        F.sum("c0").cast("long").alias("n_even"),
+        F.sum("c1").cast("long").alias("n_odd"),
+        F.round(F.max(F.abs(F.col("__f0") - F.col("__f1"))), 6).alias(
+            "ks_gap"
+        ),
+        F.round(
+            0.5
+            * F.sum(
+                F.abs(
+                    F.col("c0").cast("double") / F.col("t0").cast("double")
+                    - F.col("c1").cast("double") / F.col("t1").cast("double")
+                )
+            ),
+            6,
+        ).alias("tv_distance"),
+    )
+
+
+EXTENSION_QUERIES["corpus_length_drift"] = corpus_length_drift
+
+EXTENSION_ORACLES["corpus_length_drift"] = f"""
+    WITH cells AS (
+        SELECT CAST(floor(length(text) / ({LENGTH_DRIFT_BIN} * 1.0)) AS BIGINT) AS bin,
+               CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM documents GROUP BY 1),
+    tot AS (SELECT sum(c0) AS t0, sum(c1) AS t1 FROM cells),
+    staged AS (
+        SELECT c0, c1, t0, t1,
+               sum(c0) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   / CAST(t0 AS DOUBLE) AS f0,
+               sum(c1) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   / CAST(t1 AS DOUBLE) AS f1
+        FROM cells CROSS JOIN tot)
+    SELECT CAST(sum(c0) AS BIGINT) AS n_even,
+           CAST(sum(c1) AS BIGINT) AS n_odd,
+           ROUND(max(abs(f0 - f1)), 6) AS ks_gap,
+           ROUND(0.5 * sum(abs(CAST(c0 AS DOUBLE) / t0
+                               - CAST(c1 AS DOUBLE) / t1)), 6)
+               AS tv_distance
+    FROM staged
+"""

@@ -4232,3 +4232,28 @@ def test_price_dispersion_constant_price_zero_cv(spark):
     assert out["FLAT"]["cv"] == 0.0
     mu, var = 15.0, ((10 - 15) ** 2 + (20 - 15) ** 2) / 2
     assert out["MIXED"]["cv"] == round(math.sqrt(var) / mu, 6)
+
+
+def test_length_drift_identical_halves_zero(spark):
+    """corpus_length_drift: identical halves -> KS 0 / TV 0; a planted
+    shifted half -> exact hand-computed gaps."""
+    from ksql_query_tutorial_spark.extensions import corpus_length_drift
+    import ksql_query_tutorial_spark.extensions as ext
+
+    same = [(i, "x" * 100) for i in range(20)]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    orig = ext.load
+    try:
+        ext.load = lambda spark, sf, t: df
+        r = corpus_length_drift(spark, "x").collect()[0]
+        assert r["ks_gap"] == 0.0 and r["tv_distance"] == 0.0
+
+        # evens 100 chars (bin 1), odds 200 chars (bin 3): disjoint
+        shifted = [(i, "x" * (100 if i % 2 == 0 else 200))
+                   for i in range(20)]
+        df2 = spark.createDataFrame(shifted, "doc_id long, text string")
+        ext.load = lambda spark, sf, t: df2
+        r2 = corpus_length_drift(spark, "x").collect()[0]
+        assert r2["ks_gap"] == 1.0 and r2["tv_distance"] == 1.0
+    finally:
+        ext.load = orig

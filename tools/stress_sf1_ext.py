@@ -235,6 +235,8 @@ EXT_NAMES = [
     # r5 graph-mixing / pricing-audit batch.
     "graph_assortativity",
     "part_price_dispersion",
+    # r5 corpus-monitoring batch.
+    "corpus_length_drift",
 ]
 
 
