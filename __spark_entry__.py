@@ -37,76 +37,45 @@ _GATE_PRIORITY = [
     # Perennial family anchor: one LSH-dedup representative always in
     # the window.
     "dedup_minhash_lsh",
-    # r5 mid-round rotation: corpus_chunk + corpus_domain_cap are NEW
-    # this round and take driver slots immediately; text_token_stats
-    # and range_orders_90d rotate out (driver-green r2-r4; the text
-    # family stays covered by fingerprint/quality_score/entropy,
-    # temporal by events_funnel; both stay oracle-verified in-repo).
-    "corpus_chunk", "corpus_domain_cap",
-    # r5 rotation (VERDICT r4 #5): the four ops below take their FIRST
-    # driver-window round (rotated in during the r5 prelude), followed
-    # by the six ops NEW in r5 (deterministic split/shuffle, hashed
-    # linear quality scoring, the end-to-end curate pipeline, bigram
-    # LM scoring, the ordered funnel).
-    "text_fingerprint", "dedup_clusters",
-    "pack_sequences", "corpus_tfidf",
-    "corpus_split", "corpus_shuffle",
-    "text_quality_score", "corpus_curate",
-    "corpus_lm_score", "events_funnel",
-    # r5 late additions, all NEW this round and taking their first
-    # driver window: frame sampling (the multimodal rep), schemaless-
-    # JSON stats, cohort retention, hourly anomaly flags, deterministic
-    # centroid assignment, per-label centroids, char entropy. To make
-    # room, seven multi-round driver-green ops rotated out
-    # (text_lang_id, text_pii, dedup_simhash, dedup_embedding_lsh,
-    # dedup_clusters_lsh, dedup_incremental, similarity_topk — each
-    # hash-green r2-r4). Everything outside the window stays
-    # hash-verified in-repo via tests/test_oracle.py every pytest run.
-    "mm_frames",
-    "events_props_stats", "events_retention", "events_anomaly",
-    "embedding_cluster_assign", "embedding_label_centroids",
-    "text_entropy",
-    # NOT in the window (r6 rotation candidates, never driver-verified):
-    # events_salted_agg, audit_referential, corpus_diff,
-    # corpus_cooccurrence, events_moving_avg, corpus_summary,
-    # events_top_paths, corpus_cms_counts, dedup_containment,
-    # layout_zorder, corpus_novelty, corpus_mix_temperature,
-    # events_histogram, graph_pagerank, embedding_covariance,
-    # embedding_outliers, customer_rfm, orders_basket, events_markov,
-    # corpus_clean, hybrid_search, mm_frame_dedup, sample_weighted,
-    # events_attribution, profile_orders, events_decay,
-    # dedup_levenshtein, orders_shipping_priority, corpus_index,
-    # corpus_bpe_encode, orders_count_distribution,
-    # lineitem_revenue_delta, corpus_drift, embedding_matryoshka,
-    # orders_winsorized, privacy_k_anonymity,
-    # events_seasonal_baseline, graph_label_prop,
-    # events_multitouch, events_incremental_rollup,
-    # lineitem_correlations, events_ab_test, orders_cohort_ltv,
-    # mm_audio_windows, orders_returned_revenue, plus the late-r5
-    # waves: the decision-support shapes (supplier_top_revenue,
-    # customer_rich_inactive, part_promo_share, nation_trade_flows,
-    # part_band_revenue, orders_priority_check, nation_local_volume,
-    # nation_market_share, supplier_profit, orders_ship_lag,
-    # part_small_lots, supplier_sole_late), the pipeline ops
-    # (events_conversion_lag, privacy_delete_impact,
-    # dedup_minhash_eval, corpus_search), the iterative/windowed
-    # pair (embedding_kmeans, events_hopping_window), the skew/eval/
-    # cadence wave (orders_key_skew, part_min_cost_supplier,
-    # supplier_part_counts, ann_recall_eval, text_readability,
-    # orders_reorder_intervals), and the changelog/privacy wave
-    # (events_tombstone_state, events_value_quantiles,
-    # privacy_dp_counts, supplier_dominant_parts), and the r5
-    # continuation wave (graph_triangles, graph_clustering_coef,
-    # graph_kcore, privacy_l_diversity, privacy_t_closeness,
-    # privacy_generalization, corpus_feature_hash, events_concurrency,
-    # events_twa, events_cusum, events_power_analysis,
-    # events_rolling_actives, events_audience_overlap,
-    # customer_survival, dedup_source_matrix,
-    # embedding_threshold_sweep, embedding_centroid_drift,
-    # asof_click_next_purchase, text_code_detect) — all
-    # hash-verified in-repo by tests/test_oracle.py every pytest run;
-    # the window's 20 non-tutorial slots are already maximally
-    # allocated to ops awaiting their FIRST driver round.
+    # r6 rotation (VERDICT r5 #1/#3/#4). First, the three r5 driver-RED
+    # queries stay one more round to prove their oracle dtype fixes
+    # (pack_sequences: HUGEINT window-sum re-pinned to BIGINT;
+    # events_props_stats: sum(BIGINT) HUGEINT promotion re-pinned;
+    # embedding_cluster_assign: cosine computed on ::DOUBLE[] lists),
+    # plus the two LATENT strict-sweep failures taking their FIRST
+    # driver round with their fixes (graph_pagerank: pr CAST AS BIGINT;
+    # events_attribution: portable fixed-point micro-minute rounding in
+    # both engines).
+    "pack_sequences", "events_props_stats", "embedding_cluster_assign",
+    "graph_pagerank", "events_attribution",
+    # Then 14 more FIRST-TIMERS — one representative per family that
+    # has never had a driver round (VERDICT r5 #4): graph
+    # (graph_triangles), privacy (privacy_k_anonymity,
+    # privacy_dp_counts), decision-support (supplier_sole_late — the
+    # TPC-H Q21 rollup rewrite, customer_rfm, profile_orders), eval
+    # harnesses (ann_recall_eval, dedup_minhash_eval), iterative
+    # (corpus_bpe_encode, embedding_kmeans), windowed temporal
+    # (events_hopping_window), as-of join (asof_click_next_purchase),
+    # search (hybrid_search), and data layout (layout_zorder). To make
+    # room, the 16 r5-green ops rotate out (corpus_chunk,
+    # corpus_domain_cap, text_fingerprint, dedup_clusters,
+    # corpus_tfidf, corpus_split, corpus_shuffle, text_quality_score,
+    # corpus_curate, corpus_lm_score, events_funnel, mm_frames,
+    # events_retention, events_anomaly, embedding_label_centroids,
+    # text_entropy — all hash-green in CORRECTNESS_r05 and still
+    # strict-hash-verified in-repo by tests/test_oracle.py every
+    # pytest run).
+    "graph_triangles", "privacy_k_anonymity", "privacy_dp_counts",
+    "supplier_sole_late", "customer_rfm", "profile_orders",
+    "ann_recall_eval", "dedup_minhash_eval",
+    "corpus_bpe_encode", "embedding_kmeans",
+    "events_hopping_window", "asof_click_next_purchase",
+    "hybrid_search", "layout_zorder",
+    # Everything else stays outside the 50-slot window this round —
+    # the full list is exactly set(queries()) minus the 50 above, and
+    # every one of them runs against its DuckDB oracle under the
+    # STRICT md5-of-normalized-CSV gate (tests/oracle_utils.py, made
+    # driver-equivalent this round) on every pytest run.
 ]
 
 

@@ -91,6 +91,27 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST 2KB of stdout; with 200+ queries
+    # the full per-query dict above exceeds that, so its single line
+    # gets decapitated and parses as nothing (BENCH_r05.json
+    # "parsed": null — VERDICT r5 #5). Emit a compact, guaranteed-
+    # sub-2KB summary line LAST so the tail always contains one
+    # parseable record: totals plus the 10 slowest queries.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf_val,
+                "slowest": slowest,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

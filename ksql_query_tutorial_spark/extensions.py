@@ -659,13 +659,18 @@ EXTENSION_ORACLES["pack_sequences"] = f"""
     WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                FROM documents),
     c AS (SELECT doc_id, n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 -- DuckDB SUM(BIGINT) OVER returns HUGEINT, which pandas
+                 -- maps to float64 and the driver's strict CSV hash then
+                 -- reads "0.0" vs Spark's "0"; pin every derived integer
+                 -- back to BIGINT (VERDICT r5 #1).
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                     0) AS begin_offset
+                     0) AS BIGINT) AS begin_offset
           FROM t)
     SELECT doc_id, n_tokens, begin_offset,
-           begin_offset // {PACK_BUDGET} AS pack_id,
-           (begin_offset + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET} AS pack_end,
+           CAST(begin_offset // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST((begin_offset + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET}
+               AS BIGINT) AS pack_end,
            ((begin_offset + GREATEST(n_tokens, 1) - 1) // {PACK_BUDGET})
                > (begin_offset // {PACK_BUDGET}) AS straddles
     FROM c ORDER BY doc_id
@@ -1503,7 +1508,10 @@ EXTENSION_ORACLES["events_props_stats"] = """
     SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           -- sum(BIGINT) promotes to HUGEINT -> pandas float64 -> strict
+           -- CSV hash mismatch vs Spark's int64 (VERDICT r5 #2); re-pin.
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
@@ -1550,10 +1558,15 @@ def embedding_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTENSION_QUERIES["embedding_cluster_assign"] = embedding_cluster_assign
 
 EXTENSION_ORACLES["embedding_cluster_assign"] = f"""
-    WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-               ORDER BY vec_id LIMIT {N_ASSIGN_CLUSTERS}),
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings ORDER BY vec_id LIMIT {N_ASSIGN_CLUSTERS}),
+    -- embedding::DOUBLE[] BEFORE the cosine: on raw FLOAT[] lists DuckDB
+    -- computes (and ROUNDs) in float32, which both drifts from Spark's
+    -- double arithmetic and CSV-prints differently (VERDICT r5 #3); the
+    -- driver-green dedup_embedding / similarity_topk oracles set the
+    -- pattern.
     s AS (SELECT e.vec_id, c.cid,
-                 list_cosine_similarity(e.embedding, c.cv) AS cos
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
           FROM embeddings e CROSS JOIN c),
     r AS (SELECT vec_id, cid, cos,
                  row_number() OVER (PARTITION BY vec_id
@@ -2184,7 +2197,9 @@ def _pagerank_oracle_sql(
                  ON n.src = s.dst)""")
     return (
         "WITH " + ",".join(cte) + f"""
-    SELECT src AS id, pr,
+    -- pr is HUGEINT by here (sum + // promote) -> pandas float64 ->
+    -- strict-hash "x.0" vs Spark's int64 "x" (VERDICT r5 #4); re-pin.
+    SELECT src AS id, CAST(pr AS BIGINT) AS pr,
            ROUND(CAST(pr AS DOUBLE) / {float(scale)}, 6) AS pr_norm
     FROM pr{iterations} ORDER BY id
     """
@@ -2608,8 +2623,11 @@ EXTENSION_ORACLES["events_attribution"] = f"""
            CASE WHEN ok THEN (lt).id END AS touch_id,
            CASE WHEN ok THEN make_timestamp((lt).us) END AS touch_ts,
            CASE WHEN ok THEN (lt).tt END AS touch_type,
+           -- fixed-point half-up micro-minutes, mirroring the Spark
+           -- side exactly (see analytics.last_touch_attribution): the
+           -- binary-float ROUND(x, 6) boundary row of r5 is gone.
            CASE WHEN ok
-                THEN ROUND(CAST(us - (lt).us AS DOUBLE) / 60000000.0, 6)
+                THEN CAST((us - (lt).us + 30) // 60 AS DOUBLE) / 1000000.0
            END AS mins_since_touch
     FROM p ORDER BY conversion_id
 """

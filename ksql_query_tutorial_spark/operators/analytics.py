@@ -419,7 +419,18 @@ def last_touch_attribution(
             & (us - F.col("__last.us") <= F.lit(ttl_us)),
         )
     )
-    mins = (us - F.col("__last.us")).cast("double") / F.lit(60e6)
+    # Portable fixed-point rounding (the embedding_quantize precedent):
+    # minutes rounded to 6 dp == round_half_up(delta_us / 60) micro-
+    # minutes. Integer (delta+30)/60 is exact — no engine lands a
+    # binary-float ROUND(x, 6) on a .5 boundary differently (the r5
+    # latent 514.079331-vs-514.07933 row). The double division is safe:
+    # the exact quotient's distance from any integer is >= 1/60, far
+    # above one ulp at <= 1.44e9, so the cast truncation is exact.
+    delta_us = us - F.col("__last.us")
+    mins = (
+        ((delta_us + F.lit(30)) / F.lit(60)).cast("long").cast("double")
+        / F.lit(1e6)
+    )
     return out.select(
         F.col(user_col).alias("user_id"),
         F.col(tiebreak_col).alias("conversion_id"),
@@ -427,7 +438,7 @@ def last_touch_attribution(
         F.when(F.col("__ok"), F.col("__last.id")).alias("touch_id"),
         F.when(F.col("__ok"), F.timestamp_micros(F.col("__last.us")).cast(df.schema[ts_col].dataType)).alias("touch_ts"),
         F.when(F.col("__ok"), F.col("__last.tt")).alias("touch_type"),
-        F.when(F.col("__ok"), F.round(mins, 6)).alias("mins_since_touch"),
+        F.when(F.col("__ok"), mins).alias("mins_since_touch"),
     )
 
 
