@@ -74,3 +74,27 @@ def test_assert_matches_oracle_is_wired_strict(monkeypatch):
     got = _FakeSparkDF(pd.DataFrame({"k": [1], "v": np.array([0], dtype=np.int64)}))
     with pytest.raises(AssertionError, match="STRICT value-hash mismatch"):
         oracle_utils.assert_matches_oracle(got, "SELECT 1", "/nonexistent", "t")
+
+
+def test_fixed_point_minute_rounding_is_exact_half_up():
+    """The attribution minutes rule — micro-minutes = (delta_us+30)//60,
+    value = that / 1e6 — must equal decimal round-half-up of
+    delta_us/6e7 to 6 dp for EVERY delta, including the .5 boundaries
+    binary-float ROUND gets wrong (the r5 latent failure). Pure-Python
+    twin of both engines' integer arithmetic, swept over boundary-rich
+    deltas up to the 1440-minute TTL."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    deltas = list(range(0, 5000))
+    # every exact .5-microminute boundary near the r5 failure row and
+    # the TTL edge: delta_us = 60*k + 30 sits exactly on half
+    deltas += [60 * k + r for k in (8_567_988, 86_399_999, 1_439_999_999)
+               for r in (-1, 0, 29, 30, 31, 59)]
+    for delta in deltas:
+        got = (delta + 30) // 60 / 1e6
+        want = float(
+            (Decimal(delta) / Decimal(60_000_000)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got == want, (delta, got, want)

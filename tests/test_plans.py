@@ -1831,3 +1831,115 @@ def test_audience_overlap_dedup_before_pair_join(spark):
     aggs = set(_re.findall(r"HashAggregate \((\d+)\)", plan))
     assert len(aggs) >= 4, plan   # partial+final dedup, sizes, pair rollup
     assert_no_python(df)
+
+
+def test_attribution_no_join_single_user_exchange(spark):
+    """events_attribution: last-touch credit via a running max-struct
+    window — ONE user-keyed exchange, no conversion-to-touch join (a
+    join plan would shuffle |touches| x |conversions| candidates),
+    minutes in pure JVM fixed-point arithmetic."""
+    import re as _re
+
+    from ksql_query_tutorial_spark.extensions import events_attribution
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = events_attribution(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert len(set(_re.findall(r"Exchange \((\d+)\)", plan))) <= 1, plan
+    assert_no_python(df)
+
+
+def test_asof_forward_join_single_keyed_window(spark):
+    """asof_click_next_purchase: the forward as-of direction keeps the
+    backward path's plan shape — union + ONE user-keyed window
+    exchange, no row-vs-row join, no python."""
+    import re as _re
+
+    from ksql_query_tutorial_spark.extensions import asof_click_next_purchase
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = asof_click_next_purchase(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert len(set(_re.findall(r"Exchange \((\d+)\)", plan))) <= 1, plan
+    assert "Window" in plan, plan
+    assert_no_python(df)
+
+
+def test_zorder_broadcasts_bounds_no_sort(spark):
+    """layout_zorder: the only joins are broadcast nested-loop against
+    the ONE-ROW global-bounds aggregate (a cross join with a scalar
+    relation — bounded by construction); bucket assignment is
+    arithmetic, so there is no range-partitioned sort anywhere and the
+    final rollup is |n_files|-bounded."""
+    import re as _re
+
+    from ksql_query_tutorial_spark.extensions import layout_zorder
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = layout_zorder(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert_no_python(df)
+
+
+def test_pagerank_iterations_truncate_lineage(spark):
+    """graph_pagerank: every iteration reads localCheckpoint()ed
+    inputs, so the FINAL plan's depth is one iteration — not five
+    compounding join+agg rounds (unbounded lineage is the classic
+    iterative-algorithm driver OOM at scale). The checkpoint scan
+    must appear and the exchange count must stay that of a single
+    join+agg round."""
+    import re as _re
+
+    from ksql_query_tutorial_spark.extensions import graph_pagerank
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = graph_pagerank(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "ExistingRDD" in plan, plan
+    assert len(set(_re.findall(r"Exchange \((\d+)\)", plan))) <= 4, plan
+    assert_no_python(df)
+
+
+def test_dp_counts_bounded_segment_aggregate(spark):
+    """privacy_dp_counts: one partial+final aggregate over the segment
+    domain (bounded cells), noise seeded per-key JVM-side — no join,
+    no window, no python."""
+    import re as _re
+
+    from ksql_query_tutorial_spark.extensions import privacy_dp_counts
+    from ksql_query_tutorial_spark.plans.checks import (
+        assert_no_python,
+        assert_partial_aggregation,
+        formatted_plan,
+    )
+    from tests.conftest import SF_ORACLE
+
+    df = privacy_dp_counts(spark, SF_ORACLE)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert len(set(_re.findall(r"Exchange \((\d+)\)", plan))) <= 2, plan
+    assert_partial_aggregation(df)
+    assert_no_python(df)
