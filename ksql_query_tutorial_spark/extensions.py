@@ -4245,28 +4245,54 @@ def lineitem_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTENSION_QUERIES["lineitem_elasticity"] = lineitem_elasticity
 
-EXTENSION_ORACLES["lineitem_elasticity"] = """
-    WITH m AS (
-        SELECT l_returnflag,
-               CAST(count(*) AS BIGINT) AS n,
-               sum(l_discount) AS sx, sum(l_quantity) AS sy,
-               sum(l_discount * l_quantity) AS sxy,
-               sum(l_discount * l_discount) AS sxx,
-               sum(l_quantity * l_quantity) AS syy
-        FROM lineitem GROUP BY 1)
-    SELECT l_returnflag, n,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0
-                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+def _ols_tail_sql(group_out: str) -> str:
+    """DuckDB twin of analytics.ols_regression's fixed-point closed
+    form, appended after a ``pts(g, x, y)`` CTE. Inputs quantize to
+    integer micro-units (floor(v·1e6 + 0.5)) and the five moments sum
+    EXACTLY (BIGINT per-row products, HUGEINT accumulation — the int128
+    mirror of Spark's decimal(38,0) partials), so the sums are
+    order-independent under DuckDB's parallel morsel scheduling; the
+    closed form then runs over the same doubles with the same
+    expression tree as the Spark side, making slope/intercept/r2
+    bit-reproducible (the r6 corpus_heaps ±0.0 residue flake)."""
+    return f"""
+    q AS (SELECT g, CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS xq,
+                 CAST(floor(y * 1000000.0 + 0.5) AS BIGINT) AS yq
+          FROM pts),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xq) AS DOUBLE) AS sx,
+                 CAST(sum(yq) AS DOUBLE) AS sy,
+                 CAST(sum(xq * yq) AS DOUBLE) AS sxy,
+                 CAST(sum(xq * xq) AS DOUBLE) AS sxx,
+                 CAST(sum(yq * yq) AS DOUBLE) AS syy
+          FROM q GROUP BY g)
+    SELECT g AS {group_out}, n,
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(n AS DOUBLE) * sxx - sx * sx)
                  END, 6) AS slope,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0
-                      THEN (sy - (n * sxy - sx * sy)
-                                 / (n * sxx - sx * sx) * sx) / n
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                      THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                                  / (CAST(n AS DOUBLE) * sxx - sx * sx))
+                                 * sx)
+                           / (CAST(n AS DOUBLE) * 1000000.0)
                  END, 6) AS intercept,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+           ROUND(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                      THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy))
                  END, 6) AS r2
-    FROM m ORDER BY l_returnflag
+    FROM m ORDER BY {group_out}
+    """
+
+
+EXTENSION_ORACLES["lineitem_elasticity"] = f"""
+    WITH pts AS (SELECT l_returnflag AS g,
+                        l_discount AS x, l_quantity AS y
+                 FROM lineitem),
+    {_ols_tail_sql("l_returnflag")}
 """
 
 
@@ -4308,28 +4334,12 @@ EXTENSION_ORACLES["corpus_zipf"] = f"""
     tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n
            FROM tok GROUP BY term),
     top AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT {corpus.ZIPF_TOP_K}),
-    pts AS (SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, term)
+    pts AS (SELECT 'corpus' AS g,
+                   ln(CAST(row_number() OVER (ORDER BY n DESC, term)
                            AS DOUBLE)) AS x,
                    ln(CAST(n AS DOUBLE)) AS y
             FROM top),
-    m AS (SELECT 'corpus' AS scope,
-                 CAST(count(*) AS BIGINT) AS n,
-                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-                 sum(x * x) AS sxx, sum(y * y) AS syy
-          FROM pts)
-    SELECT scope, n,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0
-                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                 END, 6) AS slope,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0
-                      THEN (sy - (n * sxy - sx * sy)
-                                 / (n * sxx - sx * sx) * sx) / n
-                 END, 6) AS intercept,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-                 END, 6) AS r2
-    FROM m ORDER BY scope
+    {_ols_tail_sql("scope")}
 """
 
 
@@ -5823,27 +5833,11 @@ EXTENSION_ORACLES["corpus_heaps"] = f"""
                sum(COALESCE(nv.new_vocab, 0)) OVER (ORDER BY tm.bin
                                     ROWS UNBOUNDED PRECEDING) AS voc_cum
         FROM tm LEFT JOIN nv ON tm.bin = nv.bin),
-    pts AS (SELECT ln(CAST(tok_cum AS DOUBLE)) AS x,
+    pts AS (SELECT 'corpus' AS g,
+                   ln(CAST(tok_cum AS DOUBLE)) AS x,
                    ln(CAST(voc_cum AS DOUBLE)) AS y
             FROM cells WHERE tok_cum > 0 AND voc_cum > 0),
-    m AS (SELECT 'corpus' AS scope,
-                 CAST(count(*) AS BIGINT) AS n,
-                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-                 sum(x * x) AS sxx, sum(y * y) AS syy
-          FROM pts)
-    SELECT scope, n,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0
-                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                 END, 6) AS slope,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0
-                      THEN (sy - (n * sxy - sx * sy)
-                                 / (n * sxx - sx * sx) * sx) / n
-                 END, 6) AS intercept,
-           ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
-                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
-                 END, 6) AS r2
-    FROM m ORDER BY scope
+    {_ols_tail_sql("scope")}
 """
 
 

@@ -1239,6 +1239,9 @@ def benford_audit(
     ).orderBy("digit")
 
 
+OLS_SCALE = 1_000_000  # micro-unit input quantization (see below)
+
+
 def ols_regression(
     df: DataFrame,
     x_col: str,
@@ -1249,29 +1252,56 @@ def ols_regression(
     closed-form moment sums — e.g. discount elasticity of quantity:
     how strongly does quantity respond to discount within each group.
 
+    Determinism design (the r6 corpus_heaps flake fix): double moment
+    sums are ORDER-DEPENDENT in their low bits, and both Spark's
+    partial aggregation and DuckDB's parallel (morsel-scheduled)
+    aggregation reorder the additions run-to-run. For a degenerate
+    group (zero x or y variance — e.g. a saturated-vocabulary Heaps
+    fit) the closed form is pure cancellation residue, so even the
+    SIGN of the output flipped between runs ("0.0" vs "-0.0" in the
+    strict CSV hash). Fix: quantize inputs to integer micro-units —
+    ``floor(v·1e6 + 0.5)`` — and accumulate the five moments EXACTLY
+    (decimal(38,0) here, HUGEINT in the DuckDB oracle), which makes
+    every sum order-independent; the closed form then runs over
+    identical doubles on both engines, expression-tree-identical, so
+    the result is bit-reproducible. Quantization also absorbs
+    last-ulp libm-vs-JVM differences in upstream ``ln`` inputs
+    (a boundary hit needs the true value within ~1e-10 of a
+    half-micro-unit). Exact zero variance now yields exact dx/dy = 0
+    and the NULL guard fires identically everywhere.
+
     Scale design: the five moments Σx, Σy, Σxy, Σx², Σy² and n all
     come from ONE aggregate pass with map-side partials (the
-    lineitem_correlations move); the closed form is a fixed-shape
-    expression over the group rollup. Degenerate groups (zero x or y
-    variance) yield NULL slope/R² in both engines via explicit
-    guards, never a divide-by-zero.
+    lineitem_correlations move); decimal partials are exact at any
+    group size (int128-backed — no 2^53 ceiling, no overflow below
+    1e38); the closed form is a fixed-shape expression over the
+    group rollup. Degenerate groups yield NULL slope/R² in both
+    engines via explicit guards, never a divide-by-zero.
     """
-    x, y = F.col(x_col), F.col(y_col)
-    m = df.groupBy(group_col).agg(
+    dec = "decimal(38,0)"
+    xq = F.floor(F.col(x_col) * F.lit(float(OLS_SCALE)) + F.lit(0.5)).cast(dec)
+    yq = F.floor(F.col(y_col) * F.lit(float(OLS_SCALE)) + F.lit(0.5)).cast(dec)
+    q = df.select(F.col(group_col), xq.alias("__x"), yq.alias("__y"))
+    m = q.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
     )
     n = F.col("n").cast("double")
-    dx = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
     slope = F.when(dx > 0, cov / dx)
     intercept = F.when(
-        dx > 0, (F.col("sy") - slope * F.col("sx")) / n
+        dx > 0, (sy - (cov / dx) * sx) / (n * F.lit(float(OLS_SCALE)))
     )
     r2 = F.when((dx > 0) & (dy > 0), (cov * cov) / (dx * dy))
     return m.select(

@@ -98,3 +98,27 @@ def test_fixed_point_minute_rounding_is_exact_half_up():
             )
         )
         assert got == want, (delta, got, want)
+
+
+def test_degenerate_ols_is_deterministic_not_residue(spark):
+    """ols_regression on a zero-variance-y group: with exact fixed-
+    point moments the cancellation is EXACT (cov = 0, dy = 0), so the
+    slope is a stable +0.0 and r2 hits its NULL guard — never the
+    order-dependent ±residue that flaked corpus_heaps under DuckDB's
+    parallel aggregation (r6)."""
+    from ksql_query_tutorial_spark.operators.analytics import ols_regression
+
+    rows = [("g", float(i), 3.433987) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    for _ in range(3):
+        r = ols_regression(df.repartition(7), "x", "y", "g").collect()[0]
+        assert repr(r.slope) == "0.0", r   # +0.0, not -0.0
+        assert r.r2 is None, r
+        assert r.intercept == 3.433987, r
+    # zero x-variance: every output NULL via the dx guard
+    flat = spark.createDataFrame(
+        [("g", 2.5, float(i)) for i in range(10)],
+        "g string, x double, y double",
+    )
+    r = ols_regression(flat, "x", "y", "g").collect()[0]
+    assert r.slope is None and r.intercept is None and r.r2 is None, r
