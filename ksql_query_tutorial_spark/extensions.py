@@ -1594,9 +1594,21 @@ EXTENSION_ORACLES["events_anomaly"] = """
     WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                       count(*) AS n_events
                FROM events GROUP BY 1, 2),
-    s AS (SELECT event_type, avg(n_events) AS m,
-                 stddev_samp(n_events) AS sd
-          FROM h GROUP BY 1)
+    -- exact integer count moments (HUGEINT sums, the int128 mirror of
+    -- Spark's decimal partials) instead of stddev_samp: both engines
+    -- then evaluate the identical closed form over identical doubles,
+    -- so ROUND(z, 6) cannot drift with aggregation merge order (r6)
+    mo AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+                  CAST(sum(n_events) AS DOUBLE) AS s1,
+                  CAST(sum(n_events * n_events) AS DOUBLE) AS s2
+           FROM h GROUP BY 1),
+    s AS (SELECT event_type,
+                 s1 / CAST(nh AS DOUBLE) AS m,
+                 CASE WHEN nh > 1 THEN
+                      sqrt(greatest((s2 - s1 * (s1 / CAST(nh AS DOUBLE)))
+                                    / (CAST(nh AS DOUBLE) - 1.0), 0.0))
+                 END AS sd
+          FROM mo)
     SELECT h.event_type, h.hour, h.n_events,
            round((h.n_events - s.m) / s.sd, 6) AS z,
            coalesce(abs((h.n_events - s.m) / s.sd) > 2, false) AS is_anomaly
@@ -6468,21 +6480,33 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTENSION_QUERIES["events_power_analysis"] = events_power_analysis
 
 EXTENSION_ORACLES["events_power_analysis"] = f"""
-    WITH m AS (SELECT event_type,
-                      CAST(count(*) AS BIGINT) AS n_obs,
-                      sum(value) AS s1,
-                      sum(value * value) AS s2
-               FROM events GROUP BY 1)
+    -- micro-unit exact moments (HUGEINT sums mirroring Spark's
+    -- decimal partials) so the closed form evaluates over identical
+    -- doubles in both engines regardless of aggregation order (r6);
+    -- the scale cancels out of n_per_arm and divides back out of
+    -- mu/sigma/mde
+    WITH q AS (SELECT event_type,
+                      CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+               FROM events),
+    m AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(sum(v) AS DOUBLE) AS s1,
+                 CAST(sum(v * v) AS DOUBLE) AS s2
+          FROM q GROUP BY 1)
     SELECT event_type, n_obs,
-           ROUND(s1 / n_obs, 6) AS mu,
-           ROUND(sqrt(greatest(s2 / n_obs
-                               - (s1 / n_obs) * (s1 / n_obs), 0.0)), 6)
-               AS sigma,
-           ROUND({AB_MDE_REL} * (s1 / n_obs), 6) AS mde_abs,
-           CAST(ceil(16.0 * greatest(s2 / n_obs
-                                     - (s1 / n_obs) * (s1 / n_obs), 0.0)
-                     / (({AB_MDE_REL} * (s1 / n_obs))
-                        * ({AB_MDE_REL} * (s1 / n_obs)))) AS BIGINT)
+           ROUND(s1 / CAST(n_obs AS DOUBLE) / 1000000.0, 6) AS mu,
+           ROUND(sqrt(greatest(s2 / CAST(n_obs AS DOUBLE)
+                               - (s1 / CAST(n_obs AS DOUBLE))
+                                 * (s1 / CAST(n_obs AS DOUBLE)), 0.0))
+                 / 1000000.0, 6) AS sigma,
+           ROUND({AB_MDE_REL} * (s1 / CAST(n_obs AS DOUBLE))
+                 / 1000000.0, 6) AS mde_abs,
+           CAST(ceil(16.0 * greatest(s2 / CAST(n_obs AS DOUBLE)
+                                     - (s1 / CAST(n_obs AS DOUBLE))
+                                       * (s1 / CAST(n_obs AS DOUBLE)), 0.0)
+                     / (({AB_MDE_REL} * (s1 / CAST(n_obs AS DOUBLE)))
+                        * ({AB_MDE_REL} * (s1 / CAST(n_obs AS DOUBLE)))))
+               AS BIGINT)
                AS n_required_per_arm
     FROM m ORDER BY event_type
 """

@@ -102,6 +102,13 @@ def hourly_anomaly(
     when ``|z| > z_threshold`` (the standard ops-dashboard outlier
     pass).
 
+    Determinism design (r6): ``stddev_samp`` merges per-partition M2
+    moments in shuffle-fetch order, which varies run-to-run, so its
+    low bits — and a ROUND(z, 6) on a boundary — could drift. The
+    mean/stddev now come from EXACT integer count moments (Σc, Σc² as
+    decimal partials, order-independent) with the sample-variance
+    closed form evaluated over identical doubles in both engines.
+
     Scale design: the hourly rollup is the only full-data exchange
     (partial counts collapse each map task to |types × hours| rows);
     the per-type stats table is |types| rows and broadcast back onto
@@ -117,9 +124,25 @@ def hourly_anomaly(
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    stats = hourly.groupBy("event_type").agg(
-        F.avg("n_events").alias("_mean"),
-        F.stddev_samp("n_events").alias("_std"),
+    dec = "decimal(38,0)"
+    c = F.col("n_events").cast(dec)
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("__nh"),
+        F.sum(c).alias("__s1"),
+        F.sum(c * c).alias("__s2"),
+    )
+    nh = F.col("__nh").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mean = s1 / nh
+    # Σ(c−m)² = s2 − s1·m; sample variance over nh−1; stddev_samp's
+    # NULL-at-one-row behavior preserved via the nh > 1 guard
+    std = F.when(
+        F.col("__nh") > 1,
+        F.sqrt(F.greatest((s2 - s1 * mean) / (nh - F.lit(1.0)), F.lit(0.0))),
+    )
+    stats = moments.select(
+        "event_type", mean.alias("_mean"), std.alias("_std")
     )
     z = (F.col("n_events") - F.col("_mean")) / F.col("_std")
     return (
@@ -1922,10 +1945,16 @@ def power_analysis(
     effect of ``mde_rel`` of the mean — the pre-experiment readout
     that says whether a test is even feasible at current traffic.
 
-    Determinism design: σ² comes from double moment sums whose
-    magnitudes stay far below 2^53 (values are O(100), counts O(n)),
-    and both engines compute the identical ceil over the identical
-    double quotient.
+    Determinism design (r6, upgraded): double value sums are
+    order-dependent in their low bits under both engines' parallel
+    aggregation, so σ/μ at a ROUND boundary could drift run-to-run.
+    Values quantize to integer micro-units (lossless for this
+    fixture's 2-dp metric values) and the moments accumulate EXACTLY
+    (decimal partials / HUGEINT in the oracle); μ, σ, and the ceil
+    then evaluate over identical doubles with the identical
+    expression tree in both engines. The micro-unit scale cancels out
+    of ``n_per_arm = 16·σ²/δ²`` entirely, and μ/σ/δ rescale by one
+    exact division at the end.
 
     Scale design: one type-keyed exchange with map-side partial
     moment sums; output bounded by |types|. No windows, no joins.
@@ -1933,22 +1962,28 @@ def power_analysis(
     Returns ``event_type, n_obs, mu, sigma, mde_abs,
     n_required_per_arm`` (doubles rounded 6) ordered by type.
     """
-    moments = df.groupBy(F.col(type_col).alias("event_type")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs"),
-        F.sum(F.col(value_col)).alias("__s1"),
-        F.sum(F.col(value_col) * F.col(value_col)).alias("__s2"),
-    )
+    scale = 1_000_000.0
+    dec = "decimal(38,0)"
+    vq = F.floor(F.col(value_col) * F.lit(scale) + F.lit(0.5)).cast(dec)
+    moments = df.select(F.col(type_col).alias("event_type"), vq.alias("__v")) \
+        .groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("__v").alias("__s1"),
+            F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+        )
     n = F.col("n_obs").cast("double")
-    mu = F.col("__s1") / n
-    var = F.greatest(F.col("__s2") / n - mu * mu, F.lit(0.0))
-    delta = F.lit(mde_rel) * mu
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    mu_u = s1 / n
+    var_u = F.greatest(s2 / n - mu_u * mu_u, F.lit(0.0))
+    delta_u = F.lit(mde_rel) * mu_u
     return moments.select(
         "event_type",
         "n_obs",
-        F.round(mu, 6).alias("mu"),
-        F.round(F.sqrt(var), 6).alias("sigma"),
-        F.round(delta, 6).alias("mde_abs"),
-        F.ceil(F.lit(16.0) * var / (delta * delta))
+        F.round(mu_u / F.lit(scale), 6).alias("mu"),
+        F.round(F.sqrt(var_u) / F.lit(scale), 6).alias("sigma"),
+        F.round(delta_u / F.lit(scale), 6).alias("mde_abs"),
+        F.ceil(F.lit(16.0) * var_u / (delta_u * delta_u))
         .cast("long")
         .alias("n_required_per_arm"),
     ).orderBy("event_type")
