@@ -1062,11 +1062,21 @@ def column_correlations(
     embedding covariance operator.
 
     Scale design: ONE aggregate pass computes every Σx, Σx², Σxy
-    (|cols|·(|cols|+3)/2 cells of partials — order-independent sums),
-    and the |pairs|-row matrix is assembled from that single wide row.
-    No second scan, no `corr()` UDAF whose summation order could
-    differ between engines: the closed form over sums is reproduced
-    verbatim in the oracle.
+    (|cols|·(|cols|+3)/2 cells of partials), and the |pairs|-row
+    matrix is assembled from that single wide row. No second scan, no
+    `corr()` UDAF: the closed form over sums is reproduced verbatim
+    in the oracle.
+
+    Determinism note (r6): the double moment sums ARE merge-order
+    sensitive in their last ulps, unlike the fixed-point ols/anomaly/
+    power-analysis moments. An exact-decimal variant was measured at
+    1.7–2.4× the runtime (the 14 wide-row accumulators dominate), and
+    this query has no degenerate cancellation — the correlations are
+    O(n^-1/2) real values, so the ~1e-14 relative wobble sits ~7
+    orders below the ROUND(r, 6) boundary width. The residual risk is
+    accepted and monitored by tools/stability_check.py each round; if
+    it ever flakes there, apply the per-column-scale fixed-point
+    treatment (price in cents bounds every cross product in int64).
 
     Returns ``col_x, col_y, corr`` (rounded 6) for x < y, ordered.
     """
