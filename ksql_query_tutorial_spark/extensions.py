@@ -5938,23 +5938,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders carry ≤7 lines — then degree-ordered triangle counting.
     See graph.triangle_counts for the orientation argument.
     """
-    from ksql_query_tutorial_spark.operators.graph import triangle_counts
+    from ksql_query_tutorial_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
 
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pp.alias("a")
-    b = pp.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(
-            F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("__support"))
-        .filter(F.col("__support") >= COPURCHASE_MIN_SUPPORT)
-        .select("id_a", "id_b")
-    )
+    edges = copurchase_edges(li, COPURCHASE_MIN_SUPPORT)
     return triangle_counts(edges).withColumnRenamed("id", "part_key")
 
 
@@ -6104,21 +6094,13 @@ EXTENSION_ORACLES["events_concurrency"] = f"""
 def graph_clustering_coef(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per part on the co-purchase graph
     (the graph_triangles edge set). See graph.local_clustering."""
-    from ksql_query_tutorial_spark.operators.graph import local_clustering
+    from ksql_query_tutorial_spark.operators.graph import (
+        copurchase_edges,
+        local_clustering,
+    )
 
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pp.alias("a")
-    b = pp.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("id_a"), F.col("b.p").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__support"))
-        .filter(F.col("__support") >= COPURCHASE_MIN_SUPPORT)
-        .select("id_a", "id_b")
-    )
+    edges = copurchase_edges(li, COPURCHASE_MIN_SUPPORT)
     return local_clustering(edges).withColumnRenamed("id", "part_key")
 
 
@@ -7399,18 +7381,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the triangle family's edge-keyed shapes; the moment reduction
     is a single row. No windows.
     """
+    from ksql_query_tutorial_spark.operators.graph import copurchase_edges
+
     li = load(spark, sf_dir, "lineitem")
-    pp = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pp.alias("a")
-    b = pp.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count(F.lit(1)).alias("__s"))
-        .filter(F.col("__s") >= COPURCHASE_MIN_SUPPORT)
-        .select("u", "v")
+    edges = copurchase_edges(li, COPURCHASE_MIN_SUPPORT).select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
     deg = (
         edges.select(F.col("u").alias("id"))
