@@ -6829,19 +6829,25 @@ def dedup_shingle_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     with max_posting applied, so the sweep measures exactly what the
     pipeline would run.
 
-    Scale design: one pair generation per rung (a small fixed
-    constant), each the bucketed ngram_jaccard_pairs plan — inverted-
-    index candidates, the max_posting frequency cut (shingles shared
-    by more than SHINGLE_SWEEP_MAX_POSTING docs carry no near-dup
-    signal and explode the n=2 rung's self-join without it), exact
-    verify on candidates only; per-rung reductions are single bounded
-    rows.
+    Scale design: ONE corpus scan + tokenization for the whole sweep
+    (shingle_hash_postings_multi builds every rung's posting from a
+    shared persisted token-lead frame — per-rung builders would
+    re-read and re-split the corpus len(ns) times); then one pair
+    generation per rung (a small fixed constant), each the bucketed
+    ngram_jaccard_pairs plan — inverted-index candidates, the
+    max_posting frequency cut (shingles shared by more than
+    SHINGLE_SWEEP_MAX_POSTING docs carry no near-dup signal and
+    explode the n=2 rung's self-join without it), exact verify on
+    candidates only; per-rung reductions are single bounded rows.
     """
     d = load(spark, sf_dir, "documents")
+    posts = dedup.shingle_hash_postings_multi(
+        d, "doc_id", "text", SHINGLE_SWEEP_NS
+    )
     outs = []
     for n in SHINGLE_SWEEP_NS:
-        pairs = dedup.ngram_jaccard_pairs(
-            d, "doc_id", n=n, threshold=JACCARD_THRESHOLD,
+        pairs = dedup.jaccard_pairs_from_posting(
+            posts[n], threshold=JACCARD_THRESHOLD,
             max_posting=SHINGLE_SWEEP_MAX_POSTING,
         )
         ends = pairs.select(F.explode(F.array("id_a", "id_b")).alias("i"))

@@ -151,6 +151,61 @@ def shingle_hash_posting(df: DataFrame, id_col: str, text_col: str,
     return toks.select("id", F.xxhash64("sh").alias("h")).dropDuplicates(["id", "h"])
 
 
+def shingle_hash_postings_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3, 5),
+) -> dict[int, DataFrame]:
+    """Postings for SEVERAL shingle sizes from ONE scan + tokenization.
+
+    A sweep that calls :func:`shingle_hash_posting` per size re-reads
+    and re-tokenizes the corpus per rung — at 100 TB that is
+    ``len(ns)`` full-corpus scans and regex-split passes for work that
+    differs only in how many lead tokens each shingle concatenates.
+    This builds the ``(id, tok, t1..t{max(n)-1})`` lead frame once
+    (same posexplode + lead-window plan as the single-size path, ONE
+    id-keyed shuffle), persists it, and derives every rung's posting
+    by concatenating its first ``n-1`` leads — byte-identical shingle
+    strings, hence identical ``xxhash64`` postings, to the per-rung
+    builder (pinned by the strict oracle and a parity test).
+
+    Returns ``{n: (id, h) posting}`` for each requested size.
+    """
+    ns_sorted = sorted(set(ns))
+    if ns_sorted[0] < 1:
+        raise ValueError(f"shingle sizes must be >= 1, got {ns}")
+    nmax = ns_sorted[-1]
+    par = df.sparkSession.sparkContext.defaultParallelism
+    src = df.repartition(par, F.col(id_col))
+    pos_toks = src.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    lead_cols = [
+        F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, nmax)
+    ]
+    toks = pos_toks.select("id", "tok", *lead_cols).persist()
+    out: dict[int, DataFrame] = {}
+    for n in ns_sorted:
+        if n == 1:
+            sh = toks.select("id", F.col("tok").alias("sh"))
+        else:
+            sh = toks.filter(F.col(f"t{n-1}").isNotNull()).select(
+                "id",
+                F.concat_ws(
+                    " ", "tok", *[f"t{j}" for j in range(1, n)]
+                ).alias("sh"),
+            )
+        out[n] = sh.select(
+            "id", F.xxhash64("sh").alias("h")
+        ).dropDuplicates(["id", "h"])
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -181,6 +236,20 @@ def ngram_jaccard_pairs(
     Returns: ``id_a``, ``id_b`` (id_a < id_b), ``jaccard`` (rounded 6).
     """
     post = shingle_hash_posting(df, id_col, text_col, n)
+    return jaccard_pairs_from_posting(post, threshold, max_posting)
+
+
+def jaccard_pairs_from_posting(
+    post: DataFrame,
+    threshold: float = 0.5,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs from a prebuilt ``(id, h)`` posting — the
+    candidate-generation + verification half of
+    :func:`ngram_jaccard_pairs`, split out so sweeps that build
+    several postings from ONE tokenization pass
+    (:func:`shingle_hash_postings_multi`) reuse the identical plan.
+    """
     if max_posting is not None:
         post = (
             post.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("h")))

@@ -3979,6 +3979,22 @@ def test_shingle_sweep_monotone_pair_yield(spark):
     assert rows[2]["n_pairs"] >= rows[3]["n_pairs"] >= rows[5]["n_pairs"]
 
 
+def test_multi_size_postings_match_single_size_builder(spark):
+    """shingle_hash_postings_multi (one scan + tokenization for the
+    whole sweep) emits the EXACT posting set of the per-size builder
+    for every requested n, including n=1 (token posting)."""
+    from ksql_query_tutorial_spark.operators import dedup
+    from ksql_query_tutorial_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    d = load(spark, SF_ORACLE, "documents").limit(200)
+    multi = dedup.shingle_hash_postings_multi(d, "doc_id", "text", (1, 2, 3, 5))
+    for n in (1, 2, 3, 5):
+        single = dedup.shingle_hash_posting(d, "doc_id", "text", n)
+        assert multi[n].exceptAll(single).count() == 0, f"extra rows at n={n}"
+        assert single.exceptAll(multi[n]).count() == 0, f"missing rows at n={n}"
+
+
 def test_seasonal_profile_hand_computed_cells(spark):
     """seasonal_profile: planted hours give the hand-computed additive
     fit per (dow, hod) cell and residual = observed - fitted."""
