@@ -4935,13 +4935,19 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") < EVAL_CAP_DOCS
     )
+    # ONE tokenization feeds both pair generators: the LSH side and the
+    # exact ground truth consume the same persisted (id, h) posting —
+    # per-generator builders would scan and regex-split the slice twice.
+    post = dedup.shingle_hash_posting(d, "doc_id", "text", 3).persist()
     lsh = (
-        dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+        dedup.minhash_lsh_pairs_from_posting(
+            post, threshold=JACCARD_THRESHOLD
+        )
         .select("id_a", "id_b")
         .withColumn("__lsh", F.lit(1))
     )
     exact = (
-        dedup.ngram_jaccard_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+        dedup.jaccard_pairs_from_posting(post, threshold=JACCARD_THRESHOLD)
         .select("id_a", "id_b")
         .withColumn("__exact", F.lit(1))
     )

@@ -424,6 +424,29 @@ def minhash_lsh_pairs(
     subset of :func:`ngram_jaccard_pairs` with the same threshold
     (equal when LSH recall is 1 on the data).
     """
+    post = shingle_hash_posting(df, id_col, text_col, n)
+    return minhash_lsh_pairs_from_posting(
+        post,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+    )
+
+
+def minhash_lsh_pairs_from_posting(
+    post: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH pairs from a prebuilt ``(id, h)`` posting — the
+    sketch + banding + verification half of :func:`minhash_lsh_pairs`,
+    split out so evaluations that compare LSH against the exact pairs
+    of the SAME posting (:func:`jaccard_pairs_from_posting`) tokenize
+    the corpus once, not once per pair generator.
+    """
     if num_hashes % bands != 0:
         # fail at plan-build time with a usable message, not as a numpy
         # reshape ValueError deep inside an executor
@@ -435,7 +458,6 @@ def minhash_lsh_pairs(
     # extra shuffle): the per-doc distinct-hash arrays feed BOTH the
     # band bucketing and the exact-Jaccard verification. Persist is a
     # few longs per doc — negligible even cluster-wide.
-    post = shingle_hash_posting(df, id_col, text_col, n)
     sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
 
     _band_buckets = _band_bucket_udf(num_hashes, bands)
