@@ -2017,10 +2017,21 @@ def rolling_actives(
     (one user-keyed exchange); each cell then fans out to the ≤
     ``window_days`` report days it contributes to — a BOUNDED
     constant-factor explode, not a range join whose per-day task
-    would re-scan the window — and the trailing distinct is one more
-    (day, user)-keyed dedup + count. Report days are the OBSERVED
-    event days (a day with no events is absent; join a calendar spine
-    upstream to change that).
+    would re-scan the window. Each fan-out row CARRIES an
+    is-origin-day flag, so ONE (day, user) dedup keeping
+    ``max(flag)`` yields both counts from the same frame: DAU =
+    flagged rows, WAU = all rows — and a report day is an observed
+    event day exactly when its DAU > 0, replacing the old
+    observed-days semi-join. The previous shape computed observed /
+    DAU / fan-out as three consumers of the unpersisted cell frame,
+    which Catalyst executed by re-running the corpus scan AND the
+    distinct's shuffle per consumer (scan-audit: 3 FileScans, 6
+    exchanges); a persist() fixed the rescans but A/B-measured ~2.5x
+    slower at sf0.1 (cache materialization serializes a sub-second
+    query). This single-pipeline form is one scan, three bounded
+    exchanges, no cache. Report days are the OBSERVED event days (a
+    day with no events is absent; join a calendar spine upstream to
+    change that).
 
     Returns ``day, dau, wau, stickiness`` (rounded 6) ordered by day.
     """
@@ -2028,28 +2039,25 @@ def rolling_actives(
         F.date_trunc("DAY", F.col(ts_col)).cast("date").alias("day"),
         F.col(user_col).alias("uid"),
     ).distinct()
-    observed = cells.select("day").distinct()
-    dau = cells.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("dau")
+    contrib = cells.select(
+        F.posexplode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), window_days - 1),
+            )
+        ).alias("k", "day"),
+        "uid",
     )
-    contrib = (
-        cells.select(
-            F.explode(
-                F.sequence(
-                    F.col("day"),
-                    F.date_add(F.col("day"), window_days - 1),
-                )
-            ).alias("day"),
-            "uid",
-        )
-        .join(F.broadcast(observed), "day", "left_semi")
-        .distinct()
-    )
-    wau = contrib.groupBy("day").agg(
-        F.count(F.lit(1)).cast("long").alias("wau")
+    per_cell = contrib.groupBy("day", "uid").agg(
+        F.max(F.when(F.col("k") == 0, 1).otherwise(0)).alias("__a0")
     )
     return (
-        dau.join(wau, "day")
+        per_cell.groupBy("day")
+        .agg(
+            F.sum("__a0").cast("long").alias("dau"),
+            F.count(F.lit(1)).cast("long").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
         .select(
             "day",
             "dau",
@@ -2203,8 +2211,17 @@ def seasonal_profile(
     are fixed-shape double expressions over them, rounded 6.
 
     Scale design: ONE (type, hour-truncated-ts) rollup collapses the
-    corpus; everything after runs on the bounded |types|·168 grid —
-    the factor means are grid rollups and the join back is broadcast.
+    corpus; everything after runs on the bounded |types|·168 grid.
+    The factor means are WINDOW sums over that grid (partition by
+    type / (type, dow) / (type, hod)) in one linear plan — the
+    previous shape derived them as three separate grid aggregations
+    joined back, which Catalyst executed by re-running the corpus
+    rollup PER CONSUMER (scan-audit showed 4 FileScans); a persist()
+    on the grid fixed the rescans but A/B-measured ~2x slower at
+    sf0.1 (cache materialization serializes the job for a sub-second
+    query). The window form is both one-scan AND the fast shape:
+    each window is one exchange over ≤|types|·168 rows at any
+    corpus size. Factor means stay exact-integer sums divided once.
     A calendar hour with no events is absent (consistent with
     cusum_drift's observed-hours convention).
 
@@ -2223,29 +2240,21 @@ def seasonal_profile(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
         F.sum("c").cast("long").alias("s"),
     )
-    grand = cells.groupBy("etype").agg(
-        (F.sum("s").cast("double") / F.sum("n_hours").cast("double"))
-        .alias("gmean")
-    )
-    by_dow = cells.groupBy("etype", "dow").agg(
-        (F.sum("s").cast("double") / F.sum("n_hours").cast("double"))
-        .alias("dmean")
-    )
-    by_hod = cells.groupBy("etype", "hod").agg(
-        (F.sum("s").cast("double") / F.sum("n_hours").cast("double"))
-        .alias("hmean")
-    )
-    fitted = (
-        F.col("gmean")
-        + (F.col("dmean") - F.col("gmean"))
-        + (F.col("hmean") - F.col("gmean"))
-    )
+
+    def wmean(*keys: str):
+        w = Window.partitionBy(*keys)
+        return (
+            F.sum("s").over(w).cast("double")
+            / F.sum("n_hours").over(w).cast("double")
+        )
+
+    gmean = wmean("etype")
+    dmean = wmean("etype", "dow")
+    hmean = wmean("etype", "hod")
+    fitted = gmean + (dmean - gmean) + (hmean - gmean)
     mean_c = F.col("s").cast("double") / F.col("n_hours").cast("double")
     return (
-        cells.join(F.broadcast(grand), "etype")
-        .join(F.broadcast(by_dow), ["etype", "dow"])
-        .join(F.broadcast(by_hod), ["etype", "hod"])
-        .select(
+        cells.select(
             F.col("etype").alias("event_type"),
             "dow",
             "hod",

@@ -110,6 +110,21 @@ def basket_pairs(
     probabilities over the order universe — the association-rule
     screen (and the retail twin of corpus_cooccurrence's PMI).
 
+    Scale design — two rewrites were A/B-measured and REJECTED, so
+    this keeps the straightforward shape deliberately: (1) a C(k, 2)
+    in-codegen pair expansion over per-order item arrays (the
+    graph.copurchase_edges shape) ran ~25% slower — unlike the
+    support-filtered edge case, every consumer here (order count,
+    item counts, pairs) needs a different reduction of the basket,
+    so the collect_set aggregation is pure overhead; (2) persist()-ing
+    the distinct basket to kill the audit-visible triple scan ran
+    ~40% slower — the self-join already recycles the distinct's
+    exchange via ReusedExchange, the extra consumers re-run only
+    narrow two-column scans, and the cache materialization serializes
+    a sub-second query. The expensive shuffle is thus executed once
+    either way; the repeated work is the most parallel, prefetchable
+    stage (pruned scans).
+
     Returns ``item_a, item_b, n_orders_pair, n_a, n_b, lift (rounded
     6)`` for pairs seen in ≥ ``min_pair_count`` orders.
     """
