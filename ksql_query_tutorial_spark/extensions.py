@@ -6407,9 +6407,13 @@ GENERALIZATION_K = KANON_K
 def privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity generalization ladder over the customer
     quasi-identifier: (nation, segment) → (region, segment) →
-    (segment) → full suppression. See analytics.generalization_ladder."""
+    (segment) → full suppression — all four rungs from ONE customer
+    scan via GROUPING SETS (the broadcast nation join supplies the
+    region coarsening for every rung; it is 1:1 so the rungs that
+    ignore region are unaffected). See
+    analytics.generalization_ladder_one_pass."""
     from ksql_query_tutorial_spark.operators.analytics import (
-        generalization_ladder,
+        generalization_ladder_one_pass,
     )
 
     c = load(spark, sf_dir, "customer")
@@ -6418,13 +6422,16 @@ def privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.select("n_nationkey", "n_regionkey")),
         c["c_nationkey"] == F.col("n_nationkey"),
     )
-    frames = [
-        (0, "nation+segment", c, ["c_nationkey", "c_mktsegment"]),
-        (1, "region+segment", cr, ["n_regionkey", "c_mktsegment"]),
-        (2, "segment", c, ["c_mktsegment"]),
-        (3, "suppressed", c, []),
-    ]
-    return generalization_ladder(frames, k=GENERALIZATION_K)
+    return generalization_ladder_one_pass(
+        cr,
+        [
+            ("nation+segment", ["c_nationkey", "c_mktsegment"]),
+            ("region+segment", ["n_regionkey", "c_mktsegment"]),
+            ("segment", ["c_mktsegment"]),
+            ("suppressed", []),
+        ],
+        k=GENERALIZATION_K,
+    )
 
 
 EXTENSION_QUERIES["privacy_generalization"] = privacy_generalization

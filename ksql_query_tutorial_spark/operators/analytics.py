@@ -1943,6 +1943,83 @@ def generalization_ladder(
     return out.orderBy("level")
 
 
+def generalization_ladder_one_pass(
+    df: DataFrame,
+    levels: list[tuple[str, list[str]]],
+    k: int = 5,
+) -> DataFrame:
+    """:func:`generalization_ladder` over ONE pre-joined frame whose
+    rungs are column subsets — the common case — computed in a single
+    corpus pass via GROUPING SETS.
+
+    The per-rung form scans its input once per level (the scan-audit
+    sweep showed 4 FileScans for the 4-rung customer ladder); here
+    Catalyst's Expand emits every rung's grouping key per input row
+    (|levels|x fan-out BEFORE map-side partial aggregation absorbs
+    it), so all rungs' equivalence classes materialize from one scan
+    and one exchange. The per-rung reductions then collapse the
+    bounded class table by ``grouping_id()`` — one more tiny
+    aggregation instead of |levels| filtered consumers (which would
+    re-execute the Expand per rung and defeat the point).
+
+    ``levels``: ``(label, quasi_cols)`` per rung, coarsest last; the
+    rung's level is its list index. An empty ``quasi_cols`` rung is
+    the full-suppression top (one global class).
+
+    Returns the same report as :func:`generalization_ladder`:
+    ``level, label, n_classes, min_class_size, n_at_risk_rows, k_ok``
+    ordered by level.
+    """
+    all_cols: list[str] = []
+    for _, quasi in levels:
+        for c in quasi:
+            if c not in all_cols:
+                all_cols.append(c)
+    n_cols = len(all_cols)
+
+    def gid_of(quasi: list[str]) -> int:
+        # Spark's grouping_id: bit (n-1-i) set when all_cols[i] is
+        # aggregated away (not in the rung's grouping set).
+        g = 0
+        for i, c in enumerate(all_cols):
+            if c not in quasi:
+                g |= 1 << (n_cols - 1 - i)
+        return g
+
+    gids = [gid_of(quasi) for _, quasi in levels]
+    if len(set(gids)) != len(gids):
+        raise ValueError(
+            "rungs must be distinct column subsets; duplicate grouping "
+            f"sets in {levels}"
+        )
+    classes = df.groupingSets(
+        [quasi for _, quasi in levels], *[F.col(c) for c in all_cols]
+    ).agg(
+        F.count(F.lit(1)).alias("__sz"),
+        F.grouping_id().alias("__gid"),
+    )
+    stats = classes.groupBy("__gid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__sz").cast("long").alias("min_class_size"),
+        F.sum(
+            F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0)
+        ).cast("long").alias("n_at_risk_rows"),
+    )
+    level_expr = F.lit(None).cast("int")
+    label_expr = F.lit(None).cast("string")
+    for idx, ((label, _), gid) in enumerate(zip(levels, gids)):
+        level_expr = F.when(F.col("__gid") == gid, idx).otherwise(level_expr)
+        label_expr = F.when(F.col("__gid") == gid, label).otherwise(label_expr)
+    return stats.select(
+        level_expr.cast("int").alias("level"),
+        label_expr.alias("label"),
+        "n_classes",
+        "min_class_size",
+        "n_at_risk_rows",
+        (F.col("min_class_size") >= k).alias("k_ok"),
+    ).orderBy("level")
+
+
 def power_analysis(
     df: DataFrame,
     type_col: str = "event_type",

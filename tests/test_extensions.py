@@ -3730,6 +3730,33 @@ def test_generalization_ladder_monotone_repair(spark):
     assert out[2]["n_classes"] == 1 and out[2]["min_class_size"] == 13
 
 
+def test_generalization_one_pass_matches_per_rung(spark):
+    """generalization_ladder_one_pass (GROUPING SETS, one scan) emits
+    the identical report to the per-rung operator on the same frame
+    and rung subsets — including the empty suppression rung."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        generalization_ladder,
+        generalization_ladder_one_pass,
+    )
+
+    rows = [("n1", "A")] * 2 + [("n2", "A")] * 4 + [("n3", "B")] * 7
+    df = spark.createDataFrame(rows, "nat string, seg string")
+    per_rung = generalization_ladder(
+        [
+            (0, "nat+seg", df, ["nat", "seg"]),
+            (1, "seg", df, ["seg"]),
+            (2, "suppressed", df, []),
+        ],
+        k=5,
+    ).collect()
+    one_pass = generalization_ladder_one_pass(
+        df,
+        [("nat+seg", ["nat", "seg"]), ("seg", ["seg"]), ("suppressed", [])],
+        k=5,
+    ).collect()
+    assert [tuple(r) for r in one_pass] == [tuple(r) for r in per_rung]
+
+
 def test_power_analysis_known_variance(spark):
     """power_analysis: zero-variance metric needs n=0; a planted
     two-point metric matches 16*var/delta^2 by hand."""
