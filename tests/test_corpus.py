@@ -674,3 +674,53 @@ def test_bpe_encode_prefix_consistent_with_trainer(spark):
     # encoding or was consumed by a later merge built on top of it
     for m in merged_syms:
         assert any(m in p for p in produced), (m, produced)
+
+
+def test_bpe_rule_regex_matches_reference_fold(spark):
+    """_bpe_apply_rule (codegen regexp_replace rewrite) is exactly the
+    greedy left-to-right non-overlapping array fold, including
+    overlapping runs ('a a a' under (a,a) -> 'aa a'), regex
+    metacharacters in symbols, Java quote edge cases (embedded \\E,
+    $, backslash), and rules targeting the '</w>' terminator."""
+    import pyspark.sql.functions as F
+
+    from ksql_query_tutorial_spark.operators.corpus import _bpe_apply_rule
+
+    def reference_fold(a: str, b: str):
+        # the pre-r6 O(L^2) interpreted fold, kept as the oracle here
+        return F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), s)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    cases = [
+        (["a", "a", "a", "a", "</w>"], ("a", "a")),
+        (["a", "a", "a", "</w>"], ("a", "a")),
+        (["x", "a", "b", "a", "b", "</w>"], ("a", "b")),
+        (["xa", "b", "c", "</w>"], ("a", "b")),   # no match inside "xa b"
+        (["a", "b", "ab", "</w>"], ("a", "b")),
+        (["$", "\\", "$", "</w>"], ("$", "\\")),
+        ([".*", "+?", ".*", "+?", "</w>"], (".*", "+?")),
+        (["\\E", "x", "\\E", "x", "</w>"], ("\\E", "x")),
+        (["a", "b", "</w>"], ("b", "</w>")),
+        (["ab", "ab", "</w>"], ("ab", "ab")),
+        (["q", "</w>"], ("x", "y")),              # no-op rule
+    ]
+    df = spark.createDataFrame(
+        [(i, syms) for i, (syms, _) in enumerate(cases)],
+        "i int, syms array<string>",
+    )
+    for i, (syms, (a, b)) in enumerate(cases):
+        sub = df.filter(F.col("i") == i)
+        got = sub.select(_bpe_apply_rule(a, b).alias("o")).collect()[0][0]
+        want = sub.select(reference_fold(a, b).alias("o")).collect()[0][0]
+        assert got == want, (syms, (a, b), got, want)
