@@ -74,7 +74,14 @@ def main() -> None:
         # must not leak cache blocks (and GC pressure) into later timings
         spark.catalog.clearCache()
 
-    for _pass in range(2):
+    # THREE full passes: on a contended host even best-of-2 records
+    # multi-x-inflated numbers when a sustained noisy window covers a
+    # query's both slots (measured on this host: the same query 3.6s
+    # and 38s minutes apart; one run had 12 untouched sub-second
+    # queries all >=2x high because a noisy stretch covered their
+    # alphabetical neighborhood in both passes). A third pass minutes
+    # later breaks that correlation for ~3 extra minutes of runtime.
+    for _pass in range(3):
         for name in sorted(qs):
             timed(name, f"pass{_pass}")
         # between passes, release dead localCheckpoint blocks (iterative
@@ -83,15 +90,13 @@ def main() -> None:
         # outside any timed region.
         spark.sparkContext._jvm.System.gc()
 
-    # Third pass over the slowest tail only: on a contended host even
-    # best-of-2 can record a multi-x-inflated number when both passes
-    # land on noisy windows (measured on this host: the same query
-    # 3.6s and 38s minutes apart). The tail is where absolute noise
-    # dominates the headline total, and re-timing ~25 queries costs
-    # ~1 min against a double-digit-second error bar.
+    # Extra pass over the slowest tail only: the tail is where absolute
+    # noise dominates the headline total, so the multi-second queries
+    # get a fourth sample (~1 min against a double-digit-second error
+    # bar).
     tail = sorted(timings, key=lambda k: timings[k], reverse=True)[:25]
     for name in sorted(tail):
-        timed(name, "pass2-tail")
+        timed(name, "pass3-tail")
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
