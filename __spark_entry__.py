@@ -37,45 +37,46 @@ _GATE_PRIORITY = [
     # Perennial family anchor: one LSH-dedup representative always in
     # the window.
     "dedup_minhash_lsh",
-    # r6 rotation (VERDICT r5 #1/#3/#4). First, the three r5 driver-RED
-    # queries stay one more round to prove their oracle dtype fixes
-    # (pack_sequences: HUGEINT window-sum re-pinned to BIGINT;
-    # events_props_stats: sum(BIGINT) HUGEINT promotion re-pinned;
-    # embedding_cluster_assign: cosine computed on ::DOUBLE[] lists),
-    # plus the two LATENT strict-sweep failures taking their FIRST
-    # driver round with their fixes (graph_pagerank: pr CAST AS BIGINT;
-    # events_attribution: portable fixed-point micro-minute rounding in
-    # both engines).
-    "pack_sequences", "events_props_stats", "embedding_cluster_assign",
-    "graph_pagerank", "events_attribution",
-    # Then 14 more FIRST-TIMERS — one representative per family that
-    # has never had a driver round (VERDICT r5 #4): graph
-    # (graph_triangles), privacy (privacy_k_anonymity,
-    # privacy_dp_counts), decision-support (supplier_sole_late — the
-    # TPC-H Q21 rollup rewrite, customer_rfm, profile_orders), eval
-    # harnesses (ann_recall_eval, dedup_minhash_eval), iterative
-    # (corpus_bpe_encode, embedding_kmeans), windowed temporal
-    # (events_hopping_window), as-of join (asof_click_next_purchase),
-    # search (hybrid_search), and data layout (layout_zorder). To make
-    # room, the 16 r5-green ops rotate out (corpus_chunk,
-    # corpus_domain_cap, text_fingerprint, dedup_clusters,
-    # corpus_tfidf, corpus_split, corpus_shuffle, text_quality_score,
-    # corpus_curate, corpus_lm_score, events_funnel, mm_frames,
-    # events_retention, events_anomaly, embedding_label_centroids,
-    # text_entropy — all hash-green in CORRECTNESS_r05 and still
-    # strict-hash-verified in-repo by tests/test_oracle.py every
-    # pytest run).
-    "graph_triangles", "privacy_k_anonymity", "privacy_dp_counts",
-    "supplier_sole_late", "customer_rfm", "profile_orders",
-    "ann_recall_eval", "dedup_minhash_eval",
-    "corpus_bpe_encode", "embedding_kmeans",
-    "events_hopping_window", "asof_click_next_purchase",
-    "hybrid_search", "layout_zorder",
+    # r7 rotation (VERDICT r6 #1): ALL 19 remaining slots go to
+    # first-timers — queries with no driver round in r1–r6 — chosen
+    # one-or-two per family so every family gains driver evidence:
+    # decision-support core (lineitem_pricing_summary — the TPC-H Q1
+    # analog; supplier_lead_time — supplier_single_source was the
+    # VERDICT suggestion but returns 0 rows at the driver sf, a
+    # trivially-matching empty frame, so the slot goes to a first-timer
+    # with non-trivial rows; part_min_cost_supplier — the
+    # TPC-H Q2 analog), multimodal (mm_audio_windows, mm_frame_dedup),
+    # text (text_lang_confusion, text_readability), corpus sketches +
+    # laws (corpus_heaps — carries the r6 order-dependence flake fix,
+    # corpus_zipf, corpus_cms_counts), dedup variants
+    # (dedup_shingle_sweep — audited by the r6 judge, now
+    # driver-proven; dedup_containment; dedup_levenshtein), graph
+    # (graph_kcore, graph_clustering_coef), privacy
+    # (privacy_l_diversity, privacy_t_closeness), and events
+    # (events_sessions, events_cusum). The 19 r6-green rotation picks
+    # rotate out (pack_sequences, events_props_stats,
+    # embedding_cluster_assign, graph_pagerank, events_attribution,
+    # graph_triangles, privacy_k_anonymity, privacy_dp_counts,
+    # supplier_sole_late, customer_rfm, profile_orders,
+    # ann_recall_eval, dedup_minhash_eval, corpus_bpe_encode,
+    # embedding_kmeans, events_hopping_window,
+    # asof_click_next_purchase, hybrid_search, layout_zorder — all
+    # hash-green in CORRECTNESS_r06 and still strict-hash-verified
+    # in-repo by tests/test_oracle.py every pytest run).
+    "lineitem_pricing_summary", "supplier_lead_time",
+    "part_min_cost_supplier",
+    "mm_audio_windows", "mm_frame_dedup",
+    "text_lang_confusion", "text_readability",
+    "corpus_heaps", "corpus_zipf", "corpus_cms_counts",
+    "dedup_shingle_sweep", "dedup_containment", "dedup_levenshtein",
+    "graph_kcore", "graph_clustering_coef",
+    "privacy_l_diversity", "privacy_t_closeness",
+    "events_sessions", "events_cusum",
     # Everything else stays outside the 50-slot window this round —
     # the full list is exactly set(queries()) minus the 50 above, and
     # every one of them runs against its DuckDB oracle under the
-    # STRICT md5-of-normalized-CSV gate (tests/oracle_utils.py, made
-    # driver-equivalent this round) on every pytest run.
+    # STRICT md5-of-normalized-CSV gate (tests/oracle_utils.py,
+    # driver-equivalent since r6) on every pytest run.
 ]
 
 
