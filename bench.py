@@ -5,23 +5,68 @@ Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries":
 {name: sec}, "sf": ...}``.
 
-Each query is executed with a count-style action that forces full
-computation without driver-side materialization of result rows
-(``df.foreach`` no-op would disable WholeStageCodegen result reuse;
-we use ``count`` on the result, which executes the whole plan).
+Each query is forced with a result-consuming checksum aggregate
+(``sum(xxhash64(all output columns))``): unlike the pre-r7 ``count()``
+action, Catalyst cannot prune the projected expressions away, so
+projection-only queries (q02/q03/q04/q19) actually evaluate their
+UPPER/CASE/concat expressions instead of degenerating to scan+count
+(VERDICT r6 #2). The checksum collapses to a single driver-side row,
+so there is still no driver-side materialization of result data.
+
+``python bench.py --calibrate`` additionally reruns 10 fixed
+sub-second queries N times and prints a per-host noise line (per-query
+coefficient of variation); the normal run embeds the same line in the
+compact summary so regression claims can be gated on movers exceeding
+the measured noise floor (VERDICT r6 #6).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Fixed sub-second calibration set: cheap, plan-stable tutorial queries
+# spanning scan / projection / filter / agg / join shapes. Their spread
+# across repeats measures host noise, not plan changes.
+CALIBRATION_QUERIES = [
+    "q01_full_scan", "q02_projection", "q03_ucase", "q04_case_when",
+    "q05_eq_filter", "q06_conj_filter", "q08_not_null",
+    "q09_group_count", "q13_latest_by_offset", "q14_inner_join",
+]
+CALIBRATION_REPS = 5
+
+
+def _force(df) -> int:
+    """Execute the full plan and consume every output column.
+
+    ``sum(pmod(xxhash64(cols), 2^31))`` reads every column of every
+    result row, so no projected expression can be pruned; pmod bounds
+    each term so the ANSI-mode sum cannot overflow below ~2^32 rows.
+    Map columns (none today) would be stringified since xxhash64
+    rejects MapType.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    row = df.select(
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(2 ** 31))).alias("chk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["n"])
+
 
 def main() -> None:
+    calibrate_only = "--calibrate" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -49,30 +94,54 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in sorted(qs):
+
+    warm_names = CALIBRATION_QUERIES if calibrate_only else sorted(qs)
+    for name in warm_names:
         try:
-            qs[name](spark, warm_dir).count()
+            _force(qs[name](spark, warm_dir))
         except Exception:
             pass
     spark.catalog.clearCache()
 
-    # Two passes, best-of-2 per query: single-shot numbers on a shared
-    # host swing 2-3x from scheduler/CPU contention unrelated to the
-    # plan; the min over repetitions is the standard way to measure the
-    # plan itself. Caches are cleared after every query, so a repeat
-    # re-executes the full pipeline — no cross-run result reuse.
     timings: dict[str, float] = {}
 
-    def timed(name: str, tag: str) -> None:
+    def timed(name: str, tag: str) -> float:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = _force(df)
         elapsed = round(time.perf_counter() - t0, 4)
         timings[name] = min(timings.get(name, elapsed), elapsed)
         print(f"# {tag} {name}: {elapsed:.3f}s rows={n}", file=sys.stderr)
         # each query stands alone: operators that persist intermediates
         # must not leak cache blocks (and GC pressure) into later timings
         spark.catalog.clearCache()
+        return elapsed
+
+    def calibration() -> dict[str, float]:
+        """Per-host noise floor: CV (stdev/mean) of repeated runs of
+        fixed sub-second queries. Movers below ~3x the median CV in a
+        round-over-round compare are host noise, not regressions."""
+        samples: dict[str, list[float]] = {q: [] for q in CALIBRATION_QUERIES}
+        for _rep in range(CALIBRATION_REPS):
+            for q in CALIBRATION_QUERIES:
+                t0 = time.perf_counter()
+                _force(qs[q](spark, sf_dir))
+                samples[q].append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+        cvs = {
+            q: round(statistics.stdev(v) / statistics.mean(v), 4)
+            for q, v in samples.items()
+        }
+        return {
+            "cv_median": round(statistics.median(cvs.values()), 4),
+            "cv_max": round(max(cvs.values()), 4),
+            "reps": CALIBRATION_REPS,
+        }
+
+    if calibrate_only:
+        cal = calibration()
+        print(json.dumps({"metric": "bench_noise_calibration", **cal}))
+        return
 
     # THREE full passes: on a contended host even best-of-2 records
     # multi-x-inflated numbers when a sustained noisy window covers a
@@ -91,12 +160,14 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     # Extra pass over the slowest tail only: the tail is where absolute
-    # noise dominates the headline total, so the multi-second queries
-    # get a fourth sample (~1 min against a double-digit-second error
-    # bar).
-    tail = sorted(timings, key=lambda k: timings[k], reverse=True)[:25]
+    # noise dominates the headline total, so every multi-second query
+    # gets a fourth sample. Threshold-based (not a fixed top-N) so the
+    # promise holds as the query set grows (ADVICE r6).
+    tail = [k for k, v in timings.items() if v > 1.0]
     for name in sorted(tail):
         timed(name, "pass3-tail")
+
+    cal = calibration()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,6 +183,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "calibration": cal,
             }
         )
     )
@@ -133,6 +205,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "sf": sf_val,
                 "slowest": slowest,
+                "calibration": cal,
             }
         )
     )

@@ -6409,8 +6409,11 @@ def privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     quasi-identifier: (nation, segment) → (region, segment) →
     (segment) → full suppression — all four rungs from ONE customer
     scan via GROUPING SETS (the broadcast nation join supplies the
-    region coarsening for every rung; it is 1:1 so the rungs that
-    ignore region are unaffected). See
+    region coarsening for every rung). The join is LEFT so a customer
+    row with a c_nationkey absent from nation is never dropped from
+    the rungs that ignore region (ADVICE r6): such a row lands in a
+    null-region class on the region rung only — matching the oracle's
+    LEFT JOIN — and counts normally everywhere else. See
     analytics.generalization_ladder_one_pass."""
     from ksql_query_tutorial_spark.operators.analytics import (
         generalization_ladder_one_pass,
@@ -6421,6 +6424,7 @@ def privacy_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     cr = c.join(
         F.broadcast(n.select("n_nationkey", "n_regionkey")),
         c["c_nationkey"] == F.col("n_nationkey"),
+        "left",
     )
     return generalization_ladder_one_pass(
         cr,
@@ -6440,7 +6444,7 @@ EXTENSION_ORACLES["privacy_generalization"] = f"""
     WITH l0 AS (SELECT count(*) AS sz FROM customer
                 GROUP BY c_nationkey, c_mktsegment),
     l1 AS (SELECT count(*) AS sz
-           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
            GROUP BY n_regionkey, c_mktsegment),
     l2 AS (SELECT count(*) AS sz FROM customer GROUP BY c_mktsegment),
     l3 AS (SELECT count(*) AS sz FROM customer),

@@ -1966,7 +1966,12 @@ def generalization_ladder_one_pass(
     rung's level is its list index. An empty ``quasi_cols`` rung is
     the full-suppression top (one global class).
 
-    Returns the same report as :func:`generalization_ladder`:
+    Returns the same report as :func:`generalization_ladder` —
+    including on an EMPTY input frame: GROUPING SETS emits no groups
+    there, so the rung report is left-joined onto a literal levels
+    frame (ADVICE r6) and every rung still emits one row with
+    ``n_classes=0`` and null min/at-risk/k_ok, exactly like the
+    per-rung form's global agg over empty input.
     ``level, label, n_classes, min_class_size, n_at_risk_rows, k_ok``
     ordered by level.
     """
@@ -2010,14 +2015,34 @@ def generalization_ladder_one_pass(
     for idx, ((label, _), gid) in enumerate(zip(levels, gids)):
         level_expr = F.when(F.col("__gid") == gid, idx).otherwise(level_expr)
         label_expr = F.when(F.col("__gid") == gid, label).otherwise(label_expr)
-    return stats.select(
+    report = stats.select(
         level_expr.cast("int").alias("level"),
         label_expr.alias("label"),
         "n_classes",
         "min_class_size",
         "n_at_risk_rows",
         (F.col("min_class_size") >= k).alias("k_ok"),
-    ).orderBy("level")
+    )
+    # Literal rung frame: guarantees one output row per rung even when
+    # the input is empty (GROUPING SETS emits no groups there). On any
+    # non-empty input every rung has >=1 class, so the join is an
+    # identity; both sides are bounded by |levels| rows.
+    rungs = df.sparkSession.createDataFrame(
+        [(idx, label) for idx, (label, _) in enumerate(levels)],
+        "level int, label string",
+    )
+    return (
+        rungs.join(report, ["level", "label"], "left")
+        .select(
+            "level",
+            "label",
+            F.coalesce("n_classes", F.lit(0)).cast("long").alias("n_classes"),
+            "min_class_size",
+            "n_at_risk_rows",
+            "k_ok",
+        )
+        .orderBy("level")
+    )
 
 
 def power_analysis(

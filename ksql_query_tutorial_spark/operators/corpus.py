@@ -1745,14 +1745,24 @@ def _bpe_apply_rule(a: str, b: str):
     metacharacter-heavy and overlapping-run inputs is pinned by
     tests/test_corpus.py against the fold kept there as the
     reference implementation.
+
+    Total on the empty array too (ADVICE r6): ``split('' , ' ')``
+    yields ``[""]``, not ``[]``, so the empty case is short-circuited
+    to keep parity with the array-fold reference — unreachable from
+    ``_bpe_words`` (every word gets ≥2 symbols) but the helper should
+    not lie if reused.
     """
     pat = (
         "(^| )" + _java_pattern_quote(a) + " " + _java_pattern_quote(b)
         + "(?= |$)"
     )
     repl = "$1" + _java_replacement_quote(a + b)
-    return F.split(
-        F.regexp_replace(F.concat_ws(" ", F.col("syms")), pat, repl), " "
+    return F.when(
+        F.size("syms") == 0, F.col("syms")
+    ).otherwise(
+        F.split(
+            F.regexp_replace(F.concat_ws(" ", F.col("syms")), pat, repl), " "
+        )
     )
 
 

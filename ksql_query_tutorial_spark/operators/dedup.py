@@ -156,6 +156,7 @@ def shingle_hash_postings_multi(
     id_col: str,
     text_col: str = "text",
     ns: tuple[int, ...] = (2, 3, 5),
+    persisted: list[DataFrame] | None = None,
 ) -> dict[int, DataFrame]:
     """Postings for SEVERAL shingle sizes from ONE scan + tokenization.
 
@@ -169,6 +170,13 @@ def shingle_hash_postings_multi(
     by concatenating its first ``n-1`` leads — byte-identical shingle
     strings, hence identical ``xxhash64`` postings, to the per-rung
     builder (pinned by the strict oracle and a parity test).
+
+    Cache contract (ADVICE r6): the shared lead frame is persisted and
+    CANNOT be unpersisted here — every returned posting reads it
+    lazily. Long-lived sessions should pass ``persisted`` (a list the
+    persisted frame is appended to) and unpersist after consuming the
+    postings; batch harnesses that ``spark.catalog.clearCache()``
+    between queries (bench.py, the driver) need nothing.
 
     Returns ``{n: (id, h) posting}`` for each requested size.
     """
@@ -189,6 +197,8 @@ def shingle_hash_postings_multi(
         F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, nmax)
     ]
     toks = pos_toks.select("id", "tok", *lead_cols).persist()
+    if persisted is not None:
+        persisted.append(toks)
     out: dict[int, DataFrame] = {}
     for n in ns_sorted:
         if n == 1:
@@ -440,12 +450,20 @@ def minhash_lsh_pairs_from_posting(
     bands: int = 32,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash + LSH pairs from a prebuilt ``(id, h)`` posting — the
     sketch + banding + verification half of :func:`minhash_lsh_pairs`,
     split out so evaluations that compare LSH against the exact pairs
     of the SAME posting (:func:`jaccard_pairs_from_posting`) tokenize
     the corpus once, not once per pair generator.
+
+    Cache contract (ADVICE r6): the shingle-set and bucket frames are
+    persisted and read lazily by the returned pairs frame, so they
+    cannot be unpersisted here. Long-lived sessions pass ``persisted``
+    (a list both frames are appended to) and unpersist after
+    consuming; batch harnesses that clearCache between queries need
+    nothing.
     """
     if num_hashes % bands != 0:
         # fail at plan-build time with a usable message, not as a numpy
@@ -459,6 +477,8 @@ def minhash_lsh_pairs_from_posting(
     # band bucketing and the exact-Jaccard verification. Persist is a
     # few longs per doc — negligible even cluster-wide.
     sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
+    if persisted is not None:
+        persisted.append(sh_sets)
 
     _band_buckets = _band_bucket_udf(num_hashes, bands)
 
@@ -469,6 +489,8 @@ def minhash_lsh_pairs_from_posting(
     buckets = sh_sets.select(
         "id", F.explode(_band_buckets("sh")).alias("bucket")
     ).persist()
+    if persisted is not None:
+        persisted.append(buckets)
     capped = _cap_bucket_width(buckets, max_bucket, "bucket")
     l, r = capped.alias("l"), capped.alias("r")
     candidates = (

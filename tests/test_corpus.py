@@ -714,6 +714,10 @@ def test_bpe_rule_regex_matches_reference_fold(spark):
         (["a", "b", "</w>"], ("b", "</w>")),
         (["ab", "ab", "</w>"], ("ab", "ab")),
         (["q", "</w>"], ("x", "y")),              # no-op rule
+        # ADVICE r6: empty syms must stay [] (split('', ' ') would
+        # yield [""]); unreachable from _bpe_words but the helper is
+        # total now
+        ([], ("a", "b")),
     ]
     df = spark.createDataFrame(
         [(i, syms) for i, (syms, _) in enumerate(cases)],

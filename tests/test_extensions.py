@@ -3757,6 +3757,91 @@ def test_generalization_one_pass_matches_per_rung(spark):
     assert [tuple(r) for r in one_pass] == [tuple(r) for r in per_rung]
 
 
+def test_generalization_one_pass_empty_input_matches_per_rung(spark):
+    """ADVICE r6: on an EMPTY frame GROUPING SETS emits no groups, so
+    the one-pass ladder right-joins a literal levels frame — every
+    rung still reports one row (n_classes=0, null min/risk/k_ok),
+    exactly like the per-rung form's global agg over empty input."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        generalization_ladder,
+        generalization_ladder_one_pass,
+    )
+
+    df = spark.createDataFrame([], "nat string, seg string")
+    per_rung = generalization_ladder(
+        [
+            (0, "nat+seg", df, ["nat", "seg"]),
+            (1, "seg", df, ["seg"]),
+            (2, "suppressed", df, []),
+        ],
+        k=5,
+    ).collect()
+    one_pass = generalization_ladder_one_pass(
+        df,
+        [("nat+seg", ["nat", "seg"]), ("seg", ["seg"]), ("suppressed", [])],
+        k=5,
+    ).collect()
+    assert len(one_pass) == 3
+    assert [tuple(r) for r in one_pass] == [tuple(r) for r in per_rung]
+    for r in one_pass:
+        assert r["n_classes"] == 0
+        assert r["min_class_size"] is None and r["k_ok"] is None
+
+
+def test_privacy_generalization_keeps_dangling_nationkey(spark, tmp_path):
+    """ADVICE r6: a customer whose c_nationkey is absent from nation
+    must not vanish from the rungs that ignore region — the nation
+    join is LEFT, so the dangler lands in a null-region class on the
+    region rung and counts normally everywhere else."""
+    from ksql_query_tutorial_spark.extensions import privacy_generalization
+
+    d = str(tmp_path / "sf-dangling")
+    spark.createDataFrame(
+        [(1, 0, "SEG_A")] * 6 + [(2, 99, "SEG_A")],  # nationkey 99 dangles
+        "c_custkey int, c_nationkey int, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "HOMELAND", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(f"{d}/nation.parquet")
+
+    out = {r["label"]: r for r in privacy_generalization(spark, d).collect()}
+    # all 7 customers (incl. the dangler) reach every rung
+    assert out["suppressed"]["min_class_size"] == 7
+    assert out["segment"]["min_class_size"] == 7
+    # nation rung: classes {0: 6, 99: 1}
+    assert out["nation+segment"]["n_classes"] == 2
+    assert out["nation+segment"]["min_class_size"] == 1
+    # region rung: the dangler is its own null-region class
+    assert out["region+segment"]["n_classes"] == 2
+    assert out["region+segment"]["min_class_size"] == 1
+
+
+def test_postings_multi_and_lsh_persist_registry(spark):
+    """ADVICE r6: callers that cannot rely on a per-query clearCache
+    get the persisted intermediates back through the ``persisted``
+    registry for explicit unpersist."""
+    from ksql_query_tutorial_spark.operators import dedup
+    from ksql_query_tutorial_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    d = load(spark, SF_ORACLE, "documents").limit(50)
+    reg: list = []
+    multi = dedup.shingle_hash_postings_multi(
+        d, "doc_id", "text", (2, 3), persisted=reg
+    )
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    assert multi[2].count() > 0
+    reg2: list = []
+    pairs = dedup.minhash_lsh_pairs_from_posting(
+        multi[3], num_hashes=32, bands=8, persisted=reg2
+    )
+    pairs.count()
+    assert len(reg2) == 2
+    for fr in reg + reg2:
+        fr.unpersist()
+        assert not fr.storageLevel.useMemory
+
+
 def test_power_analysis_known_variance(spark):
     """power_analysis: zero-variance metric needs n=0; a planted
     two-point metric matches 16*var/delta^2 by hand."""
