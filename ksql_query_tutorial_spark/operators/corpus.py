@@ -234,6 +234,19 @@ def with_repetition(
     High values ⇒ degenerate/templated text (Rae et al., Gopher
     appendix A): cut before tokenization, they are the cheapest
     quality win after URL filtering.
+
+    Shape (r7): ONE corpus scan and tokenization — the per-doc scalar
+    stats ride the bigram rows as grouping keys (constant per doc,
+    two numeric columns of shuffle weight) instead of a second scan
+    branch joined back. The explode is OUTER on purpose, and not only
+    for the <2-token docs: a plain explode lets Catalyst infer a
+    ``size(__bigrams) > 0 AND isnotnull(__bigrams)`` filter below the
+    Generate, and pushing that predicate through the projection
+    inlines the whole split+transform pipeline SEVERAL times per row
+    — measured 10.5s vs ~1.1s at sf0.1 (the pre-r7 join shape paid
+    exactly this). The null row a doc with <2 tokens emits is kept
+    out of the counts by the conditional aggregates, so
+    top_bigram_frac stays 0.0 for those docs as before.
     """
     base = df.select(
         F.col(id_col).alias("doc_id"),
@@ -249,27 +262,28 @@ def with_repetition(
         ).alias("dup_word_frac"),
         shingles_of(F.col("__toks"), 2).alias("__bigrams"),
     )
-    # Non-outer explode: a doc with <2 tokens emits NO bigram rows (an
-    # outer explode's null row would count as a phantom bigram and push
-    # top_bigram_frac to 1.0); the left join below retains those docs.
-    bg = base.select("doc_id", F.explode("__bigrams").alias("bigram"))
-    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = counts.groupBy("doc_id").agg(
-        F.max("c").alias("__top"),
-        F.sum("c").alias("__total"),
+    rows = base.select(
+        "doc_id", "n_tokens", "dup_word_frac",
+        F.explode_outer("__bigrams").alias("bigram"),
     )
+    counts = rows.groupBy(
+        "doc_id", "n_tokens", "dup_word_frac", "bigram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    real = F.when(F.col("bigram").isNotNull(), F.col("c"))
     return (
-        base.select("doc_id", "n_tokens", "dup_word_frac")
-        .join(per_doc, "doc_id", "left")
-        .withColumn(
-            "top_bigram_frac",
+        counts.groupBy("doc_id", "n_tokens", "dup_word_frac")
+        .agg(
+            F.max(real).alias("__top"),
+            F.sum(F.coalesce(real, F.lit(0))).alias("__total"),
+        )
+        .select(
+            "doc_id", "n_tokens", "dup_word_frac",
             F.round(
                 F.coalesce(F.col("__top"), F.lit(0)).cast("double")
                 / F.greatest(F.col("__total"), F.lit(1)).cast("double"),
                 6,
-            ),
+            ).alias("top_bigram_frac"),
         )
-        .select("doc_id", "n_tokens", "dup_word_frac", "top_bigram_frac")
     )
 
 
@@ -392,11 +406,22 @@ def span_dedup_stats(
 
     Plan shape — two shuffles, both scale-safe:
 
-    1. spans explode to ``(doc_id, pos, xxhash64(span))``; first
-       occurrence per span hash is a groupBy-min (map-side combine
-       absorbs hot boilerplate spans BEFORE the shuffle), then an
-       equi-join back on the hash (AQE splits any residual hot
-       partition — no window-over-hot-key single task);
+    1. spans explode to ``(doc_id, pos, xxhash64(span))``, repartitioned
+       on the span hash; first occurrence per span hash is a
+       groupBy-min joined back on the hash. Measured r7 note: the
+       explicit repartition was added to let ReusedExchange share one
+       occ pipeline between the agg and the join, but self-join
+       attribute deduplication re-aliases one branch and defeats the
+       canonical-plan match (both branches still materialize — a
+       known Catalyst limitation); it still measured 2.20s → 1.46s
+       at sf0.1 (best-of-3) because the downstream agg and join run
+       over the repartitioned width instead of the parquet split
+       count, and it removes their ENSURE_REQUIREMENTS exchanges. The
+       window-over-``__h`` single-pipeline alternative was considered
+       and rejected: an unbounded min window puts every occurrence of
+       one hot boilerplate span in ONE task, while the groupBy keeps
+       map-side combine and AQE splits any residual hot join
+       partition;
     2. interval union per document is a gaps-and-islands running max
        over ``Window.partitionBy(doc_id)`` — parallel across docs,
        ordered only within one document's duplicate spans.
@@ -421,6 +446,7 @@ def span_dedup_stats(
             F.posexplode(shingles_of(F.col("__toks"), k)).alias("pos", "__sh"),
         )
         .select("doc_id", "pos", F.xxhash64("__sh").alias("__h"))
+        .repartition(F.col("__h"))
     )
     firsts = occ.groupBy("__h").agg(
         F.min(F.struct("doc_id", "pos")).alias("__first")

@@ -122,12 +122,25 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     dedup joins), plus a shingle fingerprint: the minimum md5 over 3-token
     shingles (a 1-hash MinHash — a cheap rolling-hash-style document
     sketch usable for near-dup blocking).
-    """
-    from ksql_query_tutorial_spark.operators.dedup import shingles
 
-    sh = shingles(F.col(text_col), 3)
-    return df.withColumn("fingerprint", F.md5(normalized(F.col(text_col)))).withColumn(
-        "shingle_fingerprint", F.array_min(F.transform(sh, F.md5))
+    The tokens array is materialized as a projected attribute so the
+    regex split runs once per row; the former inline ``shingles()``
+    form re-evaluated the split inside the size guard and the
+    transform (3 splits/row — measured 3.6s vs 1.1s at sf0.1 once the
+    bench checksum action stopped letting Catalyst prune it).
+    """
+    from ksql_query_tutorial_spark.operators.dedup import shingles_of
+
+    return (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
+        .withColumn(
+            "shingle_fingerprint",
+            F.array_min(
+                F.transform(shingles_of(F.col("__toks"), 3), F.md5)
+            ),
+        )
+        .drop("__toks")
     )
 
 
@@ -299,24 +312,22 @@ def with_char_entropy(df: DataFrame, text_col: str = "text",
     per-character counts so the whole computation is two grouped
     aggregates: (doc, char) counts — partial-agg'd map-side, shuffle
     bounded by |docs| × |alphabet| — then a doc-keyed fold. The char
-    fold itself is an explode over ``sequence(1, length)`` + substring
-    (pure JVM; no Python, no regex-split empty-string edge cases).
+    fold explodes ``split(text, '')`` (one single-char array element
+    per character, pure JVM). The former shape exploded
+    ``sequence(1, length)`` and carried the FULL text column through
+    the Generate for the substring — every character row materialized
+    the whole document, O(L²) bytes per doc (measured 3.7s vs 0.6s at
+    sf0.1 once the bench checksum action stopped pruning it).
 
     Empty documents carry no characters and are dropped (matching the
-    SQL oracle's empty ``range``).
+    SQL oracle's empty ``range``; ``split('', '')`` is the empty
+    array, so the explode emits nothing for them).
 
     Returns ``id_col, n_chars_counted, n_unique_chars, char_entropy``.
     """
-    chars = (
-        df.filter(F.length(F.col(text_col)) > 0)
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.lit(1), F.length(F.col(text_col)))
-            ).alias("i"),
-            F.col(text_col),
-        )
-        .select(id_col, F.substring(F.col(text_col), F.col("i"), F.lit(1)).alias("ch"))
+    chars = df.select(
+        id_col,
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
     )
     counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
     return (
