@@ -26,7 +26,15 @@ from ._shared import *  # noqa: F401,F403 — shared constants/SQL fragments
 
 def audit_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-load data-quality audit: referential (orphan keys via
-    anti join) and domain (range / null) violation counts."""
+    anti join) and domain (range / null) violation counts.
+
+    Scan shape (r7 measured-kept): the four checks run as independent
+    anti-join/filter aggregations (orders scanned 3×, lineitem 2×,
+    all column-pruned). Two one-scan variants both measured WORSE —
+    persisting orders 1.56×/2.12× (sf0.1/sf1), fusing orphan+domain
+    checks into one left-join scan per table 1.60×/1.71× (STRESS.md
+    r7): the independent checks parallelize, the fused shape
+    serializes everything behind the widest scan."""
     from ksql_query_tutorial_spark.operators import analytics
 
     return analytics.audit_constraints(

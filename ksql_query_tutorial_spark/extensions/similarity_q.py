@@ -367,7 +367,12 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: lexical TF-IDF top-k + embedding-cosine top-k
     fused by reciprocal rank (RRF) — both legs are TakeOrdered top-k,
     ranks assigned over the two bounded survivor lists only. See
-    similarity.hybrid_search_rrf."""
+    similarity.hybrid_search_rrf.
+
+    Scan shape (r7 measured-kept): the lexical leg's tf/df/N branches
+    re-scan documents with heavy pruning; persisting the table
+    measured 1.01×/1.03× (sf0.1/sf1, STRESS.md r7) — flat, so the
+    cache-free shape stays."""
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     return similarity.hybrid_search_rrf(
@@ -613,6 +618,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join + per-query rollup is trivial. Per-query recall is an
     exact rational (hits/k); the average over the bounded query set is
     one double division, rounded.
+
+    Scan shape (r7 measured-kept): embeddings is scanned once per leg
+    because the eval deliberately compares two INDEPENDENT pipelines;
+    sharing a persisted scan measured 1.05×/1.03× (sf0.1/sf1,
+    STRESS.md r7 scan-audit burn-down) — no win, and coupling the
+    legs would let a cache quirk mask a real recall difference.
     """
     bf = EXTENSION_QUERIES["similarity_topk"](spark, sf_dir).select(
         "query_id", "neighbor_id"

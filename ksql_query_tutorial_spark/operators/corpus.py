@@ -843,7 +843,10 @@ def tf_idf(
     postings — deriving it FROM the postings subtree would re-execute
     the (doc, term) exchange a second time (Catalyst does not reuse
     the stage across the two consumers), paying scan + explode + TWO
-    exchanges where this pays scan + explode + one.
+    exchanges where this pays scan + explode + one. The r7 scan-audit
+    A/B re-confirmed the shape: persisting the input measured 0.92×
+    at BOTH sf0.1 and sf1 — inside host noise, and a corpus-sized
+    cache at 100 TB (STRESS.md r7 scan-audit burn-down).
 
     Returns ``doc_id, term, tf, df, tfidf`` (tfidf rounded to 6
     decimals), one row per (document, distinct term).
@@ -1051,7 +1054,10 @@ def curate(
     projections fused into the scan; dedup adds one shuffle on the
     content hash; decontamination adds the broadcast bench index plus
     its doc-keyed rollup; the final assembly joins on ``id`` (both
-    sides already id-partitioned). No driver actions, no unbounded
+    sides already id-partitioned; the per-stage branches re-scan the
+    pruned input rather than share a persisted copy — measured
+    0.93×/0.95× sub-noise at sf0.1/sf1, not worth a corpus-sized
+    cache, STRESS.md r7 scan-audit burn-down). No driver actions, no unbounded
     windows.
     """
     from ksql_query_tutorial_spark.operators.text import (
@@ -1122,6 +1128,12 @@ def lm_score(
 
     Returns per document: ``n_bigrams, sum_count, min_count`` (exact
     integers) and ``avg_log_count, lm_logprob`` (rounded doubles;
+    Scan shape (r7 measured-kept): the bigram posting is rebuilt per
+    consumer instead of persisted — the persist variant measured
+    1.13× at sf0.1 and 2.26× at sf1 (STRESS.md r7 scan-audit
+    burn-down): the posting is corpus-sized, so caching it costs more
+    than the pruned re-scan it saves, increasingly so with scale.
+
     ``lm_logprob = avg(ln(C(b)/T))``). Docs with < 2 tokens keep NULL
     floats and zero counts.
     """

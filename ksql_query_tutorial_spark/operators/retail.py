@@ -123,7 +123,9 @@ def basket_pairs(
     narrow two-column scans, and the cache materialization serializes
     a sub-second query. The expensive shuffle is thus executed once
     either way; the repeated work is the most parallel, prefetchable
-    stage (pruned scans).
+    stage (pruned scans). The r7 scan-audit A/B re-confirmed the
+    persist rejection at two scales: 1.50× at sf0.1, 1.93× at sf1
+    (STRESS.md r7 scan-audit burn-down).
 
     Returns ``item_a, item_b, n_orders_pair, n_a, n_b, lift (rounded
     6)`` for pairs seen in ≥ ``min_pair_count`` orders.
