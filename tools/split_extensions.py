@@ -22,6 +22,10 @@ import ast
 import sys
 from collections import defaultdict
 
+# As-run r7 note: the monolith was moved aside before emission, so this
+# points at the backup location the split actually read from. The tool is
+# kept as the historical record of the split; the monolith no longer
+# exists in-tree (git history has it at commit 3511646 and earlier).
 SRC = "/tmp/extensions_monolith_backup.py"
 PKG = "ksql_query_tutorial_spark/extensions"
 
