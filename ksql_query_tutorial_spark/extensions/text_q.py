@@ -9,13 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ksql_query_tutorial_spark.operators import (
-    asof,
     corpus,
     dedup,
-    multimodal,
-    rangejoin,
-    rollup,
-    similarity,
     text,
 )
 from ksql_query_tutorial_spark.tables import load
