@@ -320,12 +320,14 @@ def with_char_entropy(df: DataFrame, text_col: str = "text",
     sf0.1 once the bench checksum action stopped pruning it).
 
     Empty documents carry no characters and are dropped (matching the
-    SQL oracle's empty ``range``; ``split('', '')`` is the empty
-    array, so the explode emits nothing for them).
+    SQL oracle's empty ``range``) — by the explicit length filter:
+    ``split('', '')`` is ``[""]`` (one empty-string element; show()
+    deceptively renders it ``[]``), so without the filter an empty doc
+    would emit one phantom character row.
 
     Returns ``id_col, n_chars_counted, n_unique_chars, char_entropy``.
     """
-    chars = df.select(
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
         id_col,
         F.explode(F.split(F.col(text_col), "")).alias("ch"),
     )

@@ -4170,7 +4170,6 @@ def test_corpus_fertility_hand_computed(spark):
     from ksql_query_tutorial_spark.extensions import corpus_fertility
     from ksql_query_tutorial_spark.tables import load  # noqa: F401
 
-    import ksql_query_tutorial_spark.extensions as ext
 
     rows = [
         (1, "hello world", "en", "s", 11),
@@ -4181,13 +4180,17 @@ def test_corpus_fertility_hand_computed(spark):
         rows, "doc_id long, text string, lang string, source string, "
               "n_chars long",
     )
-    orig = ext.load
+    # patch load in the query's OWN module (post-split, each family
+    # module holds its own binding; patching the package attr is inert)
+    import sys
+    fam = sys.modules[corpus_fertility.__module__]
+    orig = fam.load
     try:
-        ext.load = lambda spark, sf, t: df
+        fam.load = lambda spark, sf, t: df
         out = {r["lang"]: r for r in
                corpus_fertility(spark, "ignored").collect()}
     finally:
-        ext.load = orig
+        fam.load = orig
     # en: chars 11+6=17, bpe 2 + 4 ("a","b",",","c") = 6, words 2+3=5
     assert out["en"]["n_docs"] == 2
     assert out["en"]["chars_per_token"] == round(17 / 6, 6)
@@ -4272,18 +4275,19 @@ def test_new_vs_returning_first_day_logic(spark):
     from ksql_query_tutorial_spark.extensions import (
         events_new_vs_returning,
     )
-    import ksql_query_tutorial_spark.extensions as ext
 
     d = lambda x, u: (datetime(2024, 1, 1 + x, 9), u)
     rows = [d(0, 1), d(0, 2), d(1, 1), d(1, 3), d(2, 1), d(2, 2)]
     df = spark.createDataFrame(rows, "ts timestamp, user_id long")
-    orig = ext.load
+    import sys
+    fam = sys.modules[events_new_vs_returning.__module__]
+    orig = fam.load
     try:
-        ext.load = lambda spark, sf, t: df
+        fam.load = lambda spark, sf, t: df
         out = {str(r["day"]): r for r in
                events_new_vs_returning(spark, "x").collect()}
     finally:
-        ext.load = orig
+        fam.load = orig
     assert (out["2024-01-01"]["n_new"], out["2024-01-01"]["n_returning"]) == (2, 0)
     assert (out["2024-01-02"]["n_new"], out["2024-01-02"]["n_returning"]) == (1, 1)
     assert (out["2024-01-03"]["n_new"], out["2024-01-03"]["n_returning"]) == (0, 2)
@@ -4340,7 +4344,6 @@ def test_price_dispersion_constant_price_zero_cv(spark):
     import math
 
     from ksql_query_tutorial_spark.extensions import part_price_dispersion
-    import ksql_query_tutorial_spark.extensions as ext
 
     li = spark.createDataFrame(
         [(1, 10.0, 1.0), (1, 20.0, 2.0),          # unit 10, 10
@@ -4350,13 +4353,15 @@ def test_price_dispersion_constant_price_zero_cv(spark):
     part = spark.createDataFrame(
         [(1, "FLAT"), (2, "MIXED")], "p_partkey long, p_type string"
     )
-    orig = ext.load
+    import sys
+    fam = sys.modules[part_price_dispersion.__module__]
+    orig = fam.load
     try:
-        ext.load = lambda spark, sf, t: {"lineitem": li, "part": part}[t]
+        fam.load = lambda spark, sf, t: {"lineitem": li, "part": part}[t]
         out = {r["p_type"]: r for r in
                part_price_dispersion(spark, "x").collect()}
     finally:
-        ext.load = orig
+        fam.load = orig
     assert out["FLAT"]["cv"] == 0.0
     mu, var = 15.0, ((10 - 15) ** 2 + (20 - 15) ** 2) / 2
     assert out["MIXED"]["cv"] == round(math.sqrt(var) / mu, 6)
@@ -4366,13 +4371,14 @@ def test_length_drift_identical_halves_zero(spark):
     """corpus_length_drift: identical halves -> KS 0 / TV 0; a planted
     shifted half -> exact hand-computed gaps."""
     from ksql_query_tutorial_spark.extensions import corpus_length_drift
-    import ksql_query_tutorial_spark.extensions as ext
 
     same = [(i, "x" * 100) for i in range(20)]
     df = spark.createDataFrame(same, "doc_id long, text string")
-    orig = ext.load
+    import sys
+    fam = sys.modules[corpus_length_drift.__module__]
+    orig = fam.load
     try:
-        ext.load = lambda spark, sf, t: df
+        fam.load = lambda spark, sf, t: df
         r = corpus_length_drift(spark, "x").collect()[0]
         assert r["ks_gap"] == 0.0 and r["tv_distance"] == 0.0
 
@@ -4380,8 +4386,8 @@ def test_length_drift_identical_halves_zero(spark):
         shifted = [(i, "x" * (100 if i % 2 == 0 else 200))
                    for i in range(20)]
         df2 = spark.createDataFrame(shifted, "doc_id long, text string")
-        ext.load = lambda spark, sf, t: df2
+        fam.load = lambda spark, sf, t: df2
         r2 = corpus_length_drift(spark, "x").collect()[0]
         assert r2["ks_gap"] == 1.0 and r2["tv_distance"] == 1.0
     finally:
-        ext.load = orig
+        fam.load = orig
