@@ -1068,17 +1068,24 @@ def curate(
         with_lang_id,
     )
 
-    t = tokens(F.col(text_col))
-    flags = with_lang_id(train, text_col).select(
-        F.col(id_col),
-        F.col("lang_pred"),
-        (F.col("lang_pred") == "en").alias("pass_lang"),
-        (
-            (F.size(t) >= CURATE_MIN_TOKENS)
-            & (_count_in(t, STOPWORDS) * 100 >= CURATE_STOPWORD_PCT * F.size(t))
-        ).alias("pass_quality"),
-        (sample_hash(F.col(id_col)) < CURATE_SAMPLE_CUT).alias("sampled"),
-        F.md5(normalized(F.col(text_col))).alias("__h"),
+    # materialized tokens attribute (r7): the inline form re-split the
+    # text once per reference in the quality conjunction (3×/row)
+    t = F.col("__qtoks")
+    flags = (
+        with_lang_id(train, text_col)
+        .withColumn("__qtoks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.col("lang_pred"),
+            (F.col("lang_pred") == "en").alias("pass_lang"),
+            (
+                (F.size(t) >= CURATE_MIN_TOKENS)
+                & (_count_in(t, STOPWORDS) * 100
+                   >= CURATE_STOPWORD_PCT * F.size(t))
+            ).alias("pass_quality"),
+            (sample_hash(F.col(id_col)) < CURATE_SAMPLE_CUT).alias("sampled"),
+            F.md5(normalized(F.col(text_col))).alias("__h"),
+        )
     )
     # keeper = min id per content-hash group, via a window min — ONE
     # shuffle on the hash (a groupBy + join-back costs the same shuffle

@@ -66,12 +66,18 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: length, mean token length, stopword
     ratio, punctuation ratio, alpha ratio. Documents failing cheap
     heuristics get filtered before any expensive (model-based) scoring.
+
+    The tokens array is materialized as a projected attribute (r7):
+    the inline form re-ran the regex split once per consuming
+    expression — four times per row across the three token-derived
+    columns (see the shingles_of docstring for the CollapseProject
+    boundary argument).
     """
-    t = tokens(F.col(text_col))
-    n_tok = F.size(t)
+    n_tok = F.size(F.col("__toks"))
     n_chars = F.length(F.col(text_col))
     return (
-        df.withColumn("n_tokens", n_tok)
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("n_tokens", n_tok)
         .withColumn(
             "avg_token_len",
             F.round((F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))).cast("double")
@@ -79,7 +85,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "stopword_ratio",
-            F.round(_count_in(t, STOPWORDS).cast("double")
+            F.round(_count_in(F.col("__toks"), STOPWORDS).cast("double")
                     / F.greatest(n_tok, F.lit(1)).cast("double"), 6),
         )
         .withColumn(
@@ -88,6 +94,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
                 (n_chars - F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z]", "")))
                 .cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6),
         )
+        .drop("__toks")
     )
 
 
@@ -96,10 +103,13 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     argmax with deterministic lexicographic tie-break ('xx' when all
     scores are zero). One pass, no shuffle.
     """
-    t = tokens(F.col(text_col))
-    scored = df
+    # materialized tokens attribute (r7): the inline form re-split the
+    # text once per language profile — 4 tokenizations per row
+    scored = df.withColumn("__toks", tokens(F.col(text_col)))
     for lang, words in sorted(LANG_MARKERS.items()):
-        scored = scored.withColumn(f"score_{lang}", _count_in(t, words))
+        scored = scored.withColumn(
+            f"score_{lang}", _count_in(F.col("__toks"), words)
+        )
     best = F.lit("xx")
     best_score = F.lit(0)
     # forward lexicographic order with strict `>`: the first language
@@ -108,7 +118,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         s = F.col(f"score_{lang}")
         best = F.when(s > best_score, F.lit(lang)).otherwise(best)
         best_score = F.when(s > best_score, s).otherwise(best_score)
-    return scored.withColumn("lang_pred", best)
+    return scored.withColumn("lang_pred", best).drop("__toks")
 
 
 def normalized(col: Column) -> Column:
