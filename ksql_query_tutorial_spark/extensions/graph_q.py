@@ -328,9 +328,20 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard symmetrized form), all sums are exact integers over
     degrees, and the final r is one fixed-shape double expression.
 
-    Scale design: the degree rollup and the two degree-attach joins
-    are the triangle family's edge-keyed shapes; the moment reduction
-    is a single row. No windows.
+    Scale design (r7 rewrite): the degree rollup explodes [u, v] from
+    ONE edge pass (a unionAll of two selects re-executes the whole
+    co-purchase pipeline per branch), and the symmetrized moments are
+    DERIVED algebraically from single-orientation sums — for the
+    both-orientations multiset, n = 2·n₀, Σx = Σx₀+Σy₀, Σxy = 2·Σx₀y₀,
+    Σx² = Σx₀²+Σy₀² — instead of unioning sym with its swap, which
+    doubled the edges+joins pipeline again. Exact integer arithmetic,
+    identical r; measured 2.66s → 2.37s best-of-3 at sf0.1 (modest
+    locally because AQE stage reuse already deduplicated the repeated
+    exchanges; the plan-size halving is the durable win — on a
+    cluster the duplicated branches would also double scan traffic
+    before their first exchange).
+    The remaining joins are the triangle family's edge-keyed
+    shapes; the moment reduction is a single row. No windows.
     """
     from ksql_query_tutorial_spark.operators.graph import copurchase_edges
 
@@ -339,23 +350,29 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     )
     deg = (
-        edges.select(F.col("u").alias("id"))
-        .unionAll(edges.select(F.col("v").alias("id")))
+        edges.select(F.explode(F.array("u", "v")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
     du = deg.select(F.col("id").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("id").alias("v"), F.col("d").alias("dv"))
-    sym = (
+    one = (
         edges.join(du, "u").join(dv, "v")
         .select(F.col("du").alias("x"), F.col("dv").alias("y"))
     )
-    sym = sym.unionAll(sym.select(F.col("y").alias("x"), F.col("x").alias("y")))
-    m = sym.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    m0 = one.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("x").cast("long").alias("sx0"),
+        F.sum("y").cast("long").alias("sy0"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy0"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx0"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy0"),
+    )
+    m = m0.select(
+        (F.col("n0") * 2).alias("n"),
+        (F.col("sx0") + F.col("sy0")).alias("sx"),
+        (F.col("sxy0") * 2).alias("sxy"),
+        (F.col("sxx0") + F.col("syy0")).alias("sxx"),
     )
     n = F.col("n").cast("double")
     num = n * F.col("sxy") - F.col("sx") * F.col("sx")
