@@ -1683,13 +1683,18 @@ def session_concurrency(
         .groupBy(user_col, "_sess")
         .agg(F.min(us).alias("start_us"), F.max(us).alias("end_us"))
     )
+    # explode, not unionAll-of-two-selects: a union re-executes the
+    # whole sessionization pipeline (window + groupBy) per branch (r7)
     bounds = per_sess.select(
-        F.col("start_us").alias("t"), F.lit(1).alias("d")
-    ).unionAll(
-        per_sess.select(
-            (F.col("end_us") + 1).alias("t"), F.lit(-1).alias("d")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("start_us").alias("t"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("end_us") + 1).alias("t"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("e")
+    ).select("e.t", "e.d")
     inst = bounds.groupBy("t").agg(
         F.sum("d").alias("net"),
         F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("starts"),

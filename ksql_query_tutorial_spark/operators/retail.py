@@ -734,15 +734,22 @@ def open_order_backlog(
         F.to_date("o_orderdate").alias("start_day"),
         "last_ship",
     )
+    # explode, not unionAll-of-two-selects: a union re-executes the
+    # orders⋈lineitem interval pipeline per branch (r7)
     deltas = iv.select(
-        "priority", F.col("start_day").alias("day"), F.lit(1).alias("delta")
-    ).unionAll(
-        iv.select(
-            "priority",
-            F.date_add("last_ship", 1).alias("day"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "priority",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("start_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.date_add("last_ship", 1).alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("e"),
+    ).select("priority", "e.day", "e.delta")
     cells = deltas.groupBy("priority", "day").agg(
         F.sum("delta").cast("long").alias("delta_net")
     )
