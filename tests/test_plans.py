@@ -1026,9 +1026,12 @@ def test_gap_fill_plan_floor(spark):
 
 
 def test_backlog_plan_floor(spark):
-    """orders_backlog: two-delta union (never per-day interval
-    explosion), partial aggregation on both rollups, the running-sum
-    window keyed on priority, all JVM."""
+    """orders_backlog: each order emits exactly TWO delta events via
+    one explode of a 2-struct array (r7 — the former unionAll of two
+    selects duplicated the orders⋈lineitem pipeline per branch; a
+    per-day interval explosion would be a much wider Generate),
+    partial aggregation on both rollups, the running-sum window keyed
+    on priority, all JVM."""
     from ksql_query_tutorial_spark.extensions import orders_backlog
     from ksql_query_tutorial_spark.plans.checks import (
         assert_no_python,
@@ -1039,8 +1042,10 @@ def test_backlog_plan_floor(spark):
 
     df = orders_backlog(spark, SF_ORACLE)
     plan = formatted_plan(df)
-    assert "Union" in plan, plan
-    assert "Generate" not in plan, plan     # no interval explosion
+    assert "Union" not in plan, plan        # one pipeline, not two branches
+    # exactly one Generate NODE (formatted output mentions each node
+    # once in the tree as "Generate (n)" and once in the detail body)
+    assert plan.count("Generate (") == 1, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
 
@@ -1467,11 +1472,13 @@ def test_part_small_lots_threshold_broadcast_no_window(spark):
 
 def test_supplier_sole_late_one_rollup_replaces_self_joins(spark):
     """supplier_sole_late: the EXISTS/NOT EXISTS pair is served by ONE
-    per-order rollup joined back (no second fact-sized anti join): the
-    plan has exactly one LeftSemi, no LeftAnti, and the nation filter
-    is pushed to the nation scan."""
+    per-order rollup whose collect_set carries the sole late supplier
+    (r7 — no second fact branch at all, so no semi/anti join over the
+    fact either): the joined fact appears once, the nation filter is
+    pushed to the nation scan, and the supplier attach broadcasts."""
     from ksql_query_tutorial_spark.extensions import supplier_sole_late
     from ksql_query_tutorial_spark.plans.checks import (
+        assert_broadcast_join,
         assert_no_python,
         assert_pushed_filter,
         formatted_plan,
@@ -1482,7 +1489,10 @@ def test_supplier_sole_late_one_rollup_replaces_self_joins(spark):
     assert_pushed_filter(df, "n_name")
     plan = formatted_plan(df)
     assert "LeftAnti" not in plan, plan
-    assert "LeftSemi" in plan, plan
+    assert "LeftSemi" not in plan, plan     # the second fact branch is gone
+    # one lineitem scan: the fact pipeline is not duplicated
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert_broadcast_join(df)
     assert_no_python(df)
 
 
