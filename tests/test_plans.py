@@ -1995,3 +1995,35 @@ def test_repetition_no_inferred_generate_filter(spark):
     plan = formatted_plan(text_repetition(spark, SF_ORACLE))
     assert plan.count("split(lower") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_single_tokenizer_evaluation_pins(spark):
+    """r7 expression-blowup fixes stay fixed: each of these plans
+    evaluates the whitespace tokenizer exactly once per logical pass
+    (they measured 3-10x slower when Catalyst re-inlined it)."""
+    from ksql_query_tutorial_spark.extensions import (
+        text_fingerprint,
+        text_lang_id,
+        text_quality,
+        text_repetition,
+    )
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    for fn in (text_fingerprint, text_quality, text_lang_id,
+               text_repetition):
+        plan = formatted_plan(fn(spark, SF_ORACLE))
+        assert plan.count("split(lower") == 1, (fn.__name__, plan)
+
+
+def test_char_entropy_no_quadratic_generate_carry(spark):
+    """with_char_entropy explodes a char array — the pre-r7 shape
+    carried the full text column through a sequence(1,length) Generate
+    (O(L^2) bytes per doc, measured 5x slower)."""
+    from ksql_query_tutorial_spark.extensions import text_entropy
+    from ksql_query_tutorial_spark.plans.checks import formatted_plan
+    from tests.conftest import SF_ORACLE
+
+    plan = formatted_plan(text_entropy(spark, SF_ORACLE))
+    assert "sequence(1" not in plan, plan
+    assert "substring" not in plan, plan
