@@ -37,41 +37,42 @@ _GATE_PRIORITY = [
     # Perennial family anchor: one LSH-dedup representative always in
     # the window.
     "dedup_minhash_lsh",
-    # r7 rotation (VERDICT r6 #1): ALL 19 remaining slots go to
-    # first-timers — queries with no driver round in r1–r6 — chosen
-    # one-or-two per family so every family gains driver evidence:
-    # decision-support core (lineitem_pricing_summary — the TPC-H Q1
-    # analog; supplier_lead_time — supplier_single_source was the
-    # VERDICT suggestion but returns 0 rows at the driver sf, a
-    # trivially-matching empty frame, so the slot goes to a first-timer
-    # with non-trivial rows; part_min_cost_supplier — the
-    # TPC-H Q2 analog), multimodal (mm_audio_windows, mm_frame_dedup),
-    # text (text_lang_confusion, text_readability), corpus sketches +
-    # laws (corpus_heaps — carries the r6 order-dependence flake fix,
-    # corpus_zipf, corpus_cms_counts), dedup variants
-    # (dedup_shingle_sweep — audited by the r6 judge, now
-    # driver-proven; dedup_containment; dedup_levenshtein), graph
-    # (graph_kcore, graph_clustering_coef), privacy
-    # (privacy_l_diversity, privacy_t_closeness), and events
-    # (events_sessions, events_cusum). The 19 r6-green rotation picks
-    # rotate out (pack_sequences, events_props_stats,
-    # embedding_cluster_assign, graph_pagerank, events_attribution,
-    # graph_triangles, privacy_k_anonymity, privacy_dp_counts,
-    # supplier_sole_late, customer_rfm, profile_orders,
-    # ann_recall_eval, dedup_minhash_eval, corpus_bpe_encode,
-    # embedding_kmeans, events_hopping_window,
-    # asof_click_next_purchase, hybrid_search, layout_zorder — all
-    # hash-green in CORRECTNESS_r06 and still strict-hash-verified
-    # in-repo by tests/test_oracle.py every pytest run).
-    "lineitem_pricing_summary", "supplier_lead_time",
-    "part_min_cost_supplier",
-    "mm_audio_windows", "mm_frame_dedup",
-    "text_lang_confusion", "text_readability",
-    "corpus_heaps", "corpus_zipf", "corpus_cms_counts",
-    "dedup_shingle_sweep", "dedup_containment", "dedup_levenshtein",
-    "graph_kcore", "graph_clustering_coef",
-    "privacy_l_diversity", "privacy_t_closeness",
-    "events_sessions", "events_cusum",
+    # r8 rotation (VERDICT r7 #1): ALL 19 remaining slots go to
+    # first-timers — queries with no driver round in r1–r7 — weighted
+    # toward families with zero prior driver exposure. Every name below
+    # was pre-verified this round (driver_sim at sf0.01, strict hash,
+    # >=1 row — see tests/test_driver_window.py for the standing
+    # non-degenerate guard): embedding analytics (embedding_pca_project,
+    # embedding_outliers, embedding_threshold_sweep,
+    # embedding_cos_histogram — the whole block was unchecked), the
+    # events long tail (events_scd2, events_ab_test, events_hll_users,
+    # events_markov, plus events_tombstone_state — the T2-upsert-lineage
+    # state query, 120 rows at sf0.01), retail decision-support
+    # (orders_shipping_priority — TPC-H Q3 analog, orders_basket,
+    # supplier_profit, nation_market_share), span_dedup (the r7
+    # scan-audit REWIRE deserves driver proof), graph_label_prop and
+    # graph_assortativity, privacy_generalization (the ADVICE-r6-fixed
+    # query), sample_weighted, and corpus_bpe_merges (heaviest corpus
+    # query, never driver-checked). The r7 rotation picks rotate out
+    # (lineitem_pricing_summary, supplier_lead_time,
+    # part_min_cost_supplier, mm_audio_windows, mm_frame_dedup,
+    # text_lang_confusion, text_readability, corpus_heaps, corpus_zipf,
+    # corpus_cms_counts, dedup_shingle_sweep, dedup_containment,
+    # dedup_levenshtein, graph_kcore, graph_clustering_coef,
+    # privacy_l_diversity, privacy_t_closeness, events_sessions,
+    # events_cusum — all strict-hash green in CORRECTNESS_r07 and still
+    # verified in-repo by tests/test_oracle.py every pytest run).
+    "embedding_pca_project", "embedding_outliers",
+    "embedding_threshold_sweep", "embedding_cos_histogram",
+    "events_scd2", "events_ab_test", "events_hll_users",
+    "events_markov", "events_tombstone_state",
+    "orders_shipping_priority", "orders_basket",
+    "supplier_profit", "nation_market_share",
+    "span_dedup",
+    "graph_label_prop", "graph_assortativity",
+    "privacy_generalization",
+    "sample_weighted",
+    "corpus_bpe_merges",
     # Everything else stays outside the 50-slot window this round —
     # the full list is exactly set(queries()) minus the 50 above, and
     # every one of them runs against its DuckDB oracle under the
