@@ -167,7 +167,13 @@ def main() -> None:
     for name in sorted(tail):
         timed(name, "pass3-tail")
 
-    cal = calibration()
+    # ADVICE r7: a calibration failure must not cost the three timing
+    # passes already completed — emit calibration=null instead.
+    try:
+        cal = calibration()
+    except Exception as exc:  # pragma: no cover - host-dependent
+        print(f"# calibration failed: {exc!r}", file=sys.stderr)
+        cal = None
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

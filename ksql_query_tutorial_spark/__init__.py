@@ -9,6 +9,11 @@ physical execution, Structured Streaming for the STREAM/TABLE duality.
 Layout
 ------
 - ``session``    — SparkSession factory + ``EngineSession`` (catalog, DDL)
+- ``cache``      — session-scoped registry for operator-pinned blocks:
+  operators ``cache.pin()`` return-path persists (postings, sketches,
+  edge lists); long-lived sessions call ``cache.release()`` between
+  queries to reclaim them (batch harnesses that ``clearCache()`` need
+  nothing)
 - ``tables``     — test-data loaders (driver parquet fixtures)
 - ``queries``    — the declared query catalog (SURVEY.md §2.8 + extensions)
 - ``oracles``    — DuckDB-dialect oracle SQL for every declared query

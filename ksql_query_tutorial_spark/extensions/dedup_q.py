@@ -12,6 +12,7 @@ from ksql_query_tutorial_spark.operators import (
     corpus,
     dedup,
 )
+from ksql_query_tutorial_spark import cache
 from ksql_query_tutorial_spark.tables import load
 
 from ._registry import EXTENSION_ORACLES, EXTENSION_QUERIES
@@ -429,7 +430,7 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenization feeds both pair generators: the LSH side and the
     # exact ground truth consume the same persisted (id, h) posting —
     # per-generator builders would scan and regex-split the slice twice.
-    post = dedup.shingle_hash_posting(d, "doc_id", "text", 3).persist()
+    post = cache.pin(dedup.shingle_hash_posting(d, "doc_id", "text", 3))
     lsh = (
         dedup.minhash_lsh_pairs_from_posting(
             post, threshold=JACCARD_THRESHOLD

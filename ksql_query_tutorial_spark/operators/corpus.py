@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ksql_query_tutorial_spark import cache
 from ksql_query_tutorial_spark.operators.dedup import shingles_of
 from ksql_query_tutorial_spark.operators.text import tokens
 
@@ -1063,6 +1064,7 @@ def curate(
     from ksql_query_tutorial_spark.operators.text import (
         STOPWORDS,
         _count_in,
+        _stage_toks,
         normalized,
         tokens,
         with_lang_id,
@@ -1073,7 +1075,7 @@ def curate(
     t = F.col("__qtoks")
     flags = (
         with_lang_id(train, text_col)
-        .withColumn("__qtoks", tokens(F.col(text_col)))
+        .transform(lambda f: _stage_toks(f, text_col, "__qtoks"))
         .select(
             F.col(id_col),
             F.col("lang_pred"),
@@ -1164,7 +1166,9 @@ def lm_score(
     # The posting itself is NOT persisted by design: at corpus scale it
     # is ~16 bytes/token (bigger than the text); recomputing the narrow
     # tokenize+lead pipeline is the right trade.
-    counts = posting.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    counts = cache.pin(
+        posting.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     total = counts.groupBy().agg(F.sum("cnt").alias("t"))
     per_doc = (
         posting.join(counts, "h")
@@ -1480,12 +1484,12 @@ def cms_token_counts(
     # build and the estimate join; without it the full token explode
     # re-executes per reference (measured 3 scans -> 1 at sf3). The
     # cached state is vocabulary-sized — a few KB.
-    tok_counts = (
+    tok_counts = cache.pin(
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_count"))
-    ).persist()
+    )
     h = (
         portable_token_hash(F.col("tok"))
         if portable
@@ -1541,7 +1545,7 @@ def novelty_scores(
     """
     from ksql_query_tutorial_spark.operators.dedup import shingle_hash_posting
 
-    post = shingle_hash_posting(df, id_col, text_col, n).persist()
+    post = cache.pin(shingle_hash_posting(df, id_col, text_col, n))
     firsts = post.groupBy("h").agg(F.min("id").alias("first_id"))
     per = (
         post.join(firsts, "h")
@@ -1904,16 +1908,16 @@ def bpe_encode(
     Scale design matches the trainer: one corpus-sized word-frequency
     rollup, then every round runs over |distinct words| rows with
     per-round persist/unpersist. The returned frame's final state
-    stays persisted (it IS the materialized artifact; callers that
-    are done with it unpersist via ``df.unpersist()`` on the
-    returned frame's cached parent — harmless to leak at vocabulary
-    size).
+    stays persisted (it IS the materialized artifact) but is pinned
+    in the session cache registry, so long-lived sessions reclaim it
+    with ``cache.release()`` once done — harmless to leak at
+    vocabulary size either way.
 
     Returns ``word, freq, n_syms, encoded`` (symbols space-joined,
     including the '</w>' terminator), ordered by word.
     """
     words = _bpe_words(df, text_col, max_word_chars)
-    state = words.persist()
+    state = cache.pin(words)
     prev: DataFrame | None = None
     for _ in range(n_merges):
         top = _bpe_pair_argmax(state.select("freq", "syms")).collect()
@@ -1923,7 +1927,7 @@ def bpe_encode(
         if not top:
             break
         a, b = top[0].l, top[0].r
-        nxt = state.withColumn("syms", _bpe_apply_rule(a, b)).persist()
+        nxt = cache.pin(state.withColumn("syms", _bpe_apply_rule(a, b)))
         prev, state = state, nxt
     if prev is not None:
         prev.unpersist()

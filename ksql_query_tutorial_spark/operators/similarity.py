@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 from pyspark.sql.functions import pandas_udf
 
+from ksql_query_tutorial_spark import cache
+
 
 def as_double(vec_col: Column) -> Column:
     """Cast array<float> → array<double> so Spark and any oracle agree
@@ -1258,7 +1260,7 @@ def kmeans_two_pass(
     # a1 feeds BOTH the centroid update and the re-assignment pass —
     # persist the corpus-sized assignment once (the standard Lloyd
     # iteration pattern; the LSH sketches do the same)
-    a1 = assign(v, cent0).persist()
+    a1 = cache.pin(assign(v, cent0))
 
     # centroid update: exact integer mean per (cluster, dim)
     qv = F.transform(

@@ -48,6 +48,24 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def _stage_toks(df: DataFrame, text_col: str, name: str = "__toks") -> DataFrame:
+    """Stage the materialized tokens array as a temp attribute.
+
+    The projected-attribute form (r7) keeps the regex split evaluated
+    once per row instead of once per consuming expression; the staging
+    column is dropped before returning. ADVICE r7: a caller frame that
+    already carries the staging name would be silently overwritten and
+    deleted — refuse instead of corrupting it.
+    """
+    if name in df.columns:
+        raise ValueError(
+            f"input already has a {name!r} column — the text operators "
+            f"stage a temporary tokens attribute under that name; "
+            f"rename the input column"
+        )
+    return df.withColumn(name, tokens(F.col(text_col)))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token & char counts: the unit economics of a training corpus.
 
@@ -76,7 +94,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(F.col("__toks"))
     n_chars = F.length(F.col(text_col))
     return (
-        df.withColumn("__toks", tokens(F.col(text_col)))
+        _stage_toks(df, text_col)
         .withColumn("n_tokens", n_tok)
         .withColumn(
             "avg_token_len",
@@ -105,7 +123,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     # materialized tokens attribute (r7): the inline form re-split the
     # text once per language profile — 4 tokenizations per row
-    scored = df.withColumn("__toks", tokens(F.col(text_col)))
+    scored = _stage_toks(df, text_col)
     for lang, words in sorted(LANG_MARKERS.items()):
         scored = scored.withColumn(
             f"score_{lang}", _count_in(F.col("__toks"), words)
@@ -142,7 +160,7 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     from ksql_query_tutorial_spark.operators.dedup import shingles_of
 
     return (
-        df.withColumn("__toks", tokens(F.col(text_col)))
+        _stage_toks(df, text_col)
         .withColumn("fingerprint", F.md5(normalized(F.col(text_col))))
         .withColumn(
             "shingle_fingerprint",
