@@ -31,6 +31,7 @@ PAIR = ["graph_clustering_coef", "graph_triangles"]
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--max-cv", type=float, default=0.15)
     ap.add_argument("--skip-sf1", action="store_true")
     args = ap.parse_args()
 
@@ -59,7 +60,7 @@ def main() -> None:
     cvs = [statistics.stdev(v) / statistics.mean(v) for v in samples.values()]
     cv_med, cv_max = statistics.median(cvs), max(cvs)
     print(f"calibration: CV median {cv_med:.3f} max {cv_max:.3f}")
-    if cv_med > 0.15:
+    if cv_med > args.max_cv:
         print("HOST NOISY — refuse to conclude; rerun in a calm window")
         return
 
