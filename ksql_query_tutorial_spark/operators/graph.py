@@ -244,6 +244,15 @@ def label_propagation(
     ).orderBy("id")
 
 
+def _as_edge_cols(pairs: DataFrame) -> DataFrame:
+    """Rename a caller-guaranteed distinct ``id_a < id_b`` pair frame
+    to the internal ``(a, b)`` edge columns — a narrow projection, no
+    exchange (the ``normalized=True`` fast path)."""
+    return pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+
+
 def _normalized_edges(pairs: DataFrame) -> DataFrame:
     """Undirected simple-graph edge list ``(a < b)`` — self-loops
     dropped, duplicates and orientation collapsed."""
@@ -284,7 +293,12 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
             F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # pin the out-adjacency rollup: BOTH array-attach joins consume it
+    # (nx and ny), and without the pin the collect_list aggregate over
+    # the full edge list runs once per broadcast build (r8, measured)
+    adj = cache.pin(
+        oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    )
     withx = oriented.join(
         adj.select(F.col("src"), F.col("nbrs").alias("nx")), "src"
     )
@@ -299,7 +313,7 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(pairs: DataFrame) -> DataFrame:
+def triangle_counts(pairs: DataFrame, normalized: bool = False) -> DataFrame:
     """Per-node triangle counts over the UNDIRECTED simple graph given
     as ``id_a``/``id_b`` pairs — the local-clustering primitive behind
     community detection, spam/template-farm spotting (near-dup
@@ -342,11 +356,20 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     harnesses that ``clearCache()`` need nothing. No windows, no
     driver actions.
 
+    ``normalized=True`` asserts the caller's pairs are ALREADY a
+    distinct ``id_a < id_b`` simple-graph edge list (e.g.
+    :func:`copurchase_edges`' support rollup guarantees it), skipping
+    the re-normalization distinct — one full edge-sized exchange.
+
     Returns ``id, n_triangles`` for every node in ≥1 triangle,
     ordered by id.
     """
-    und = cache.pin(_normalized_edges(pairs))
-    tri = _triangle_triples(und, _degrees(und))
+    und = cache.pin(_as_edge_cols(pairs) if normalized
+                    else _normalized_edges(pairs))
+    # pin degrees: the orientation attaches them to BOTH endpoints (da
+    # and db broadcast builds), re-running the endpoint rollup twice
+    # without it
+    tri = _triangle_triples(und, cache.pin(_degrees(und)))
     return (
         tri.select(F.explode(F.array("src", "dst", "z")).alias("id"))
         .groupBy("id")
@@ -355,7 +378,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     )
 
 
-def local_clustering(pairs: DataFrame) -> DataFrame:
+def local_clustering(pairs: DataFrame, normalized: bool = False) -> DataFrame:
     """Local clustering coefficient per node — 2·T(v) / (d(v)·(d(v)−1))
     over the undirected simple graph given as ``id_a``/``id_b`` pairs:
     the fraction of a node's neighbor pairs that are themselves
@@ -373,10 +396,13 @@ def local_clustering(pairs: DataFrame) -> DataFrame:
     have no neighbor pairs and are excluded (the coefficient is
     undefined there).
 
+    ``normalized=True`` as in :func:`triangle_counts`.
+
     Returns ``id, degree, n_triangles, clustering_coef`` (rounded 6)
     ordered by id.
     """
-    und = cache.pin(_normalized_edges(pairs))
+    und = cache.pin(_as_edge_cols(pairs) if normalized
+                    else _normalized_edges(pairs))
     deg = cache.pin(_degrees(und))
     tri_nodes = (
         _triangle_triples(und, deg)
