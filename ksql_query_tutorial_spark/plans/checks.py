@@ -85,3 +85,60 @@ def assert_wholestage_codegen(df: DataFrame) -> None:
     assert "*(" in plan or "WholeStageCodegen" in plan, (
         f"no WholeStageCodegen spans in executed plan:\n{plan}"
     )
+
+
+def count_physical_nodes(df: DataFrame, node_name: str) -> int:
+    """Structurally count physical-plan nodes whose ``nodeName`` equals
+    ``node_name`` ("Generate", "BroadcastHashJoin", ...) by walking the
+    plan TREE via py4j — robust to explain-formatter changes that break
+    plan-string substring pins (ADVICE r7). Descends into AQE wrappers
+    (``AdaptiveSparkPlan``) and ``InMemoryTableScan`` cached relations,
+    so persisted subtrees are counted once per cache definition, not
+    per reference.
+    """
+    def walk(jnode) -> int:
+        name = jnode.nodeName()
+        n = 1 if name == node_name else 0
+        if name == "AdaptiveSparkPlan":
+            return n + walk(jnode.executedPlan())
+        if name == "InMemoryTableScan":
+            try:
+                child = jnode.relation().cachedPlan()
+                return n + walk(child)
+            except Exception:
+                return n
+        kids = jnode.children()
+        for i in range(kids.size()):
+            n += walk(kids.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())
+
+
+def count_parquet_scans(df: DataFrame, path_fragment: str | None = None) -> int:
+    """Structurally count parquet scan LEAVES in the executed plan,
+    optionally only those whose one-line description (which carries the
+    file Location) contains ``path_fragment``. The node-walk twin of
+    ``plan.count("FileScan")``-style substring pins (ADVICE r7);
+    persisted subtrees count once per cache definition.
+    """
+    def walk(jnode) -> int:
+        name = jnode.nodeName()
+        if name.startswith("Scan "):
+            if path_fragment is None:
+                return 1
+            return 1 if path_fragment in jnode.simpleString(300) else 0
+        if name == "AdaptiveSparkPlan":
+            return walk(jnode.executedPlan())
+        if name == "InMemoryTableScan":
+            try:
+                return walk(jnode.relation().cachedPlan())
+            except Exception:
+                return 0
+        n = 0
+        kids = jnode.children()
+        for i in range(kids.size()):
+            n += walk(kids.apply(i))
+        return n
+
+    return walk(df._jdf.queryExecution().executedPlan())

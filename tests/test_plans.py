@@ -1043,9 +1043,10 @@ def test_backlog_plan_floor(spark):
     df = orders_backlog(spark, SF_ORACLE)
     plan = formatted_plan(df)
     assert "Union" not in plan, plan        # one pipeline, not two branches
-    # exactly one Generate NODE (formatted output mentions each node
-    # once in the tree as "Generate (n)" and once in the detail body)
-    assert plan.count("Generate (") == 1, plan
+    # exactly one Generate NODE — counted structurally over the plan
+    # tree (ADVICE r7: formatter-rendering counts are version-fragile)
+    from ksql_query_tutorial_spark.plans.checks import count_physical_nodes
+    assert count_physical_nodes(df, "Generate") == 1, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
 
@@ -1491,7 +1492,9 @@ def test_supplier_sole_late_one_rollup_replaces_self_joins(spark):
     assert "LeftAnti" not in plan, plan
     assert "LeftSemi" not in plan, plan     # the second fact branch is gone
     # one lineitem scan: the fact pipeline is not duplicated
-    assert plan.count("lineitem.parquet") == 1, plan
+    # (structural node count — ADVICE r7 on formatter-fragile pins)
+    from ksql_query_tutorial_spark.plans.checks import count_parquet_scans
+    assert count_parquet_scans(df, "lineitem.parquet") == 1, plan
     assert_broadcast_join(df)
     assert_no_python(df)
 
@@ -1609,7 +1612,8 @@ def test_orders_key_skew_single_fact_exchange(spark):
 
     df = orders_key_skew(spark, SF_ORACLE)
     plan = formatted_plan(df)
-    assert plan.count("FileScan") <= 2, plan
+    from ksql_query_tutorial_spark.plans.checks import count_parquet_scans
+    assert count_parquet_scans(df) <= 2, plan
     assert_partial_aggregation(df)
     assert_no_python(df)
 
@@ -1666,7 +1670,8 @@ def test_text_readability_pure_scan(spark):
 
     df = text_readability(spark, SF_ORACLE)
     plan = formatted_plan(df)
-    assert plan.count("FileScan") <= 2, plan
+    from ksql_query_tutorial_spark.plans.checks import count_parquet_scans
+    assert count_parquet_scans(df) <= 2, plan
     assert "Join" not in plan, plan
     assert_no_python(df)
 
