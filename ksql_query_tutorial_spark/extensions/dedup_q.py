@@ -676,16 +676,19 @@ def dedup_shingle_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             posts[n], threshold=JACCARD_THRESHOLD,
             max_posting=SHINGLE_SWEEP_MAX_POSTING,
         )
-        ends = pairs.select(F.explode(F.array("id_a", "id_b")).alias("i"))
+        # ONE consumer of the rung's pair join (r8): exploding both
+        # endpoints doubles every pair exactly once, so n_pairs =
+        # count/2 and avg(jaccard) is unchanged — the former
+        # two-branch shape (pairs.agg ⨯ ends.agg) executed the
+        # inverted-index self-join twice per rung
+        ex = pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("i"), "jaccard"
+        )
         outs.append(
-            pairs.agg(
-                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            ex.agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
                 F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
-            )
-            .crossJoin(
-                ends.agg(
-                    F.countDistinct("i").cast("long").alias("n_docs")
-                )
+                F.countDistinct("i").cast("long").alias("n_docs"),
             )
             .select(
                 F.lit(n).cast("int").alias("shingle_n"),

@@ -727,20 +727,24 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = pairs.crossJoin(F.broadcast(grid)).filter(
         F.col("cosine") >= F.col("threshold")
     )
-    per_t = hits.groupBy("threshold").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs")
-    )
-    touched = (
+    # ONE consumer of the LSH pair generation (r8): exploding both
+    # endpoints doubles every (threshold, pair) row exactly once, so
+    # n_pairs = count/2 and countDistinct(vid) is the touched-vector
+    # count — the former two-branch shape (per-threshold pair rollup +
+    # distinct-endpoint rollup) re-ran the Arrow bucket scoring per
+    # branch
+    per_t = (
         hits.select(
             "threshold", F.explode(F.array("id_a", "id_b")).alias("vid")
         )
-        .distinct()
         .groupBy("threshold")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs_affected"))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+            F.countDistinct("vid").cast("long").alias("n_vecs_affected"),
+        )
     )
     return (
         grid.join(per_t, "threshold", "left")
-        .join(touched, "threshold", "left")
         .select(
             "threshold",
             F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
