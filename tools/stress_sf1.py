@@ -26,11 +26,18 @@ SF_WARM = os.environ.get("STRESS_WARM_DIR", "/root/testdata/sf0.001")
 
 
 def time_queries(spark, qs, sf_dir: str, passes: int = 2) -> dict[str, float]:
+    # bench.py's checksum action, NOT count(): count() lets Catalyst
+    # left-join-eliminate whole subtrees (a unique-keyed aggregate on
+    # the right of a LEFT join is dropped entirely — clustering_coef's
+    # triangle core measured 18s instead of 45s at sf1 under count();
+    # STRESS.md r8) and prune projected expressions (VERDICT r6 #2).
+    from bench import _force
+
     best: dict[str, float] = {}
     for _ in range(passes):
         for name in sorted(qs):
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            _force(qs[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             best[name] = min(best.get(name, dt), dt)
             spark.catalog.clearCache()
@@ -48,8 +55,11 @@ def main() -> None:
         if t in ("documents", "embeddings"):
             continue  # not part of the tutorial-query fixture
         load(spark, SF1, t).count()
+    from bench import _force
+
     for name in sorted(qs):
-        qs[name](spark, SF_WARM).count()
+        _force(qs[name](spark, SF_WARM))  # warm the SAME final stage the
+        # timed checksum pass runs (count() compiles a different plan tail)
     spark.catalog.clearCache()
 
     t01 = time_queries(spark, qs, SF01)

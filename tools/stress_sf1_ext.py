@@ -252,8 +252,11 @@ def main() -> None:
     # warm footers + codegen + Arrow workers at the smallest sf
     for t in ("documents", "embeddings", "events"):
         load(spark, SF1, t).count()
+    from bench import _force
+
     for name in sorted(qs):
-        qs[name](spark, SF_WARM).count()
+        _force(qs[name](spark, SF_WARM))  # warm the SAME final stage the
+        # timed checksum pass runs (count() compiles a different plan tail)
     spark.catalog.clearCache()
 
     t01 = time_queries(spark, qs, SF01)
