@@ -717,8 +717,10 @@ def embedding_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design: pairs come from the LSH-verified generator (never
     all-pairs); the sweep fans each pair out by a broadcast
-    |thresholds| grid and both rollups are keyed on the bounded
-    (threshold) / (threshold, vec) domains.
+    |thresholds| grid, and ONE (threshold)-keyed rollup over the
+    exploded endpoints derives all three outputs (n_pairs = count/2,
+    avg cosine, countDistinct endpoint) so the pair generation runs
+    once, not once per aggregate branch (r8).
     """
     pairs = EXTENSION_QUERIES["dedup_embedding_lsh"](spark, sf_dir)
     grid = spark.createDataFrame(
