@@ -604,3 +604,40 @@ def test_cusum_reflection_identity_random_series(spark, counts):
     assert r["n_hours"] == n
     assert r["max_cusum"] == round(smax, 6)
     assert r["n_alarm_hours"] == alarms
+
+
+PAIR = st.tuples(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+
+
+@given(pairs=st.lists(PAIR, min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triangle_normalized_fast_path_equivalence(spark, pairs):
+    """r8: triangle_counts/local_clustering grew a ``normalized=True``
+    fast path that skips the re-normalization distinct when the caller
+    guarantees a distinct ``id_a < id_b`` edge list. Property over
+    RANDOM multigraphs (dups, self-loops, both orientations): running
+    the raw pairs through the default path equals pre-normalizing and
+    taking the fast path."""
+    from ksql_query_tutorial_spark.operators.graph import (
+        _normalized_edges,
+        local_clustering,
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "id_a long, id_b long"
+    )
+    norm = _normalized_edges(df).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    for op in (triangle_counts, local_clustering):
+        slow = {tuple(r) for r in op(df).collect()}
+        fast = {tuple(r) for r in op(norm, normalized=True).collect()}
+        assert slow == fast, (op.__name__, slow ^ fast)
+    spark.catalog.clearCache()
+    from ksql_query_tutorial_spark import cache
+    cache.release()
