@@ -820,3 +820,48 @@ EXTENSION_ORACLES["dedup_token_savings"] = f"""
                  / CAST(sum(tok) AS DOUBLE), 6) AS token_share_kept
     FROM labels JOIN toks USING (doc_id)
 """
+
+
+def dedup_posting_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency skew of the shingle posting list — the
+    capacity-planning read-out for EVERY banded/inverted-index dedup
+    path in this family: a posting key of frequency f contributes
+    C(f, 2) candidate pairs, so the high buckets of this histogram ARE
+    the quadratic risk that ``max_posting`` / ``_cap_bucket_width``
+    exist to cut (the same bit-length-bucket report as
+    orders_key_skew, pointed at the join key that actually melts
+    dedup jobs at 100 TB). One tokenizer pass staged as a projected
+    attribute (the shingles_of contract), one shingle-keyed count with
+    map-side partials, a ≤64-row bucket rollup.
+    See skew.key_skew_report."""
+    from ksql_query_tutorial_spark.operators.skew import key_skew_report
+    from ksql_query_tutorial_spark.operators.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    post = d.select(
+        F.col("doc_id"), tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(dedup.shingles_of(F.col("__toks"))))
+        .alias("shingle"),
+    )
+    return key_skew_report(post, "shingle")
+
+
+EXTENSION_QUERIES["dedup_posting_skew"] = dedup_posting_skew
+
+
+EXTENSION_ORACLES["dedup_posting_skew"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
+    post AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    c AS (SELECT shingle, count(*) AS cnt FROM post GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM c)
+    SELECT CAST(length(bin(cnt)) AS INT) AS freq_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           ROUND(CAST(sum(cnt) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS rows_share
+    FROM c, tot
+    GROUP BY 1, total ORDER BY 1
+"""

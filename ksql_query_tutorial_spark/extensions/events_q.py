@@ -1463,3 +1463,92 @@ EXTENSION_ORACLES["events_new_vs_returning"] = """
     FROM cells JOIN first_d USING (user_id)
     GROUP BY 1 ORDER BY 1
 """
+
+
+ACF_MAX_LAG = 7
+
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the calendar-densified daily event-count
+    series at lags 1..7 (the weekly-cycle read-out). See
+    analytics.acf_daily."""
+    from ksql_query_tutorial_spark.operators.analytics import acf_daily
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return acf_daily(load(spark, sf_dir, "events"), max_lag=ACF_MAX_LAG)
+
+
+EXTENSION_QUERIES["events_acf"] = events_acf
+
+
+EXTENSION_ORACLES["events_acf"] = f"""
+    WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1),
+    b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM daily),
+    spine AS (SELECT CAST(unnest(range(CAST(dmin AS TIMESTAMP),
+                                       CAST(dmax + 1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+              FROM b),
+    series AS (SELECT s.day, CAST(coalesce(d.c, 0) AS BIGINT) AS c
+               FROM spine s LEFT JOIN daily d ON s.day = d.day),
+    lags AS (SELECT CAST(unnest(range(1, {ACF_MAX_LAG + 1})) AS BIGINT)
+                 AS lag),
+    paired AS (SELECT l.lag, s1.c AS x, s2.c AS y
+               FROM series s1 CROSS JOIN lags l
+               JOIN series s2
+                 ON s2.day = s1.day + CAST(l.lag AS INTEGER)),
+    m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+          FROM paired GROUP BY 1)
+    SELECT lag, n_pairs,
+           ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0
+                       AND CAST(n_pairs AS DOUBLE) * syy - sy * sy > 0
+                      THEN (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+                           / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                              * sqrt(CAST(n_pairs AS DOUBLE) * syy
+                                     - sy * sy))
+                 END, 6) AS acf
+    FROM m ORDER BY lag
+"""
+
+
+def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily volume on the calendar-
+    densified grid (collector-drift detector). See
+    analytics.event_type_trend."""
+    from ksql_query_tutorial_spark.operators.analytics import event_type_trend
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return event_type_trend(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_type_trend"] = events_type_trend
+
+
+EXTENSION_ORACLES["events_type_trend"] = f"""
+    WITH daily AS (SELECT event_type,
+                          CAST(date_trunc('day', ts) AS DATE) AS day,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM events GROUP BY 1, 2),
+    b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS dmin,
+                 CAST(max(date_trunc('day', ts)) AS DATE) AS dmax
+          FROM events),
+    spine AS (SELECT CAST(unnest(range(CAST(dmin AS TIMESTAMP),
+                                       CAST(dmax + 1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day,
+                     dmin
+              FROM b),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    pts AS (SELECT ty.event_type AS g,
+                   CAST(datediff('day', s.dmin, s.day) AS DOUBLE) AS x,
+                   CAST(coalesce(d.c, 0) AS DOUBLE) AS y
+            FROM ty CROSS JOIN spine s
+            LEFT JOIN daily d
+              ON d.event_type = ty.event_type AND d.day = s.day),
+    {_ols_tail_sql("event_type")}
+"""

@@ -420,3 +420,61 @@ EXTENSION_ORACLES["graph_assortativity"] = f"""
                  END, 6) AS assortativity
     FROM m
 """
+
+
+# Link prediction runs on the REPEAT co-purchase graph (support >= 2):
+# at support 1 the TPC-H-shaped graph is near-complete inside each
+# order's clique overlay (147M wedges at sf0.1 — measured via the
+# oracle CTEs) and every 2-hop pair is already an edge, so prediction
+# is vacuous; requiring a repeated pair keeps the graph sparse at
+# every SF (13k wedges at sf0.01, 1.4k at sf0.1) and makes the scores
+# mean something ("parts that keep being bought with the same
+# partners"). hub_cap stays None here — the support filter already
+# bounds degrees (max 13 at sf0.01); it exists for corpora where it
+# doesn't (see operators.graph.link_prediction).
+LINKPRED_MIN_SUPPORT = 2
+
+
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors / resource-allocation / neighbor-Jaccard link
+    scores for every 2-hop pair of the repeat co-purchase graph, with
+    already-connected pairs flagged. See graph.link_prediction."""
+    from ksql_query_tutorial_spark.operators.graph import (
+        copurchase_edges,
+        link_prediction,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li, LINKPRED_MIN_SUPPORT)
+    # copurchase_edges emits DISTINCT id_a < id_b pairs (support
+    # rollup on the ordered pair) — the normalized=True fast path, as
+    # with graph_triangles
+    return link_prediction(edges, normalized=True)
+
+
+EXTENSION_QUERIES["graph_link_prediction"] = graph_link_prediction
+
+
+EXTENSION_ORACLES["graph_link_prediction"] = f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT a.p AS u, b.p AS v
+          FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+          GROUP BY 1, 2 HAVING count(*) >= {{sup}}),
+    adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT z AS id, CAST(count(*) AS BIGINT) AS d
+            FROM adj GROUP BY 1),
+    w AS (SELECT a1.n AS x, a2.n AS y, a1.z AS z
+          FROM adj a1 JOIN adj a2 ON a1.z = a2.z AND a1.n < a2.n),
+    g AS (SELECT x, y, CAST(count(*) AS BIGINT) AS common_neighbors,
+                 CAST(sum({{ra}} // dz.d) AS BIGINT) AS ra_micro
+          FROM w JOIN deg dz ON w.z = dz.id GROUP BY 1, 2)
+    SELECT g.x AS id_a, g.y AS id_b, common_neighbors, ra_micro,
+           CAST(({{jm}} * common_neighbors)
+                // (dx.d + dy.d - common_neighbors) AS BIGINT)
+             AS jaccard_micro,
+           (e.u IS NOT NULL) AS is_edge
+    FROM g JOIN deg dx ON g.x = dx.id JOIN deg dy ON g.y = dy.id
+    LEFT JOIN e ON e.u = g.x AND e.v = g.y
+    ORDER BY id_a, id_b
+""".format(sup=LINKPRED_MIN_SUPPORT, ra=10**12, jm=10**6)

@@ -2420,3 +2420,125 @@ def ab_srm_check(
         F.round(chi2, 6).alias("chi2"),
         (chi2 > chi2_critical).alias("srm_flag"),
     )
+
+
+def acf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..``max_lag`` — the periodicity read-out (a weekly cycle shows as
+    a lag-7 peak) that decides seasonal-model structure before anyone
+    fits one, and the independence check behind every A/B-test
+    variance estimate on daily metrics.
+
+    Semantics: the series is the calendar-DENSIFIED daily count
+    (missing days are explicit zeros — on a sparse stream, skipping
+    empty days silently shifts every lag); ACF(L) is the Pearson
+    correlation of (c_t, c_{t+L}) over the overlapping window, the
+    standard cross-correlation form.
+
+    Determinism design (the ols_regression move): counts are exact
+    integers, the five moments per lag accumulate in decimal(38,0)
+    (HUGEINT in the oracle) so the sums are order-independent, and the
+    correlation is ONE fixed-shape double expression over identical
+    integer moments — bit-reproducible, with zero-variance guards
+    (all-constant series) yielding NULL identically in both engines.
+
+    Scale design: the only corpus-sized work is the daily rollup (one
+    day-keyed exchange with map-side partials); everything after runs
+    on the calendar-bounded series (|days| rows — years, not events).
+    The spine is ``sequence(min, max)`` exploded executor-side; the
+    lag pairing is a series×lags cross join (≤ |days|·max_lag rows)
+    joined back to the series on a shifted day key; the moment rollup
+    groups on the ≤``max_lag``-row lag space. No windows (a global
+    ORDER BY window would single-partition the series), no driver
+    loops, no actions.
+
+    Returns ``lag, n_pairs, acf`` (rounded 6), ordered by lag.
+    """
+    daily = (
+        events.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    ).filter(F.col("dmin").isNotNull())
+    spine = bounds.select(F.explode(F.sequence("dmin", "dmax")).alias("day"))
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    lags = (
+        events.sparkSession.range(1, max_lag + 1)
+        .select(F.col("id").cast("long").alias("lag"))
+    )
+    left = series.select(F.col("day").alias("d0"), F.col("c").alias("x"))
+    right = series.select(F.col("day").alias("d1"), F.col("c").alias("y"))
+    paired = (
+        left.crossJoin(F.broadcast(lags))
+        .withColumn("d1", F.date_add(F.col("d0"), F.col("lag").cast("int")))
+        .join(right, "d1")
+    )
+    dec = "decimal(38,0)"
+    xq = F.col("x").cast(dec)
+    yq = F.col("y").cast(dec)
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(xq).alias("__sx"),
+        F.sum(yq).alias("__sy"),
+        F.sum(xq * yq).alias("__sxy"),
+        F.sum(xq * xq).alias("__sxx"),
+        F.sum(yq * yq).alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    acf = F.when(
+        (dx > 0) & (dy > 0),
+        (n * sxy - sx * sy) / (F.sqrt(dx) * F.sqrt(dy)),
+    )
+    return m.select(
+        "lag", "n_pairs", F.round(acf, 6).alias("acf")
+    ).orderBy("lag")
+
+
+def event_type_trend(events: DataFrame) -> DataFrame:
+    """Per-event-type linear trend of the daily volume: OLS slope /
+    intercept / R² of count-per-day against the day index, on the
+    calendar-densified series (a type that stops firing must trend
+    DOWN via explicit zero days, not vanish from its own fit) — the
+    drift detector that pages before a collector outage becomes a
+    week of silently missing training data.
+
+    Composition: the per-(type, day) rollup is one keyed exchange;
+    the spine is the GLOBAL day range crossed with the distinct type
+    set (|types| × |days| rows — bounded by calendar × cardinality,
+    broadcast-sized); the fit is :func:`ols_regression`'s exact
+    fixed-point closed form, one aggregate pass over the grid.
+
+    Returns ``event_type, n, slope, intercept, r2`` ordered by type.
+    """
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("dmin"),
+        F.max(F.to_date("ts")).alias("dmax"),
+    ).filter(F.col("dmin").isNotNull())
+    spine = bounds.select(
+        F.explode(F.sequence("dmin", "dmax")).alias("day"),
+        "dmin",
+    )
+    types = events.select("event_type").distinct()
+    pts = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.datediff("day", "dmin").cast("double").alias("x"),
+            F.coalesce("c", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    return ols_regression(pts, x_col="x", y_col="y", group_col="event_type")

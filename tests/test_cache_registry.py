@@ -40,6 +40,7 @@ PERSIST_ONLY_SWEEP = [
     "dedup_shingle_sweep",
     "graph_triangles",
     "graph_clustering_coef",
+    "graph_link_prediction",
     "corpus_novelty",
     "corpus_cms_counts",
     "corpus_lm_score",

@@ -4391,3 +4391,112 @@ def test_length_drift_identical_halves_zero(spark):
         assert r2["ks_gap"] == 1.0 and r2["tv_distance"] == 1.0
     finally:
         fam.load = orig
+
+
+# ------------------------------------------------ link prediction
+
+
+def test_link_prediction_path_and_triangle(spark):
+    """link_prediction: path 1-2-3 yields ONE non-edge candidate (1,3)
+    with CN=1, RA=10^12 div deg(2)=2, neighbor-Jaccard 1 (both
+    neighborhoods are exactly {2}); a triangle yields its three edges
+    as candidates (every pair shares the third node) flagged
+    is_edge=true with Jaccard 1/3."""
+    from ksql_query_tutorial_spark.operators.graph import link_prediction
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = link_prediction(path).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 3)
+    assert r["common_neighbors"] == 1
+    assert r["ra_micro"] == 10**12 // 2
+    assert r["jaccard_micro"] == 10**6
+    assert r["is_edge"] is False
+
+    tri = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in link_prediction(tri).collect()}
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    for r in out.values():
+        assert r["common_neighbors"] == 1
+        assert r["ra_micro"] == 10**12 // 2
+        assert r["jaccard_micro"] == 10**6 // 3
+        assert r["is_edge"] is True
+
+
+def test_link_prediction_hub_cap_drops_mega_hub_wedges(spark):
+    """link_prediction hub_cap: a star's leaf pairs are all mediated
+    by the hub, so capping below the hub degree empties the candidate
+    set — the skew valve drops exactly the through-hub wedges."""
+    from ksql_query_tutorial_spark.operators.graph import link_prediction
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 12)], "id_a long, id_b long"
+    )
+    assert link_prediction(star).count() == 11 * 10 // 2
+    assert link_prediction(star, hub_cap=10).count() == 0
+
+
+# ------------------------------------------------ daily ACF
+
+
+def test_acf_alternating_and_gapfill(spark):
+    """acf_daily: a perfectly alternating daily series has ACF -1 at
+    lag 1 and +1 at lag 2 (exact, from integer moments); a calendar
+    gap fills as an explicit zero day (2 events, missing day, 2
+    events -> lag-1 pairs (2,0),(0,2) -> ACF -1); zero-variance
+    windows yield NULL, not NaN."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import acf_daily
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    alt = spark.createDataFrame(
+        [(datetime(2026, 1, 1 + d, 12, 0, 0),)
+         for d in range(8) for _ in range(1 if d % 2 == 0 else 2)],
+        "ts timestamp",
+    )
+    out = {r["lag"]: r for r in acf_daily(alt, max_lag=3).collect()}
+    assert out[1]["n_pairs"] == 7 and out[1]["acf"] == -1.0
+    assert out[2]["n_pairs"] == 6 and out[2]["acf"] == 1.0
+
+    gappy = spark.createDataFrame(
+        [(datetime(2026, 1, 1, 9, 0, 0),), (datetime(2026, 1, 1, 10, 0, 0),),
+         (datetime(2026, 1, 3, 9, 0, 0),), (datetime(2026, 1, 3, 10, 0, 0),)],
+        "ts timestamp",
+    )
+    out = {r["lag"]: r for r in acf_daily(gappy, max_lag=2).collect()}
+    assert out[1]["n_pairs"] == 2 and out[1]["acf"] == -1.0
+    # lag 2 pairs only (2,2): zero variance -> NULL guard
+    assert out[2]["n_pairs"] == 1 and out[2]["acf"] is None
+
+    const = spark.createDataFrame(
+        [(datetime(2026, 1, 1 + d, 12, 0, 0),) for d in range(5)],
+        "ts timestamp",
+    )
+    for r in acf_daily(const, max_lag=2).collect():
+        assert r["acf"] is None
+
+
+def test_event_type_trend_exact_line_and_zero_days(spark):
+    """event_type_trend: a type with exactly linear daily counts fits
+    slope 1 / intercept 1 / r2 1; a type that fires only on day one
+    still gets the full densified span (explicit zero days), fitting
+    the exact textbook values slope -0.6, intercept 1.4, r2 0.6."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import event_type_trend
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = []
+    for d in range(4):
+        rows += [(datetime(2026, 2, 1 + d, 8, 0, 0), "a")] * (d + 1)
+    rows += [(datetime(2026, 2, 1, 8, 0, 0), "b")] * 2
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["event_type"]: r for r in event_type_trend(df).collect()}
+    assert out["a"]["n"] == 4 and out["a"]["slope"] == 1.0
+    assert out["a"]["intercept"] == 1.0 and out["a"]["r2"] == 1.0
+    assert out["b"]["n"] == 4 and out["b"]["slope"] == -0.6
+    assert out["b"]["intercept"] == 1.4 and out["b"]["r2"] == 0.6

@@ -641,3 +641,50 @@ def test_triangle_normalized_fast_path_equivalence(spark, pairs):
     spark.catalog.clearCache()
     from ksql_query_tutorial_spark import cache
     cache.release()
+
+
+# -------------------------------------------- link-prediction brute force
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=EDGES)
+def test_link_prediction_match_brute_force(spark, edges):
+    """link_prediction == adjacency-set brute force on random
+    multigraphs (self-loops, duplicates, reversed orientations in the
+    input): every 2-hop pair, with exact integer CN / RA / Jaccard
+    scores and the is_edge flag."""
+    from itertools import combinations
+
+    from ksql_query_tutorial_spark.operators.graph import link_prediction
+
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nbr: dict[int, set[int]] = {}
+    for a, b in und:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    expected = {}
+    for x, y in combinations(sorted(nbr), 2):
+        common = nbr[x] & nbr[y]
+        if not common:
+            continue
+        cn = len(common)
+        expected[(x, y)] = (
+            cn,
+            sum(10**12 // len(nbr[z]) for z in common),
+            (10**6 * cn) // (len(nbr[x]) + len(nbr[y]) - cn),
+            (x, y) in und,
+        )
+
+    df = spark.createDataFrame(edges or [(1, 1)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["common_neighbors"], r["ra_micro"], r["jaccard_micro"],
+            r["is_edge"],
+        )
+        for r in link_prediction(df).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
+    from ksql_query_tutorial_spark import cache
+    cache.release()
