@@ -1552,3 +1552,88 @@ EXTENSION_ORACLES["events_type_trend"] = f"""
               ON d.event_type = ty.event_type AND d.day = s.day),
     {_ols_tail_sql("event_type")}
 """
+
+
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B revenue effect: pre-period revenue
+    as the control covariate, midpoint-day split, exact fixed-point
+    moments. See analytics.cuped_ab_effect."""
+    from ksql_query_tutorial_spark.operators.analytics import cuped_ab_effect
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cuped_ab_effect(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_cuped"] = events_cuped
+
+
+EXTENSION_ORACLES["events_cuped"] = """
+    WITH b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS dmin,
+                      CAST(max(date_trunc('day', ts)) AS DATE) AS dmax
+               FROM events),
+    mid AS (SELECT dmin + CAST(floor(
+                CAST(datediff('day', dmin, dmax) AS DOUBLE) / 2)
+                AS INTEGER) AS m
+            FROM b),
+    pu AS (SELECT user_id,
+                  sum(CASE WHEN event_type = 'purchase'
+                            AND CAST(date_trunc('day', ts) AS DATE)
+                                < (SELECT m FROM mid)
+                           THEN CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS x,
+                  sum(CASE WHEN event_type = 'purchase'
+                            AND CAST(date_trunc('day', ts) AS DATE)
+                                >= (SELECT m FROM mid)
+                           THEN CAST(floor(value * 1000000.0 + 0.5)
+                                     AS BIGINT) ELSE 0 END) AS y
+           FROM events GROUP BY 1),
+    au AS (SELECT CAST((user_id % 1048573) * 2654435761 % 2 AS INTEGER)
+               AS arm,
+               CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+           FROM pu),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_b,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy,
+                 CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS DOUBLE)
+                     AS sxa,
+                 CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS DOUBLE)
+                     AS sya,
+                 CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS DOUBLE)
+                     AS sxb,
+                 CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS DOUBLE)
+                     AS syb
+          FROM au)
+    SELECT n_users, n_a, n_b,
+           ROUND(CASE WHEN CAST(n_users AS DOUBLE) * sxx - sx * sx > 0
+                 THEN (CAST(n_users AS DOUBLE) * sxy - sx * sy)
+                      / (CAST(n_users AS DOUBLE) * sxx - sx * sx)
+                 END, 6) AS theta,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                 THEN (syb / CAST(n_b AS DOUBLE)
+                       - sya / CAST(n_a AS DOUBLE)) / 1000000.0
+                 END, 6) AS effect_raw,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                  AND CAST(n_users AS DOUBLE) * sxx - sx * sx > 0
+                 THEN ((syb / CAST(n_b AS DOUBLE)
+                        - sya / CAST(n_a AS DOUBLE))
+                       - ((CAST(n_users AS DOUBLE) * sxy - sx * sy)
+                          / (CAST(n_users AS DOUBLE) * sxx - sx * sx))
+                         * (sxb / CAST(n_b AS DOUBLE)
+                            - sxa / CAST(n_a AS DOUBLE))) / 1000000.0
+                 END, 6) AS effect_cuped,
+           ROUND(CASE WHEN CAST(n_users AS DOUBLE) * sxx - sx * sx > 0
+                  AND CAST(n_users AS DOUBLE) * syy - sy * sy > 0
+                 THEN (CAST(n_users AS DOUBLE) * sxy - sx * sy)
+                      * (CAST(n_users AS DOUBLE) * sxy - sx * sy)
+                      / ((CAST(n_users AS DOUBLE) * sxx - sx * sx)
+                         * (CAST(n_users AS DOUBLE) * syy - sy * sy))
+                 END, 6) AS var_reduction
+    FROM m
+"""

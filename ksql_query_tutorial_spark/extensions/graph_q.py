@@ -128,11 +128,10 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTENSION_QUERIES["graph_label_prop"] = graph_label_prop
 
 
-def _label_prop_oracle_sql(iterations: int = LP_ITERATIONS) -> str:
-    """DuckDB twin of graph.label_propagation over exact-Jaccard
-    pairs, iterations unrolled as chained CTEs (the PageRank
-    pattern); the argmax is row_number ORDER BY c DESC, lab — the
-    SQL spelling of min(struct(-c, lab))."""
+def _lp_cte_list(iterations: int = LP_ITERATIONS) -> list[str]:
+    """The unrolled label-propagation CTE chain (exact-Jaccard pairs →
+    clamped-majority rounds → ``lab{iterations}``), shared by the
+    label-prop oracle and the modularity oracle built on top of it."""
     cte = [f"""
     t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS s FROM t),
@@ -169,8 +168,16 @@ def _label_prop_oracle_sql(iterations: int = LP_ITERATIONS) -> str:
                 FROM seeds s
                 LEFT JOIN b{it} b ON s.id = b.id
                 JOIN lab{it - 1} p ON s.id = p.id)""")
+    return cte
+
+
+def _label_prop_oracle_sql(iterations: int = LP_ITERATIONS) -> str:
+    """DuckDB twin of graph.label_propagation over exact-Jaccard
+    pairs, iterations unrolled as chained CTEs (the PageRank
+    pattern); the argmax is row_number ORDER BY c DESC, lab — the
+    SQL spelling of min(struct(-c, lab))."""
     return (
-        "WITH " + ",".join(cte) + f"""
+        "WITH " + ",".join(_lp_cte_list(iterations)) + f"""
     SELECT id, lab AS label, seed IS NOT NULL AS is_seed
     FROM lab{iterations} ORDER BY id
     """
@@ -478,3 +485,91 @@ EXTENSION_ORACLES["graph_link_prediction"] = f"""
     LEFT JOIN e ON e.u = g.x AND e.v = g.y
     ORDER BY id_a, id_b
 """.format(sup=LINKPRED_MIN_SUPPORT, ra=10**12, jm=10**6)
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition on the
+    near-dup similarity graph — "did the propagated labels find real
+    structure" as one exact-arithmetic score per community plus the
+    partition total. Recomputes graph_label_prop's labels (same seed
+    rule, same recall-1 LSH edge regime, so the exact-Jaccard oracle
+    applies end-to-end) and scores them; the LSH pair frame is pinned
+    once since both the propagation and the scored edge set consume
+    it. See operators.graph.community_modularity."""
+    from ksql_query_tutorial_spark import cache
+    from ksql_query_tutorial_spark.operators.graph import (
+        community_modularity,
+        label_propagation,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = cache.pin(
+        dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
+    )
+    seeds = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % LP_SEED_MOD == 0, F.col("lang")).alias(
+            "seed_label"
+        ),
+    )
+    labels = label_propagation(pairs, seeds, iterations=LP_ITERATIONS)
+    # minhash_lsh_pairs emits verified id_a < id_b pairs (a subset of
+    # the exact-Jaccard pair set) — the normalized=True fast path
+    return community_modularity(pairs, labels, normalized=True)
+
+
+EXTENSION_QUERIES["graph_modularity"] = graph_modularity
+
+
+def _modularity_oracle_sql(iterations: int = LP_ITERATIONS) -> str:
+    """Label-prop CTE chain + the modularity rollup: all formula
+    inputs are exact integers, and q_total derives from exact integer
+    TOTALS (Σe_c, Σd_c² as HUGEINT), never a double sum over
+    per-community terms (addition order differs between engines)."""
+    return (
+        "WITH " + ",".join(_lp_cte_list(iterations)) + f"""
+    , lnodes AS (SELECT id, lab FROM lab{iterations} WHERE lab IS NOT NULL),
+    le AS (SELECT la.lab AS lab_a, lb.lab AS lab_b
+           FROM pairs p JOIN lnodes la ON p.id_a = la.id
+                        JOIN lnodes lb ON p.id_b = lb.id),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(CASE WHEN lab_a = lab_b THEN 1 ELSE 0 END)
+                       AS BIGINT) AS te
+           FROM le),
+    degsum AS (SELECT lab AS label, CAST(count(*) AS BIGINT) AS degree_sum
+               FROM (SELECT lab_a AS lab FROM le
+                     UNION ALL SELECT lab_b FROM le)
+               GROUP BY 1),
+    td2 AS (SELECT sum(CAST(degree_sum AS HUGEINT) * degree_sum) AS d2
+            FROM degsum),
+    intra AS (SELECT lab_a AS label,
+                     CAST(count(*) AS BIGINT) AS internal_edges
+              FROM le WHERE lab_a = lab_b GROUP BY 1),
+    nn AS (SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM lnodes GROUP BY 1)
+    SELECT nn.label, nn.n_nodes,
+           CAST(coalesce(intra.internal_edges, 0) AS BIGINT)
+             AS internal_edges,
+           CAST(coalesce(degsum.degree_sum, 0) AS BIGINT) AS degree_sum,
+           ROUND(CASE WHEN m > 0 THEN
+                 CAST(coalesce(intra.internal_edges, 0) AS DOUBLE)
+                   / CAST(m AS DOUBLE)
+                 - (CAST(coalesce(degsum.degree_sum, 0) AS DOUBLE)
+                    / (2.0 * CAST(m AS DOUBLE)))
+                   * (CAST(coalesce(degsum.degree_sum, 0) AS DOUBLE)
+                      / (2.0 * CAST(m AS DOUBLE)))
+                 END, 6) AS q_term,
+           ROUND(CASE WHEN m > 0 THEN
+                 CAST(te AS DOUBLE) / CAST(m AS DOUBLE)
+                 - CAST(d2 AS DOUBLE)
+                   / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+                 END, 6) AS q_total
+    FROM nn LEFT JOIN intra ON nn.label = intra.label
+            LEFT JOIN degsum ON nn.label = degsum.label
+            CROSS JOIN mm CROSS JOIN td2
+    ORDER BY nn.label
+    """
+    )
+
+
+EXTENSION_ORACLES["graph_modularity"] = _modularity_oracle_sql()

@@ -2542,3 +2542,132 @@ def event_type_trend(events: DataFrame) -> DataFrame:
         )
     )
     return ols_regression(pts, x_col="x", y_col="y", group_col="event_type")
+
+
+def cuped_ab_effect(
+    events: DataFrame,
+    metric_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED-adjusted A/B effect (Deng et al., WSDM 2013): the
+    experiment-period revenue effect with the pre-period revenue as
+    the control covariate — Y_adj = Y − θ(X − X̄), θ = cov(X,Y)/var(X)
+    pooled across arms — the variance-reduction standard at every
+    experimentation platform (same decision, tighter CI, often 2-5×
+    fewer users for the same power; var_reduction below IS the
+    measured 1−r² factor).
+
+    Semantics: the events span splits at its midpoint day (pre =
+    before, experiment = at/after); the unit is the user (every user
+    with ≥1 event of any type is exposed — absent revenue is an
+    explicit 0, not a dropped user); arms are the repo's portable
+    multiplicative hash (ab_test_conversion's bucketing, reproduced
+    verbatim in the oracle).
+
+    Determinism design: the metric is quantized to integer micro-units
+    PER EVENT (floor(v·1e6 + 0.5) — quantizing per-user double sums
+    instead would put order-dependent ±ulp noise right on micro
+    boundaries), per-user and per-arm sums accumulate exactly in
+    decimal(38,0) (HUGEINT in the oracle), and θ / both effects /
+    var_reduction are fixed-shape double expressions over identical
+    integer moments, NULL-guarded identically on degenerate variance
+    or an empty arm.
+
+    Scale design: ONE user-keyed rollup with map-side partials
+    collapses the corpus (the span bounds ride in as a broadcast
+    single row); every moment — pooled AND per-arm — comes from ONE
+    single-row aggregate over the per-user frame. No windows, no
+    driver actions, nothing quadratic.
+
+    Returns one row: ``n_users, n_a, n_b, theta, effect_raw,
+    effect_cuped, var_reduction`` (doubles rounded 6).
+    """
+    bounds = events.agg(
+        F.min(F.to_date(ts_col)).alias("__dmin"),
+        F.max(F.to_date(ts_col)).alias("__dmax"),
+    ).filter(F.col("__dmin").isNotNull())
+    mid = F.date_add(
+        F.col("__dmin"),
+        F.floor(F.datediff(F.col("__dmax"), F.col("__dmin")) / 2).cast("int"),
+    )
+    vq = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    is_metric = F.col(type_col) == metric_type
+    day = F.to_date(ts_col)
+    per_user = (
+        events.crossJoin(F.broadcast(bounds.select(mid.alias("__mid"))))
+        .groupBy(user_col)
+        .agg(
+            F.sum(
+                F.when(is_metric & (day < F.col("__mid")), vq).otherwise(
+                    F.lit(0)
+                )
+            ).cast("decimal(38,0)").alias("__x"),
+            F.sum(
+                F.when(is_metric & (day >= F.col("__mid")), vq).otherwise(
+                    F.lit(0)
+                )
+            ).cast("decimal(38,0)").alias("__y"),
+        )
+        .select(
+            ((F.col(user_col) % 1048573) * 2654435761 % 2)
+            .cast("int").alias("__arm"),
+            "__x",
+            "__y",
+        )
+    )
+    a0 = F.col("__arm") == 0
+    zero = F.lit(0).cast("decimal(38,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(a0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~a0, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.when(a0, F.col("__x")).otherwise(zero)).alias("__sxa"),
+        F.sum(F.when(a0, F.col("__y")).otherwise(zero)).alias("__sya"),
+        F.sum(F.when(~a0, F.col("__x")).otherwise(zero)).alias("__sxb"),
+        F.sum(F.when(~a0, F.col("__y")).otherwise(zero)).alias("__syb"),
+    )
+    n = F.col("n_users").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    dx_var = n * sxx - sx * sx
+    dy_var = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    theta = F.when(dx_var > 0, cov / dx_var)
+    both_arms = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    dy = F.when(
+        both_arms,
+        F.col("__syb").cast("double") / nb
+        - F.col("__sya").cast("double") / na,
+    )
+    dxm = F.when(
+        both_arms,
+        F.col("__sxb").cast("double") / nb
+        - F.col("__sxa").cast("double") / na,
+    )
+    effect_raw = dy / F.lit(1e6)
+    effect_cuped = (dy - theta * dxm) / F.lit(1e6)
+    var_reduction = F.when(
+        (dx_var > 0) & (dy_var > 0), (cov * cov) / (dx_var * dy_var)
+    )
+    return m.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(effect_raw, 6).alias("effect_raw"),
+        F.round(effect_cuped, 6).alias("effect_cuped"),
+        F.round(var_reduction, 6).alias("var_reduction"),
+    )

@@ -577,3 +577,107 @@ def link_prediction(
         .alias("jaccard_micro"),
         F.col("__e").isNotNull().alias("is_edge"),
     ).orderBy("id_a", "id_b")
+
+
+def community_modularity(
+    pairs: DataFrame,
+    labels: DataFrame,
+    normalized: bool = False,
+) -> DataFrame:
+    """Newman modularity of a node partition over the UNDIRECTED
+    simple graph given as ``id_a``/``id_b`` pairs — the standard
+    quality score for a community assignment (how much denser inside
+    communities than a degree-preserving random graph): per community
+    c, ``q_term = e_c/m − (d_c/2m)²``; the partition's Q is their
+    sum. Pairs naturally with :func:`label_propagation` — "did the
+    propagated labels actually find structure" is the read-out that
+    decides whether to trust them downstream.
+
+    Semantics: ``labels`` is ``(id, label)``; NULL labels (label-prop
+    nodes no vote ever reached) are excluded, and modularity is
+    computed on the LABELED subgraph — edges with both endpoints
+    labeled — so m, degrees, and community masses are all consistent
+    within one well-defined graph.
+
+    Determinism design: every input to the formula (m, e_c, d_c,
+    n_nodes) is an exact integer from a keyed rollup, and Q_total is
+    derived from exact integer TOTALS (Σe_c and Σd_c² as
+    decimal(38,0) / HUGEINT) — never by summing per-community double
+    terms, whose addition order differs between engines:
+    ``Q = Σe_c/m − Σd_c²/(4m²)`` in one fixed-shape expression.
+
+    Scale design: the labeled edge list is pinned once (three
+    consumers: the m rollup, the endpoint-label degree rollup, the
+    intra-community filter); every aggregate is a keyed rollup with
+    map-side partials over edge-sized or |communities|-sized frames;
+    the single-row totals ride in via broadcast cross joins. No
+    windows, no all-pairs anything.
+
+    Returns ``label, n_nodes, internal_edges, degree_sum, q_term,
+    q_total`` (doubles rounded 6; q_total identical on every row),
+    ordered by label.
+    """
+    und = _as_edge_cols(pairs) if normalized else _normalized_edges(pairs)
+    lab = labels.filter(F.col("label").isNotNull()).select("id", "label")
+    le = cache.pin(
+        und.join(
+            lab.select(F.col("id").alias("a"), F.col("label").alias("__la")),
+            "a",
+        ).join(
+            lab.select(F.col("id").alias("b"), F.col("label").alias("__lb")),
+            "b",
+        )
+    )
+    degsum = (
+        le.select(F.explode(F.array("__la", "__lb")).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    intra = (
+        le.filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    nn = lab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    dec = "decimal(38,0)"
+    totals = le.agg(
+        F.count(F.lit(1)).cast("long").alias("__m"),
+        F.sum(
+            F.when(F.col("__la") == F.col("__lb"), 1).otherwise(0)
+        ).cast("long").alias("__te"),
+    )
+    td2 = degsum.agg(
+        F.sum((F.col("degree_sum").cast(dec))
+              * (F.col("degree_sum").cast(dec))).alias("__td2")
+    )
+    joined = (
+        nn.join(intra, "label", "left")
+        .join(degsum, "label", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(td2))
+    )
+    e_c = F.coalesce(F.col("internal_edges"), F.lit(0)).cast("long")
+    d_c = F.coalesce(F.col("degree_sum"), F.lit(0)).cast("long")
+    m = F.col("__m").cast("double")
+    q_term = F.when(
+        F.col("__m") > 0,
+        e_c.cast("double") / m
+        - (d_c.cast("double") / (F.lit(2.0) * m))
+        * (d_c.cast("double") / (F.lit(2.0) * m)),
+    )
+    q_total = F.when(
+        F.col("__m") > 0,
+        F.col("__te").cast("double") / m
+        - F.col("__td2").cast("double")
+        / (F.lit(4.0) * m * m),
+    )
+    return joined.select(
+        "label",
+        "n_nodes",
+        e_c.alias("internal_edges"),
+        d_c.alias("degree_sum"),
+        F.round(q_term, 6).alias("q_term"),
+        F.round(q_total, 6).alias("q_total"),
+    ).orderBy("label")

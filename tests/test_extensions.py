@@ -4500,3 +4500,63 @@ def test_event_type_trend_exact_line_and_zero_days(spark):
     assert out["a"]["intercept"] == 1.0 and out["a"]["r2"] == 1.0
     assert out["b"]["n"] == 4 and out["b"]["slope"] == -0.6
     assert out["b"]["intercept"] == 1.4 and out["b"]["r2"] == 0.6
+
+
+# ------------------------------------------------ modularity / CUPED
+
+
+def test_community_modularity_two_cliques(spark):
+    """community_modularity: two labeled triangles joined by one
+    cross edge — textbook values (m=7, e_c=3, d_c=7 per side:
+    q_term = 3/7 − (7/14)² ≈ 0.178571, Q ≈ 0.357143); an
+    unlabeled-endpoint edge is excluded from the labeled subgraph."""
+    from ksql_query_tutorial_spark.operators.graph import (
+        community_modularity,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4),
+             (6, 7)]  # 7 is unlabeled -> edge (6,7) drops out
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "B"),
+         (7, None)],
+        "id long, label string",
+    )
+    rows = {r["label"]: r
+            for r in community_modularity(pairs, labels).collect()}
+    assert set(rows) == {"A", "B"}
+    for lab in ("A", "B"):
+        r = rows[lab]
+        assert r["n_nodes"] == 3
+        assert r["internal_edges"] == 3
+        assert r["degree_sum"] == 7
+        assert r["q_term"] == 0.178571
+        assert r["q_total"] == 0.357143
+
+
+def test_cuped_textbook_adjustment(spark):
+    """cuped_ab_effect: hand-built 4-user fixture with known moments —
+    θ = 200/275, raw effect 6, CUPED effect 6 − θ·5 ≈ 2.363636,
+    r² = 40000/43450 ≈ 0.920598 (arm hash: users 0,2 → A; 1,3 → B;
+    span Jan 1–4 splits at Jan 2, so Jan 1 is the pre-period)."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import cuped_ab_effect
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pre = {0: 10.0, 1: 10.0, 2: 20.0, 3: 30.0}
+    post = {0: 20.0, 1: 25.0, 2: 30.0, 3: 37.0}
+    rows = [(datetime(2026, 1, 1, 9), u, "purchase", v)
+            for u, v in pre.items()]
+    rows += [(datetime(2026, 1, 3, 9), u, "purchase", v)
+             for u, v in post.items()]
+    rows += [(datetime(2026, 1, 4, 9), 0, "click", 0.0)]  # sets dmax
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    r = cuped_ab_effect(df).collect()[0]
+    assert (r["n_users"], r["n_a"], r["n_b"]) == (4, 2, 2)
+    assert r["theta"] == round(200 / 275, 6)
+    assert r["effect_raw"] == 6.0
+    assert r["effect_cuped"] == 2.363636
+    assert r["var_reduction"] == 0.920598
