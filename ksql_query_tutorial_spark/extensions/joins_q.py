@@ -250,3 +250,62 @@ EXTENSION_ORACLES["asof_click_next_purchase"] = """
                p.purchase_event_id DESC NULLS LAST) = 1
     ORDER BY c.event_id
 """
+
+
+ASOF_NEAREST_TOL_S = 21600.0  # 6 hours, µs-exact in both engines
+
+
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of with tolerance: each purchase matched
+    to the click with the smallest |Δt| within ±6h (ties: backward
+    wins, then highest click event id), unmatched purchases kept with
+    NULL payload — the remaining direction/tolerance surface of
+    asof.asof_join under driver-provable oracle coverage (backward =
+    asof_purchase_click, forward = asof_click_next_purchase)."""
+    from ksql_query_tutorial_spark.operators import asof
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof.asof_join(
+        purchases, clicks, time_col="ts", by_cols=["user_id"],
+        order_col="click_event_id", direction="nearest",
+        tolerance_seconds=ASOF_NEAREST_TOL_S,
+    ).select(
+        "event_id", "user_id", "ts", "click_event_id", "click_ts"
+    )
+
+
+EXTENSION_QUERIES["asof_nearest_click"] = asof_nearest_click
+
+
+# The QUALIFY ordering reproduces the operator's pick exactly: the
+# within-tolerance candidate with the smallest |Δt| (epoch µs), ties
+# between sides to the backward match (pick_b has db <= df), ties
+# within a side (same |Δt| = same ts) to the highest click event id.
+EXTENSION_ORACLES["asof_nearest_click"] = f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_event_id, user_id,
+                 ts AS click_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id, c.click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND abs(epoch_us(p.ts) - epoch_us(c.click_ts))
+         <= {int(ASOF_NEAREST_TOL_S * 1_000_000)}
+    QUALIFY row_number() OVER (
+      PARTITION BY p.event_id
+      ORDER BY abs(epoch_us(p.ts) - epoch_us(c.click_ts)) ASC NULLS LAST,
+               CASE WHEN c.click_ts <= p.ts THEN 0 ELSE 1 END ASC,
+               c.click_event_id DESC NULLS LAST) = 1
+    ORDER BY p.event_id
+"""

@@ -870,3 +870,39 @@ EXTENSION_ORACLES["embedding_centroid_confusion"] = """
     FROM conf JOIN tot ON conf.true_label = tot.true_label
     ORDER BY 1, 2
 """
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization fidelity audit: per-vector cosine between the
+    original embedding and its SQ8 codes (scale cancels), exact
+    integer folds. See similarity.quantization_error."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.quantization_error(e)
+
+
+EXTENSION_QUERIES["embedding_quantize_error"] = embedding_quantize_error
+
+
+EXTENSION_ORACLES["embedding_quantize_error"] = f"""
+    WITH {_QUANT},
+    w AS (SELECT m.vec_id,
+                 list_transform(m.v,
+                     x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS vq,
+                 q.qvec
+          FROM m JOIN q USING (vec_id)),
+    s AS (SELECT vec_id,
+                 CAST(list_sum(list_transform(range(1, len(vq) + 1),
+                      i -> CAST(vq[i] * qvec[i] AS BIGINT))) AS BIGINT)
+                    AS dot,
+                 CAST(list_sum(list_transform(vq,
+                      x -> CAST(x * x AS BIGINT))) AS BIGINT) AS nv,
+                 CAST(list_sum(list_transform(qvec,
+                      x -> CAST(x * x AS BIGINT))) AS BIGINT) AS nq
+          FROM w)
+    SELECT vec_id AS id,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(GREATEST(nv, 1) AS DOUBLE))
+                    * sqrt(CAST(GREATEST(nq, 1) AS DOUBLE))), 6)
+             AS q8_cosine
+    FROM s ORDER BY id
+"""

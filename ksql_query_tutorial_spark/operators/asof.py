@@ -96,7 +96,12 @@ def asof_join(
         *([F.lit(None).cast(right.schema[order_col].dataType).alias("__ord")]
           if order_col else []),
         *left_payload,
-        F.lit(None).cast("timestamp").alias("__rt"),
+        # __rt keeps the RIGHT time column's own type (TIMESTAMP or
+        # TIMESTAMP_NTZ): hard-casting to TIMESTAMP made the µs
+        # arithmetic below reject NTZ parquet inputs (the vanilla
+        # driver session reads the nanos fixture as NTZ) — caught by
+        # the asof_nearest_click oracle run, r8
+        F.lit(None).cast(right.schema[time_col].dataType).alias("__rt"),
         F.lit(None).cast(payload_t).alias("__rp"),
     )
     r2 = right.select(
@@ -105,7 +110,7 @@ def asof_join(
         F.lit(0).alias("__is_l"),
         *([F.col(order_col).alias("__ord")] if order_col else []),
         *[lnull_of[c].alias(c) for c in left_payload],
-        F.col(time_col).cast("timestamp").alias("__rt"),
+        F.col(time_col).alias("__rt"),
         F.struct(*payload).alias("__rp"),
     )
     u = l2.unionByName(r2)
@@ -142,28 +147,34 @@ def asof_join(
         else int(round(float(tolerance_seconds) * 1_000_000))
     )
 
+    def _us(later: str, earlier: str):
+        # timestampdiff accepts TIMESTAMP and TIMESTAMP_NTZ alike
+        # (unix_micros rejects NTZ); all uses are differences, so the
+        # result is exact µs in either type regime
+        return F.expr(f"timestampdiff(MICROSECOND, {earlier}, {later})")
+
     def _tol(t_col: str, delta):
         if tol_us is None:
             return F.col(t_col).isNotNull()
         return F.col(t_col).isNotNull() & (delta <= F.lit(tol_us))
 
     if direction == "backward":
-        ok = _tol("__bt", F.unix_micros("__t") - F.unix_micros("__bt"))
+        ok = _tol("__bt", _us("__t", "__bt"))
         filled = filled.select(
             *by_cols, "__t", *left_payload,
             F.when(ok, F.col("__bt")).alias("__rt"),
             F.when(ok, F.col("__bp")).alias("__rp"),
         )
     elif direction == "forward":
-        ok = _tol("__ft", F.unix_micros("__ft") - F.unix_micros("__t"))
+        ok = _tol("__ft", _us("__ft", "__t"))
         filled = filled.select(
             *by_cols, "__t", *left_payload,
             F.when(ok, F.col("__ft")).alias("__rt"),
             F.when(ok, F.col("__fp")).alias("__rp"),
         )
     else:
-        db = F.unix_micros("__t") - F.unix_micros("__bt")
-        df_ = F.unix_micros("__ft") - F.unix_micros("__t")
+        db = _us("__t", "__bt")
+        df_ = _us("__ft", "__t")
         ok_b = _tol("__bt", db)
         ok_f = _tol("__ft", df_)
         pick_b = ok_b & (~ok_f | (db <= df_))

@@ -272,17 +272,28 @@ def quantize_embeddings(
 
     Returns ``id, qvec (array<int>), scale`` — ``dequantized_i ≈
     qvec_i · scale``.
+
+    Plan note (r8 fix): the max must ride as a zipped ARRAY, not a
+    scalar attribute referenced inside the transform lambda —
+    CollapseProject inlines a once-referenced non-cheap alias into the
+    lambda body, re-running ``array_max(transform(v, abs))`` PER
+    ELEMENT (O(d²) per row; quantization_error measured 12.7× for 10×
+    rows at sf1 before the fix, 1.0× after). ``array_repeat`` evaluates
+    its argument once per row, and ``zip_with`` hands each element its
+    max as plain lambda input.
     """
     src = df.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("__mx", mx_over("v"))
+    ).withColumn("__mxs", F.array_repeat(mx_over("v"), F.size("v")))
     return src.select(
         "id",
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(x * 127.0 / F.col("__mx") + 0.5).cast("int"),
+        F.zip_with(
+            "v", "__mxs",
+            lambda x, m: F.floor(x * 127.0 / m + 0.5).cast("int"),
         ).alias("qvec"),
-        F.round(F.col("__mx") / 127.0, 9).alias("scale"),
+        F.round(
+            F.coalesce(F.get("__mxs", 0), F.lit(1e-30)) / 127.0, 9
+        ).alias("scale"),
     )
 
 
@@ -1575,3 +1586,63 @@ def centroid_confusion(
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+def quantization_error(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 quantization fidelity: the cosine between each
+    original vector and its :func:`quantize_embeddings` codes — the
+    acceptance gate run before flipping a billion-vector index to the
+    SQ8 tier (a vector whose codes point somewhere else is a recall
+    hole no index parameter will fix). Scale cancels in cosine, so the
+    metric needs no dequantization.
+
+    Determinism design (the similarity_topk_q8 move): the original is
+    micro-quantized per ELEMENT (floor(v·1e6 + 0.5) — int64), the
+    codes are int8 by construction, so dot and both norms are exact
+    integer folds (order-independent; bounded by 127·10⁶·dim ≪ 2⁶³)
+    and the cosine is one fixed-shape double expression any engine
+    reproduces bit-for-bit.
+
+    Scale design: a pure narrow projection — per-row array HOFs inside
+    codegen, ZERO shuffles, output one row per vector.
+
+    Returns ``id, q8_cosine`` (rounded 6), ordered by id.
+    """
+    src = df.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("__mxs", F.array_repeat(mx_over("v"), F.size("v")))
+    zero = F.lit(0).cast("long")
+    # max rides as a zipped array, not a scalar alias: see
+    # quantize_embeddings' plan note (per-element array_max inlining)
+    withq = src.select(
+        "id",
+        F.zip_with(
+            "v", "__mxs",
+            lambda x, m: F.floor(x * 127.0 / m + 0.5).cast("long"),
+        ).alias("__q"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("long"),
+        ).alias("__vq"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__vq", "__q", lambda a, b: a * b), zero,
+        lambda acc, x: acc + x,
+    )
+    nv = F.aggregate(
+        F.transform("__vq", lambda x: x * x), zero, lambda acc, x: acc + x
+    )
+    nq = F.aggregate(
+        F.transform("__q", lambda x: x * x), zero, lambda acc, x: acc + x
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.greatest(nv, F.lit(1)).cast("double"))
+        * F.sqrt(F.greatest(nq, F.lit(1)).cast("double"))
+    )
+    return withq.select(
+        "id", F.round(cos, 6).alias("q8_cosine")
+    ).orderBy("id")

@@ -4560,3 +4560,27 @@ def test_cuped_textbook_adjustment(spark):
     assert r["effect_raw"] == 6.0
     assert r["effect_cuped"] == 2.363636
     assert r["var_reduction"] == 0.920598
+
+
+def test_quantization_error_known_vectors(spark):
+    """quantization_error: a vector proportional to its own int8
+    codes has cosine exactly 1.0; a known 3-dim vector matches the
+    closed form computed from the integer folds."""
+    import math
+
+    from ksql_query_tutorial_spark.operators.similarity import (
+        quantization_error,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.127, 0.0, -0.127]), (2, [1.0, -2.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r["q8_cosine"] for r in quantization_error(df).collect()}
+    assert out[1] == 1.0
+    q = [32, -63, 127]          # floor(v*127/4 + 0.5)
+    vq = [10**6, -2 * 10**6, 4 * 10**6]
+    dot = sum(a * b for a, b in zip(vq, q))
+    expect = dot / (math.sqrt(sum(a * a for a in vq))
+                    * math.sqrt(sum(b * b for b in q)))
+    assert out[2] == round(expect, 6)
