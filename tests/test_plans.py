@@ -2032,3 +2032,31 @@ def test_char_entropy_no_quadratic_generate_carry(spark):
     plan = formatted_plan(text_entropy(spark, SF_ORACLE))
     assert "sequence(1" not in plan, plan
     assert "substring" not in plan, plan
+
+
+def test_quantize_family_no_per_element_array_max(spark):
+    """The SQ8 quantizers must carry max_abs as a zipped array
+    (array_repeat, evaluated once per row) — CollapseProject inlines a
+    once-referenced non-cheap alias into the consuming lambda, putting
+    array_max INSIDE the per-element FLOOR body (O(d²)/row; measured
+    12.7× at sf1, r8). The expr-dup string gate cannot catch this
+    class (the count stays 1), so the lambda body is pinned here."""
+    from ksql_query_tutorial_spark.extensions import (
+        embedding_quantize,
+        embedding_quantize_error,
+    )
+    from tests.conftest import SF_ORACLE
+
+    for fn in (embedding_quantize, embedding_quantize_error):
+        plan = (
+            fn(spark, SF_ORACLE)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "array_repeat" in plan, (fn.__name__, plan)
+        i = plan.find("FLOOR")
+        assert i >= 0, (fn.__name__, plan)
+        # the per-element FLOOR body (everything before the lambda's
+        # argument list) must not re-evaluate the row max; the healthy
+        # shape divides by the zipped `lambda y_*` element instead
+        body = plan[i:plan.find(", lambda", i)]
+        assert "array_max" not in body, (fn.__name__, body)
