@@ -700,3 +700,76 @@ def test_cusum_stream_matches_batch_twin(spark):
         batch["first_alarm_hour"].timestamp() // 3600
     ) if batch["first_alarm_hour"] else -1
     assert final["first_alarm_hour"] == exp_first
+
+
+# ------------------------------------------------- observability (r8)
+
+def test_observe_metrics_and_progress_log(spark):
+    """streaming/observe.py: inline SLI counters ride the real
+    micro-batch replay — per-batch observed rows sum to the input,
+    the planted null key is counted exactly once, event-time span is
+    reported per batch, the ProgressLog listener captures every batch
+    with its watermark — and the instrumented pipeline's sink output
+    is IDENTICAL to the uninstrumented batch result (observe adds no
+    semantic change and no extra aggregation pass)."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming import replay as R
+    from ksql_query_tutorial_spark.streaming.observe import (
+        ProgressLog,
+        with_ingest_metrics,
+    )
+
+    rows = [
+        {"k": "a", "ts": "2026-03-01 10:00:00", "v": 1},
+        {"k": "b", "ts": "2026-03-01 10:01:00", "v": 2},
+        {"k": None, "ts": "2026-03-01 10:02:00", "v": 3},
+        {"k": "a", "ts": "2026-03-01 10:03:00", "v": 4},
+    ]
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+
+    def xform(src):
+        inst = with_ingest_metrics(
+            src.withColumn("ts", F.col("ts").cast("timestamp")),
+            name="ingest", key_col="k", ts_col="ts",
+        )
+        return (
+            inst.withWatermark("ts", "1 minute")
+            .groupBy("k")
+            .agg(F.sum("v").alias("total"))
+        )
+
+    log = ProgressLog()
+    spark.streams.addListener(log)
+    try:
+        q = R.replay(
+            spark, rows, schema, xform, "obs_sink",
+            output_mode="update", chunk_size=2,
+        )
+        q.awaitTermination(5)
+    finally:
+        spark.streams.removeListener(log)
+
+    observed = [
+        b["observed"]["ingest"] for b in log.batches
+        if b["observed"].get("ingest") and b["observed"]["ingest"]["rows"]
+    ]
+    assert sum(m["rows"] for m in observed) == 4
+    assert sum(m["null_keys"] for m in observed) == 1
+    for m in observed:
+        assert m["min_ts"] is not None and m["max_ts"] >= m["min_ts"]
+    data_batches = [b for b in log.batches if b["numInputRows"]]
+    assert len(data_batches) >= 2  # chunk_size=2 over 4 rows
+    assert all(b["watermark"] is not None for b in data_batches)
+
+    # semantic transparency: final sink state == plain batch result
+    sink = {
+        (r["k"], r["total"])
+        for r in spark.table("obs_sink").groupBy("k")
+        .agg(F.max("total").alias("total")).collect()
+    }
+    assert sink == {("a", 5), ("b", 2), (None, 3)}
