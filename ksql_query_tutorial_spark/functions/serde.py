@@ -68,3 +68,60 @@ def decode_record(df: DataFrame, key_name: str, key_type: str,
     out = df.withColumn(key_name, F.col("key").cast("string").cast(key_type))
     return decode_value(out.select(key_name, "value", *[c for c in ("offset",) if c in df.columns]),
                         value_schema)
+
+
+def decode_value_with_dlq(
+    df: DataFrame,
+    schema: T.StructType,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-on-read with a dead-letter split: parse the JSON value
+    column and route records the schema cannot fully represent to a
+    DLQ frame instead of silently nulling them (``from_json``'s
+    PERMISSIVE default turns malformed JSON AND type-mismatched fields
+    into NULLs that poison downstream aggregates without a trace; the
+    reference's schemaless-JSON topology, ``all.sql:17``, has exactly
+    this failure mode in production).
+
+    Detection is the engine's own corrupt-record channel: the schema
+    is extended with a ``columnNameOfCorruptRecord`` field, which
+    PERMISSIVE parsing populates with the raw text for unparseable
+    JSON and for records whose fields don't fit the declared types —
+    both go to the DLQ with the original payload and an ``error`` tag,
+    ready for a quarantine sink and replay-after-fix. A NULL raw value
+    parses to all-NULL fields and stays in the good frame (absence is
+    data, not corruption).
+
+    Scale design: one ``from_json`` evaluation staged as a projected
+    attribute, two NARROW filters over it (no shuffle, no second
+    parse); both frames are streaming-safe (filters and projections
+    only), so good → sink and DLQ → quarantine run as two branches of
+    one ``foreachBatch`` or two queries over the same source.
+
+    Returns ``(good, dlq)``.
+    """
+    corrupt = "__corrupt_record"
+    if corrupt in schema.fieldNames():
+        raise ValueError(f"schema already declares {corrupt!r}")
+    schema_c = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    parsed = df.withColumn(
+        "__v",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            schema_c,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    keep = [c for c in df.columns if c not in (value_col, "__v")]
+    bad = F.col(f"__v.{corrupt}").isNotNull()
+    good = parsed.filter(~bad).select(
+        *keep, *[F.col(f"__v.{f.name}") for f in schema.fields]
+    )
+    dlq = parsed.filter(bad).select(
+        *keep,
+        F.col(value_col),
+        F.lit("unparseable_record").alias("error"),
+    )
+    return good, dlq

@@ -59,3 +59,69 @@ def test_avro_is_cleanly_gated(spark):
         avro.decode_avro_value(df, '{"type":"record"}')
     with pytest.raises(NotImplementedError, match="spark-avro"):
         avro.encode_avro_value(df, ["key"])
+
+def test_decode_value_with_dlq_routes_malformed(spark):
+    """decode_value_with_dlq: clean rows parse, unparseable JSON and
+    type-mismatched records land in the DLQ with the original payload
+    (nothing silently nulled, nothing dropped); NULL values are not
+    dead-lettered (absence is data, not corruption)."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.functions.serde import (
+        decode_value_with_dlq,
+    )
+
+    schema = T.StructType([
+        T.StructField("A", T.StringType()),
+        T.StructField("N", T.LongType()),
+    ])
+    rows = [
+        (1, '{"A": "x", "N": 1}'),      # clean
+        (2, 'not json at all'),          # -> DLQ (malformed)
+        (3, None),                       # NULL value: kept, all-null fields
+        (4, '{"A": "y", "N": "oops"}'),  # type mismatch -> DLQ too
+    ]
+    df = spark.createDataFrame(rows, "offset long, value string")
+    good, dlq = decode_value_with_dlq(df, schema)
+    g = {r["offset"]: (r["A"], r["N"]) for r in good.collect()}
+    d = {r["offset"]: (r["value"], r["error"]) for r in dlq.collect()}
+    assert set(g) == {1, 3}
+    assert g[1] == ("x", 1)
+    assert g[3] == (None, None)
+    assert d == {2: ("not json at all", "unparseable_record"),
+                 4: ('{"A": "y", "N": "oops"}', "unparseable_record")}
+    # one parse, two narrow branches: no exchange in either plan
+    for frame in (good, dlq):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+
+def test_dlq_split_streaming_replay(spark):
+    """The DLQ split is streaming-safe: replayed through real
+    micro-batches, the same routing holds per batch."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.functions.serde import (
+        decode_value_with_dlq,
+    )
+    from ksql_query_tutorial_spark.streaming import replay as R
+
+    schema = T.StructType([T.StructField("A", T.StringType())])
+    src_schema = T.StructType([
+        T.StructField("offset", T.LongType()),
+        T.StructField("value", T.StringType()),
+    ])
+    rows = [
+        {"offset": 1, "value": '{"A": "x"}'},
+        {"offset": 2, "value": '}{broken'},
+        {"offset": 3, "value": '{"A": "z"}'},
+    ]
+    R.replay(spark, rows, src_schema,
+             lambda s: decode_value_with_dlq(s, schema)[0],
+             "dlq_good", output_mode="append")
+    R.replay(spark, rows, src_schema,
+             lambda s: decode_value_with_dlq(s, schema)[1],
+             "dlq_bad", output_mode="append")
+    assert {r["A"] for r in spark.table("dlq_good").collect()} == {"x", "z"}
+    bad = spark.table("dlq_bad").collect()
+    assert len(bad) == 1 and bad[0]["offset"] == 2
