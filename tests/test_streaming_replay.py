@@ -773,3 +773,61 @@ def test_observe_metrics_and_progress_log(spark):
         .agg(F.max("total").alias("total")).collect()
     }
     assert sink == {("a", 5), ("b", 2), (None, 3)}
+
+
+def test_idempotent_foreach_batch_exactly_once(spark, tmp_path):
+    """streaming/sinks.py: a replayed (duplicate) batch id is a
+    silent no-op — the write function runs once per id; through a real
+    micro-batch run the sink directory holds each input row exactly
+    once, and re-delivering every batch by hand afterwards changes
+    nothing."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming import replay as R
+    from ksql_query_tutorial_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+        write_batch_parquet,
+    )
+
+    calls: list[int] = []
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+
+    def counting_write(batch_df, batch_id):
+        calls.append(batch_id)
+        write_batch_parquet(out)(batch_df, batch_id)
+
+    sink = idempotent_foreach_batch(counting_write, ledger)
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    rows = [{"v": i} for i in range(4)]
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ksql-spark-eos-")
+    R.write_chunks(d, rows, chunk_size=2)
+    src = R.stream_source(spark, d, schema)
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    first_calls = sorted(calls)
+    got = sorted(r["v"] for r in spark.read.parquet(out + "/batch=*").collect())
+    assert got == [0, 1, 2, 3]
+    assert len(first_calls) == len(set(first_calls))  # no double-write
+
+    # simulate the at-least-once replay: re-deliver every batch
+    replay_df = spark.createDataFrame([(99,)], "v long")
+    for b in first_calls:
+        sink(replay_df, b)
+    assert sorted(calls) == first_calls  # write_fn NOT re-invoked
+    got2 = sorted(r["v"] for r in spark.read.parquet(out + "/batch=*").collect())
+    assert got2 == [0, 1, 2, 3]
+
+    # a genuinely new batch id still writes
+    sink(replay_df, max(first_calls) + 1000)
+    assert 99 in {r["v"] for r in spark.read.parquet(out + "/batch=*").collect()}
