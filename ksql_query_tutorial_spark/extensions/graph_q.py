@@ -493,19 +493,25 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure" as one exact-arithmetic score per community plus the
     partition total. Recomputes graph_label_prop's labels (same seed
     rule, same recall-1 LSH edge regime, so the exact-Jaccard oracle
-    applies end-to-end) and scores them; the LSH pair frame is pinned
-    once since both the propagation and the scored edge set consume
-    it. See operators.graph.community_modularity."""
-    from ksql_query_tutorial_spark import cache
+    applies end-to-end) and scores them; the LSH pair frame is
+    eagerly localCheckpoint-ed ONCE (the family convention —
+    pagerank/label-prop checkpoint their edges the same way): both the
+    propagation and the scored edge set consume it, the frame is
+    bounded by the near-dup pair count (hundreds, not corpus-sized, so
+    the graph-family GC concern about pinning big checkpoints doesn't
+    apply), and truncating the lineage keeps the Arrow LSH signature
+    stage out of every downstream plan instead of reprinting the whole
+    pair pipeline per consumer. See
+    operators.graph.community_modularity."""
     from ksql_query_tutorial_spark.operators.graph import (
         community_modularity,
         label_propagation,
     )
 
     d = load(spark, sf_dir, "documents")
-    pairs = cache.pin(
-        dedup.minhash_lsh_pairs(d, "doc_id", threshold=JACCARD_THRESHOLD)
-    )
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", threshold=JACCARD_THRESHOLD
+    ).localCheckpoint()
     seeds = d.select(
         F.col("doc_id").alias("id"),
         F.when(F.col("doc_id") % LP_SEED_MOD == 0, F.col("lang")).alias(
