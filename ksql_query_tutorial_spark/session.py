@@ -92,6 +92,8 @@ class EngineSession:
         self.catalog: dict[str, Collection] = {}
         # name -> running StreamingQuery (persistent queries, §3.3)
         self.persistent_queries: dict[str, object] = {}
+        # session-wide telemetry listener (enable_metrics), off by default
+        self._progress_log = None
 
     # ------------------------------------------------------------------ DDL
     def register(self, name: str, df: DataFrame, kind: str = "TABLE",
@@ -205,6 +207,44 @@ class EngineSession:
     def show_queries(self) -> list[str]:
         """SHOW QUERIES: running persistent queries (`README.md:310`)."""
         return sorted(self.persistent_queries)
+
+    def enable_metrics(self):
+        """Attach the session-wide streaming telemetry listener
+        (streaming/observe.ProgressLog): every persistent query started
+        AFTER this call reports per-micro-batch input volume, watermark,
+        and any ``observe`` SLI sets via :func:`query_metrics` — the
+        engine-surface read-out of the reference's console-consumer
+        inspection loop (`README.md:333-351`), as machine telemetry.
+        Idempotent; returns the listener."""
+        if self._progress_log is None:
+            from ksql_query_tutorial_spark.streaming.observe import (
+                ProgressLog,
+            )
+
+            self._progress_log = ProgressLog()
+            self.spark.streams.addListener(self._progress_log)
+        return self._progress_log
+
+    def disable_metrics(self) -> None:
+        """Detach the telemetry listener (listeners are process-wide in
+        Spark — a long-lived host detaches between engine sessions)."""
+        if self._progress_log is not None:
+            self.spark.streams.removeListener(self._progress_log)
+            self._progress_log = None
+
+    def query_metrics(self, name: str) -> list[dict]:
+        """Per-micro-batch telemetry records for a persistent query
+        (requires :func:`enable_metrics` before the query started)."""
+        if self._progress_log is None:
+            raise ValueError(
+                "metrics not enabled — call enable_metrics() before "
+                "starting the query"
+            )
+        q = self.persistent_queries.get(name)
+        if q is None:
+            raise KeyError(name)
+        qid = str(q.id)
+        return [b for b in self._progress_log.batches if b["id"] == qid]
 
     def terminate(self, name: str) -> None:
         """TERMINATE a persistent query."""

@@ -101,3 +101,50 @@ def test_persistent_query_ctas_to_memory_sink(spark, tmp_path):
     eng.terminate("match_results_pq")
     assert eng.show_queries() == []
     assert not q.isActive
+
+
+def test_persistent_query_metrics(spark, tmp_path):
+    """enable_metrics + query_metrics: a persistent query's per-batch
+    input volume is captured by the session listener and sums to the
+    replayed row count; metrics are scoped per query id; disabling
+    detaches the listener."""
+    eng = EngineSession(spark)
+    log = eng.enable_metrics()
+    assert eng.enable_metrics() is log  # idempotent
+    try:
+        d = str(tmp_path / "events")
+        R.write_chunks(d, tutorial.MATCH_EVENT_ROWS, chunk_size=1)
+        src = R.stream_source(spark, d, tutorial.MATCH_EVENT_SCHEMA)
+        q = start_persistent_query(
+            eng, "metrics_pq", tutorial.match_results(src), key_cols=["id"],
+            sink_format="memory", checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        # Python listener events arrive asynchronously over the
+        # callback socket — poll until the replayed volume lands
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            batches = eng.query_metrics("metrics_pq")
+            if sum(b["numInputRows"] for b in batches) >= len(
+                tutorial.MATCH_EVENT_ROWS
+            ):
+                break
+            time.sleep(0.2)
+        assert batches, "no progress captured"
+        assert sum(b["numInputRows"] for b in batches) == len(
+            tutorial.MATCH_EVENT_ROWS
+        )
+        assert all(b["id"] == str(q.id) for b in batches)
+        import pytest
+
+        with pytest.raises(KeyError):
+            eng.query_metrics("no_such_query")
+        eng.terminate("metrics_pq")
+    finally:
+        eng.disable_metrics()
+    import pytest
+
+    with pytest.raises(ValueError):
+        eng.query_metrics("metrics_pq")

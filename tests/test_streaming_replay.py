@@ -751,6 +751,20 @@ def test_observe_metrics_and_progress_log(spark):
             output_mode="update", chunk_size=2,
         )
         q.awaitTermination(5)
+        # listener events arrive asynchronously — poll until the full
+        # replayed volume is visible before detaching
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            seen = sum(
+                b["observed"]["ingest"]["rows"]
+                for b in log.batches
+                if b["observed"].get("ingest")
+            )
+            if seen >= 4:
+                break
+            time.sleep(0.2)
     finally:
         spark.streams.removeListener(log)
 
