@@ -1637,3 +1637,46 @@ EXTENSION_ORACLES["events_cuped"] = """
                  END, 6) AS var_reduction
     FROM m
 """
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of the event-type process (per-prev
+    next-step entropy + transition-weighted total, nats). See
+    analytics.entropy_rate."""
+    from ksql_query_tutorial_spark.operators.analytics import entropy_rate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return entropy_rate(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_entropy_rate"] = events_entropy_rate
+
+
+EXTENSION_ORACLES["events_entropy_rate"] = """
+    WITH s AS (SELECT user_id, event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev
+               FROM events),
+    pairs AS (SELECT prev AS prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+    pp AS (SELECT prev_type,
+                  CAST(sum(c) AS BIGINT) AS n_transitions,
+                  CAST(count(*) AS BIGINT) AS n_next_types,
+                  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                    AS clnc
+           FROM pairs GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_transitions) AS BIGINT) AS N,
+                   sum(CAST(n_transitions AS DOUBLE)
+                       * ln(CAST(n_transitions AS DOUBLE))) AS snlnn,
+                   sum(clnc) AS sclnc
+            FROM pp)
+    SELECT prev_type, n_transitions, n_next_types,
+           ROUND(ln(CAST(n_transitions AS DOUBLE))
+                 - clnc / CAST(n_transitions AS DOUBLE), 6) AS h_next,
+           ROUND(CASE WHEN N > 0
+                 THEN (snlnn - sclnc) / CAST(N AS DOUBLE) END, 6)
+             AS rate_total
+    FROM pp CROSS JOIN tot
+    ORDER BY prev_type
+"""

@@ -2671,3 +2671,72 @@ def cuped_ab_effect(
         F.round(effect_cuped, 6).alias("effect_cuped"),
         F.round(var_reduction, 6).alias("var_reduction"),
     )
+
+
+def entropy_rate(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Empirical first-order entropy rate of the event-type process:
+    per previous type, the Shannon entropy (nats) of the NEXT type —
+    how predictable the next step is given where you are — plus the
+    transition-weighted overall rate. Low rate = scripted/templated
+    journeys (the sequence-level twin of behavior_entropy's bag-level
+    signal); it also lower-bounds the achievable log-loss of any
+    first-order sequence model on this stream.
+
+    Determinism design (the behavior_entropy precedent): transition
+    counts are exact integers from one lag-window rollup; per-prev
+    entropy uses the fold ``H_i = ln(n_i) − (Σ_j c_ij·ln c_ij)/n_i``
+    (ln over exact integers); the overall rate derives algebraically —
+    ``rate = (Σ_i n_i·ln n_i − Σ_ij c_ij·ln c_ij) / N`` — from ONE
+    single-row aggregate, not a sum over per-row doubles.
+
+    Scale design: one user-keyed lag window (the transition_matrix
+    exchange), a |types|²-bounded pair rollup, a |types|-bounded
+    per-prev reduction, and a broadcast single-row totals join.
+
+    Returns ``prev_type, n_transitions, n_next_types, h_next,
+    rate_total`` (nats, rounded 6; rate identical on every row),
+    ordered by prev_type.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        df.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c = F.col("c").cast("double")
+    per_prev = pairs.groupBy("prev_type").agg(
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+        F.sum(c * F.log(c)).alias("__clnc"),
+    )
+    n = F.col("n_transitions").cast("double")
+    totals = per_prev.agg(
+        F.sum("n_transitions").cast("long").alias("__N"),
+        F.sum(n * F.log(n)).alias("__snlnn"),
+        F.sum("__clnc").alias("__sclnc"),
+    )
+    rate = F.when(
+        F.col("__N") > 0,
+        (F.col("__snlnn") - F.col("__sclnc")) / F.col("__N").cast("double"),
+    )
+    return (
+        per_prev.crossJoin(F.broadcast(totals))
+        .select(
+            "prev_type",
+            "n_transitions",
+            "n_next_types",
+            F.round(F.log(n) - F.col("__clnc") / n, 6).alias("h_next"),
+            F.round(rate, 6).alias("rate_total"),
+        )
+        .orderBy("prev_type")
+    )

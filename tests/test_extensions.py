@@ -4584,3 +4584,42 @@ def test_quantization_error_known_vectors(spark):
     expect = dot / (math.sqrt(sum(a * a for a in vq))
                     * math.sqrt(sum(b * b for b in q)))
     assert out[2] == round(expect, 6)
+
+
+def test_entropy_rate_deterministic_and_uniform(spark):
+    """entropy_rate: a deterministic chain (A->B->A->B...) has zero
+    next-step entropy everywhere; a uniform 2-way branch has
+    ln 2 ≈ 0.693147; the weighted total matches the algebraic form."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import entropy_rate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = datetime(2026, 4, 1, 8, 0, 0)
+    rows = []
+    # user 1: strict alternation A,B,A,B,... (deterministic)
+    for i in range(9):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "A" if i % 2 == 0 else "B"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["prev_type"]: r for r in entropy_rate(df).collect()}
+    assert out["A"]["h_next"] == 0.0 and out["B"]["h_next"] == 0.0
+    assert out["A"]["rate_total"] == 0.0
+
+    # user 2: from A, next is B or C equally often (4 each)
+    rows2 = []
+    seq = ["A", "B", "A", "C"] * 4 + ["A"]
+    for i, t in enumerate(seq):
+        rows2.append((i, t0 + timedelta(minutes=i), 2, t))
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    import math
+
+    out2 = {r["prev_type"]: r for r in entropy_rate(df2).collect()}
+    assert out2["A"]["h_next"] == round(math.log(2), 6)
+    assert out2["B"]["h_next"] == 0.0 and out2["C"]["h_next"] == 0.0
+    n_a, n_b, n_c = 8, 4, 4
+    expect_rate = (n_a * math.log(2)) / (n_a + n_b + n_c)
+    assert out2["A"]["rate_total"] == round(expect_rate, 6)
