@@ -87,8 +87,16 @@ def decode_value_with_dlq(
     is extended with a ``columnNameOfCorruptRecord`` field, which
     PERMISSIVE parsing populates with the raw text for unparseable
     JSON and for records whose fields don't fit the declared types —
-    both go to the DLQ with the original payload and an ``error`` tag,
-    ready for a quarantine sink and replay-after-fix. A NULL raw value
+    both go to the DLQ with the original payload and an ``error`` tag
+    distinguishing the failure class (``malformed_json`` — the text is
+    not valid JSON at all, vs ``schema_mismatch`` — a valid JSON object
+    whose fields don't fit the declared types), ready for a quarantine
+    sink and class-by-class replay-after-fix triage. The classifier is
+    one extra schemaless ``from_json`` into ``map<string,string>``
+    evaluated ONLY on the (small) DLQ branch: non-NULL means the text
+    re-parses as a generic JSON object, so the original failure was a
+    type mismatch. A valid-JSON non-object payload (bare array/scalar)
+    also cannot fit a struct schema and is classed ``malformed_json``. A NULL raw value
     parses to all-NULL fields and stays in the good frame (absence is
     data, not corruption).
 
@@ -122,6 +130,11 @@ def decode_value_with_dlq(
     dlq = parsed.filter(bad).select(
         *keep,
         F.col(value_col),
-        F.lit("unparseable_record").alias("error"),
+        F.when(
+            F.from_json(
+                F.col(value_col).cast("string"), "map<string,string>"
+            ).isNotNull(),
+            F.lit("schema_mismatch"),
+        ).otherwise(F.lit("malformed_json")).alias("error"),
     )
     return good, dlq

@@ -30,6 +30,7 @@ the query.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -70,17 +71,25 @@ class ProgressLog(StreamingQueryListener):
     observed-metrics row — the exportable telemetry record a
     monitoring agent would ship.
 
+    Retention is bounded: ``batches`` is a ``deque(maxlen=max_batches)``
+    (default 10,000 ≈ 2.8h of a seconds-trigger stream), so a
+    session-wide listener on a long-running persistent query cannot
+    grow driver memory without bound — old records are evicted oldest-
+    first, exactly like a metrics agent's ring buffer. A monitoring
+    exporter should drain (copy + clear) within the window; tests that
+    need every batch of a short replay are far under the cap.
+
     Usage::
 
         log = ProgressLog()
         spark.streams.addListener(log)
         ... run the query ...
         spark.streams.removeListener(log)
-        log.batches  # [{"batchId": 0, "numInputRows": 2, ...}, ...]
+        log.batches  # deque([{"batchId": 0, "numInputRows": 2, ...}, ...])
     """
 
-    def __init__(self) -> None:
-        self.batches: list[dict[str, Any]] = []
+    def __init__(self, max_batches: int = 10_000) -> None:
+        self.batches: deque[dict[str, Any]] = deque(maxlen=max_batches)
         self.terminated: list[str] = []
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)

@@ -88,8 +88,10 @@ def test_decode_value_with_dlq_routes_malformed(spark):
     assert set(g) == {1, 3}
     assert g[1] == ("x", 1)
     assert g[3] == (None, None)
-    assert d == {2: ("not json at all", "unparseable_record"),
-                 4: ('{"A": "y", "N": "oops"}', "unparseable_record")}
+    # failure class preserved for replay-after-fix triage (ADVICE r8):
+    # invalid JSON vs valid-JSON-wrong-types are distinguishable.
+    assert d == {2: ("not json at all", "malformed_json"),
+                 4: ('{"A": "y", "N": "oops"}', "schema_mismatch")}
     # one parse, two narrow branches: no exchange in either plan
     for frame in (good, dlq):
         plan = frame._jdf.queryExecution().executedPlan().toString()

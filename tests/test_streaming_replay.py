@@ -845,3 +845,116 @@ def test_idempotent_foreach_batch_exactly_once(spark, tmp_path):
     # a genuinely new batch id still writes
     sink(replay_df, max(first_calls) + 1000)
     assert 99 in {r["v"] for r in spark.read.parquet(out + "/batch=*").collect()}
+
+
+def test_idempotent_marker_race_is_benign(spark, tmp_path):
+    """VERDICT r8 #3: when two attempts race past the exists-check and
+    both run the (batch-atomic) write, the loser of the O_EXCL marker
+    create must treat FileExistsError as already-committed and return —
+    not die and kill the restarted query."""
+    import os
+
+    from ksql_query_tutorial_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    calls: list[int] = []
+
+    def write_and_steal_marker(batch_df, batch_id):
+        calls.append(batch_id)
+        # Simulate the racing zombie: it commits (write + marker)
+        # between OUR exists-check and OUR marker create.
+        fd = os.open(os.path.join(ledger, f"committed-{batch_id}"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+
+    sink = idempotent_foreach_batch(write_and_steal_marker, ledger)
+    df = spark.createDataFrame([(1,)], "v long")
+    sink(df, 7)  # must NOT raise FileExistsError
+    assert calls == [7]
+    sink(df, 7)  # and the marker now short-circuits the replay
+    assert calls == [7]
+
+
+def test_idempotent_ledger_query_scoped(spark, tmp_path):
+    """ADVICE r8 (medium): a ledger_dir shared by two queries must not
+    cross-suppress batches — markers are keyed (query_id, batch_id)."""
+    from ksql_query_tutorial_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    calls: list[tuple[str, int]] = []
+
+    def mk(qid):
+        def w(batch_df, batch_id):
+            calls.append((qid, batch_id))
+        return idempotent_foreach_batch(w, ledger, query_id=qid)
+
+    a, b = mk("qa"), mk("qb")
+    df = spark.createDataFrame([(1,)], "v long")
+    a(df, 0)
+    b(df, 0)   # same batch id, different query: MUST still write
+    a(df, 0)   # replay within qa: no-op
+    b(df, 1)
+    assert calls == [("qa", 0), ("qb", 0), ("qb", 1)]
+
+
+def test_write_batch_parquet_atomic_rename(spark, tmp_path):
+    """ADVICE r8 (low): the batch writer stages into a hidden
+    .inprogress temp dir and renames into place — readers never see a
+    partial batch=<id> directory, and crashed-attempt leftovers are
+    swept on replay."""
+    import os
+
+    from ksql_query_tutorial_spark.streaming.sinks import (
+        write_batch_parquet,
+    )
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    # plant a crashed previous attempt's temp dir
+    stale = os.path.join(out, ".batch=3.deadbeef.inprogress")
+    os.makedirs(stale)
+    w = write_batch_parquet(out)
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    w(df, 3)
+    entries = set(os.listdir(out))
+    assert "batch=3" in entries
+    assert not any(e.endswith(".inprogress") for e in entries), entries
+    got = sorted(r["v"] for r in spark.read.parquet(out + "/batch=3").collect())
+    assert got == [1, 2]
+    # replay over an existing committed-shape dir: replaced wholesale
+    df2 = spark.createDataFrame([(9,)], "v long")
+    w(df2, 3)
+    got2 = [r["v"] for r in spark.read.parquet(out + "/batch=3").collect()]
+    assert got2 == [9]
+    # hidden temp dirs are invisible to Spark's file listing while staged
+    df3 = spark.createDataFrame([(5,)], "v long")
+    df3.write.parquet(os.path.join(out, ".batch=4.cafe.inprogress"))
+    seen = {r["v"] for r in spark.read.parquet(out + "/batch=*").collect()}
+    assert seen == {9}
+
+
+def test_progress_log_bounded(spark):
+    """ADVICE r8 (low): ProgressLog retention is bounded — a
+    session-wide listener on a long-running query evicts oldest-first
+    instead of growing driver memory forever."""
+    from ksql_query_tutorial_spark.streaming.observe import ProgressLog
+
+    log = ProgressLog(max_batches=3)
+
+    class P:  # minimal progress stand-in
+        def __init__(self, i):
+            self.id, self.batchId, self.numInputRows = f"id{i}", i, 1
+            self.eventTime, self.observedMetrics = {}, {}
+
+    class E:
+        def __init__(self, i):
+            self.progress = P(i)
+
+    for i in range(10):
+        log.onQueryProgress(E(i))
+    assert len(log.batches) == 3
+    assert [b["batchId"] for b in log.batches] == [7, 8, 9]
