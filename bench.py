@@ -18,6 +18,12 @@ sub-second queries N times and prints a per-host noise line (per-query
 coefficient of variation); the normal run embeds the same line in the
 compact summary so regression claims can be gated on movers exceeding
 the measured noise floor (VERDICT r6 #6).
+
+Noise gate (VERDICT r8 #2): calibration brackets the timing passes —
+once before, once after. If BOTH brackets exceed the documented
+thresholds (cv_median > 0.25 or cv_max > 0.5) the output JSON is
+stamped ``"noisy": true``, marking the totals as weak cross-round
+evidence; the calmer bracket is recorded as the headline calibration.
 """
 
 from __future__ import annotations
@@ -39,6 +45,17 @@ CALIBRATION_QUERIES = [
     "q09_group_count", "q13_latest_by_offset", "q14_inner_join",
 ]
 CALIBRATION_REPS = 5
+
+# VERDICT r8 #1/#2: a bench recorded in a noisy window (r8: cv_max
+# 1.247 vs the calm-window precedent ~0.2) is weak cross-round
+# evidence. Calibration now runs BEFORE the timing passes as well as
+# after; if BOTH windows exceed these thresholds the output is stamped
+# "noisy": true so the round-over-round compare knows to discount the
+# totals (the driver runs bench exactly once, so refusing to emit JSON
+# would lose the round's numbers entirely — loud annotation is the
+# honest alternative the verdict allows).
+CV_MEDIAN_MAX = 0.25
+CV_MAX_MAX = 0.50
 
 
 def _force(df) -> int:
@@ -138,10 +155,26 @@ def main() -> None:
             "reps": CALIBRATION_REPS,
         }
 
+    def is_noisy(c: dict[str, float] | None) -> bool:
+        return c is None or c["cv_median"] > CV_MEDIAN_MAX or c["cv_max"] > CV_MAX_MAX
+
     if calibrate_only:
         cal = calibration()
-        print(json.dumps({"metric": "bench_noise_calibration", **cal}))
+        print(json.dumps({
+            "metric": "bench_noise_calibration", **cal,
+            "noisy": is_noisy(cal),
+        }))
         return
+
+    # Pre-pass calibration: measure the window BEFORE committing three
+    # timing passes to it, so a sustained-noise window is detected even
+    # if the host calms down by the closing calibration.
+    try:
+        cal_pre: dict[str, float] | None = calibration()
+        print(f"# calibration(pre): {cal_pre}", file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - host-dependent
+        print(f"# pre-calibration failed: {exc!r}", file=sys.stderr)
+        cal_pre = None
 
     # THREE full passes: on a contended host even best-of-2 records
     # multi-x-inflated numbers when a sustained noisy window covers a
@@ -170,10 +203,26 @@ def main() -> None:
     # ADVICE r7: a calibration failure must not cost the three timing
     # passes already completed — emit calibration=null instead.
     try:
-        cal = calibration()
+        cal_post: dict[str, float] | None = calibration()
+        print(f"# calibration(post): {cal_post}", file=sys.stderr)
     except Exception as exc:  # pragma: no cover - host-dependent
         print(f"# calibration failed: {exc!r}", file=sys.stderr)
-        cal = None
+        cal_post = None
+
+    # The run is noisy only if BOTH calibration windows exceeded the
+    # documented thresholds (a single noisy bracket with a calm other
+    # side means the best-of-4 per-query minima very likely landed in
+    # the calm stretch). Record the calmer window as the headline
+    # calibration plus the verdict flag.
+    candidates = [c for c in (cal_pre, cal_post) if c is not None]
+    cal = (
+        min(candidates, key=lambda c: (c["cv_median"], c["cv_max"]))
+        if candidates else None
+    )
+    noisy = is_noisy(cal_pre) and is_noisy(cal_post)
+    if noisy:
+        print("# WARNING: noisy window — totals are weak cross-round "
+              "evidence (see README bench rules)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -190,6 +239,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "calibration": cal,
+                "calibration_pre": cal_pre,
+                "calibration_post": cal_post,
+                "noisy": noisy,
             }
         )
     )
@@ -212,6 +264,7 @@ def main() -> None:
                 "sf": sf_val,
                 "slowest": slowest,
                 "calibration": cal,
+                "noisy": noisy,
             }
         )
     )
