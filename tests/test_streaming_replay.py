@@ -958,3 +958,215 @@ def test_progress_log_bounded(spark):
         log.onQueryProgress(E(i))
     assert len(log.batches) == 3
     assert [b["batchId"] for b in log.batches] == [7, 8, 9]
+
+
+# --------------------------------------- failure injection (VERDICT r8 #5)
+
+def _run_eos_query(spark, src_dir, schema, sink, ckpt):
+    from ksql_query_tutorial_spark.streaming import replay as R
+
+    src = R.stream_source(spark, src_dir, schema)
+    return (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+@pytest.mark.parametrize("crash_point", ["before_write", "after_write"])
+def test_eos_sink_crash_restart_exactly_once(spark, tmp_path, crash_point):
+    """Crash/restart mid-batch (VERDICT r8 #5): a planted failure kills
+    the query either BEFORE the batch write starts or AFTER the write
+    but BEFORE the commit marker. On restart from the same checkpoint,
+    Spark redelivers the failed batch, and the sink must end exactly
+    once: every input row present once, no committed batch written
+    twice, no row lost."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming import replay as R
+    from ksql_query_tutorial_spark.streaming.sinks import (
+        idempotent_foreach_batch,
+        write_batch_parquet,
+    )
+
+    ledger = str(tmp_path / "ledger")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    writes: list[int] = []
+    crashed = {"done": False}
+
+    def flaky_write(batch_df, batch_id):
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            if crash_point == "before_write":
+                raise RuntimeError("injected crash before write")
+            write_batch_parquet(out)(batch_df, batch_id)
+            writes.append(batch_id)
+            raise RuntimeError("injected crash after write, before marker")
+        writes.append(batch_id)
+        write_batch_parquet(out)(batch_df, batch_id)
+
+    sink = idempotent_foreach_batch(flaky_write, ledger, query_id="eos")
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    rows = [{"v": i} for i in range(6)]
+    src_dir = str(tmp_path / "src")
+    R.write_chunks(src_dir, rows, chunk_size=2)
+
+    q = _run_eos_query(spark, src_dir, schema, sink, ckpt)
+    with pytest.raises(Exception):
+        q.processAllAvailable()  # the injected crash kills the query
+    q.stop()
+
+    # restart from the SAME checkpoint: Spark redelivers batch 1
+    q2 = _run_eos_query(spark, src_dir, schema, sink, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = sorted(r["v"] for r in spark.read.parquet(out + "/batch=*").collect())
+    assert got == [0, 1, 2, 3, 4, 5]  # exactly once, nothing lost
+    # after_write: the replayed write overwrote the same directory (2
+    # writes, 1 committed batch); before_write: written exactly once
+    expected_writes = 2 if crash_point == "after_write" else 1
+    assert writes.count(1) == expected_writes
+    assert sorted(set(writes)) == [0, 1, 2]
+    # ledger holds each batch exactly once, query-scoped
+    markers = sorted(os.listdir(ledger))
+    assert markers == ["committed-eos-0", "committed-eos-1", "committed-eos-2"]
+
+
+def test_dlq_split_injection_sweep(spark):
+    """Malformed-record injection sweep (VERDICT r8 #5): a seeded mix
+    of clean / malformed / type-mismatch / null payloads replayed
+    through real micro-batches must partition EXACTLY into good+DLQ
+    (no loss, no duplication) with the correct failure class per
+    record."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.functions.serde import (
+        decode_value_with_dlq,
+    )
+    from ksql_query_tutorial_spark.streaming import replay as R
+
+    rng = random.Random(1009)
+    rows, truth = [], {}
+    for i in range(60):
+        kind = rng.choice(["clean", "malformed", "mismatch", "null", "scalar"])
+        if kind == "clean":
+            rows.append({"offset": i, "value": f'{{"A": "x{i}", "N": {i}}}'})
+            truth[i] = "good"
+        elif kind == "malformed":
+            rows.append({"offset": i, "value": f"}}broken {i}"})
+            truth[i] = "malformed_json"
+        elif kind == "mismatch":
+            rows.append({"offset": i, "value": f'{{"A": "y{i}", "N": "nan"}}'})
+            truth[i] = "schema_mismatch"
+        elif kind == "null":
+            rows.append({"offset": i, "value": None})
+            truth[i] = "good"  # absence is data, not corruption
+        else:  # valid JSON, not an object: cannot fit a struct schema
+            rows.append({"offset": i, "value": f"[{i}, {i}]"})
+            truth[i] = "malformed_json"
+
+    schema = T.StructType([
+        T.StructField("A", T.StringType()),
+        T.StructField("N", T.LongType()),
+    ])
+    src_schema = T.StructType([
+        T.StructField("offset", T.LongType()),
+        T.StructField("value", T.StringType()),
+    ])
+    R.replay(spark, rows, src_schema,
+             lambda s: decode_value_with_dlq(s, schema)[0],
+             "inj_good", output_mode="append", chunk_size=7)
+    R.replay(spark, rows, src_schema,
+             lambda s: decode_value_with_dlq(s, schema)[1],
+             "inj_dlq", output_mode="append", chunk_size=7)
+
+    good = {r["offset"] for r in spark.table("inj_good").collect()}
+    dlq = {r["offset"]: r["error"] for r in spark.table("inj_dlq").collect()}
+    # exact partition: every offset in exactly one frame
+    assert good.isdisjoint(dlq)
+    assert good | set(dlq) == set(truth)
+    assert good == {i for i, t in truth.items() if t == "good"}
+    for i, err in dlq.items():
+        assert err == truth[i], (i, err, truth[i])
+
+
+def test_sli_monotonicity_across_batches(spark):
+    """SLI monotonicity (VERDICT r8 #5): over an ordered replay, the
+    per-batch max event time and the reported watermark are
+    non-decreasing batch over batch, and per-batch rows always sum to
+    the exact input volume — the invariants a monitoring agent alerts
+    on."""
+    from pyspark.sql import types as T
+
+    from ksql_query_tutorial_spark.streaming import replay as R
+    from ksql_query_tutorial_spark.streaming.observe import (
+        ProgressLog,
+        with_ingest_metrics,
+    )
+
+    n = 12
+    rows = [
+        {"k": f"u{i % 3}", "ts": f"2026-03-01 10:{i:02d}:00", "v": i}
+        for i in range(n)
+    ]
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+
+    def xform(src):
+        inst = with_ingest_metrics(
+            src.withColumn("ts", F.col("ts").cast("timestamp")),
+            name="ingest", key_col="k", ts_col="ts",
+        )
+        return (
+            inst.withWatermark("ts", "1 minute")
+            .groupBy("k").agg(F.sum("v").alias("total"))
+        )
+
+    log = ProgressLog()
+    spark.streams.addListener(log)
+    try:
+        q = R.replay(spark, rows, schema, xform, "sli_sink",
+                     output_mode="update", chunk_size=3)
+        q.awaitTermination(5)
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            seen = sum(
+                b["observed"]["ingest"]["rows"]
+                for b in log.batches if b["observed"].get("ingest")
+            )
+            if seen >= n:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(log)
+
+    data = [
+        b for b in log.batches
+        if b["observed"].get("ingest") and b["observed"]["ingest"]["rows"]
+    ]
+    data.sort(key=lambda b: b["batchId"])
+    assert sum(b["observed"]["ingest"]["rows"] for b in data) == n
+    # max event time is non-decreasing over an ordered source
+    maxes = [b["observed"]["ingest"]["max_ts"] for b in data]
+    assert all(a <= b for a, b in zip(maxes, maxes[1:])), maxes
+    # the engine's watermark never regresses
+    wms = [b["watermark"] for b in data if b["watermark"] is not None]
+    assert all(a <= b for a, b in zip(wms, wms[1:])), wms
+    # and within every batch the event-time span is well-formed
+    for b in data:
+        m = b["observed"]["ingest"]
+        assert m["min_ts"] <= m["max_ts"]
