@@ -37,42 +37,44 @@ _GATE_PRIORITY = [
     # Perennial family anchor: one LSH-dedup representative always in
     # the window.
     "dedup_minhash_lsh",
-    # r8 rotation (VERDICT r7 #1): ALL 19 remaining slots go to
-    # first-timers — queries with no driver round in r1–r7 — weighted
-    # toward families with zero prior driver exposure. Every name below
-    # was pre-verified this round (driver_sim at sf0.01, strict hash,
-    # >=1 row — see tests/test_driver_window.py for the standing
-    # non-degenerate guard): embedding analytics (embedding_pca_project,
-    # embedding_outliers, embedding_threshold_sweep,
-    # embedding_cos_histogram — the whole block was unchecked), the
-    # events long tail (events_scd2, events_ab_test, events_hll_users,
-    # events_markov, plus events_tombstone_state — the T2-upsert-lineage
-    # state query, 120 rows at sf0.01), retail decision-support
-    # (orders_shipping_priority — TPC-H Q3 analog, orders_basket,
-    # supplier_profit, nation_market_share), span_dedup (the r7
-    # scan-audit REWIRE deserves driver proof), graph_label_prop and
-    # graph_assortativity, privacy_generalization (the ADVICE-r6-fixed
-    # query), sample_weighted, and corpus_bpe_merges (heaviest corpus
-    # query, never driver-checked). The r7 rotation picks rotate out
-    # (lineitem_pricing_summary, supplier_lead_time,
-    # part_min_cost_supplier, mm_audio_windows, mm_frame_dedup,
-    # text_lang_confusion, text_readability, corpus_heaps, corpus_zipf,
-    # corpus_cms_counts, dedup_shingle_sweep, dedup_containment,
-    # dedup_levenshtein, graph_kcore, graph_clustering_coef,
-    # privacy_l_diversity, privacy_t_closeness, events_sessions,
-    # events_cusum — all strict-hash green in CORRECTNESS_r07 and still
-    # verified in-repo by tests/test_oracle.py every pytest run).
-    "embedding_pca_project", "embedding_outliers",
-    "embedding_threshold_sweep", "embedding_cos_histogram",
-    "events_scd2", "events_ab_test", "events_hll_users",
-    "events_markov", "events_tombstone_state",
-    "orders_shipping_priority", "orders_basket",
-    "supplier_profit", "nation_market_share",
-    "span_dedup",
-    "graph_label_prop", "graph_assortativity",
-    "privacy_generalization",
-    "sample_weighted",
-    "corpus_bpe_merges",
+    # r9 rotation (VERDICT r8 #1): ALL 19 remaining slots go to
+    # first-timers — queries with no driver round in r1–r8. The ten
+    # queries ADDED in r8 (gated in-repo but never driver-checked) take
+    # the first ten slots: graph link prediction + modularity, the
+    # events experimentation block (CUPED, ACF, type trend, entropy
+    # rate), the nearest-as-of join, and the ANN/dedup index-health
+    # trio (SQ8 quantization fidelity, IVF assignment skew, posting
+    # skew). The other nine spread across the families with the least
+    # driver exposure: text_code_detect (text), dedup_token_savings
+    # (dedup reporting), embedding_covariance (embedding analytics),
+    # corpus_vocab + corpus_heavy_hitters (corpus), events_gap_fill +
+    # events_salted_agg (events long tail — the salted-agg skew path
+    # deserves driver proof), orders_pareto (retail), and audit_benford
+    # (the audit family's first driver round). Every name below is
+    # pre-verified (driver_sim at sf0.01, strict hash; >=1 row via the
+    # standing guard in tests/test_driver_window.py). The r8 rotation
+    # picks rotate out (embedding_pca_project, embedding_outliers,
+    # embedding_threshold_sweep, embedding_cos_histogram, events_scd2,
+    # events_ab_test, events_hll_users, events_markov,
+    # events_tombstone_state, orders_shipping_priority, orders_basket,
+    # supplier_profit, nation_market_share, span_dedup,
+    # graph_label_prop, graph_assortativity, privacy_generalization,
+    # sample_weighted, corpus_bpe_merges — all strict-hash green in
+    # CORRECTNESS_r08 and still verified in-repo by tests/test_oracle.py
+    # every pytest run).
+    "graph_link_prediction", "graph_modularity",
+    "events_cuped", "events_acf",
+    "events_type_trend", "events_entropy_rate",
+    "asof_nearest_click",
+    "embedding_quantize_error", "embedding_assign_skew",
+    "dedup_posting_skew",
+    "text_code_detect",
+    "dedup_token_savings",
+    "embedding_covariance",
+    "corpus_vocab", "corpus_heavy_hitters",
+    "events_gap_fill", "events_salted_agg",
+    "orders_pareto",
+    "audit_benford",
     # Everything else stays outside the 50-slot window this round —
     # the full list is exactly set(queries()) minus the 50 above, and
     # every one of them runs against its DuckDB oracle under the
