@@ -1446,3 +1446,46 @@ EXTENSION_ORACLES["corpus_length_drift"] = f"""
                AS tv_distance
     FROM staged
 """
+
+
+# ------------------------------------------------ importance weights (r9)
+
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighting plan toward a uniform source mixture, with
+    the Kish effective-sample-size ratio quantifying the variance cost.
+    See corpus.sample_importance."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.sample_importance(d)
+
+
+EXTENSION_QUERIES["sample_importance"] = sample_importance
+
+
+EXTENSION_ORACLES["sample_importance"] = f"""
+    WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(SUM(CAST(len({_TOKS}) AS BIGINT)) AS BIGINT)
+                          AS n_tokens
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tok_total,
+                   count(*) AS n_sources,
+                   CAST(sum(n_docs) AS DOUBLE) AS doc_total
+            FROM per),
+    b AS (SELECT p.*,
+                 CAST(p.n_tokens AS DOUBLE) / t.tok_total AS corpus_share,
+                 1.0 / t.n_sources AS target_share,
+                 (1.0 / t.n_sources)
+                   / (CAST(p.n_tokens AS DOUBLE) / t.tok_total) AS weight,
+                 t.doc_total
+          FROM per p CROSS JOIN tot t),
+    k AS (SELECT sum(CAST(n_docs AS DOUBLE) * weight) AS sw,
+                 sum(CAST(n_docs AS DOUBLE) * weight * weight) AS sw2,
+                 CAST(sum(n_docs) AS DOUBLE) AS ndt
+          FROM b)
+    SELECT source, n_docs, n_tokens,
+           ROUND(corpus_share, 6) AS corpus_share,
+           ROUND(target_share, 6) AS target_share,
+           ROUND(weight, 6) AS weight,
+           ROUND(CAST(n_docs AS DOUBLE) * weight, 6) AS expected_mass,
+           ROUND(sw * sw / sw2 / ndt, 6) AS ess_ratio
+    FROM b CROSS JOIN k ORDER BY source
+"""

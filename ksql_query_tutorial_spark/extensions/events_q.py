@@ -1680,3 +1680,114 @@ EXTENSION_ORACLES["events_entropy_rate"] = """
     FROM pp CROSS JOIN tot
     ORDER BY prev_type
 """
+
+
+# ------------------------------------------------------- SPRT / MAD (r9)
+
+SPRT_P0 = 0.18
+SPRT_P1 = 0.22
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.05
+
+
+def events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential A/B test over the per-event conversion stream:
+    exact-integer prefix counts drive the log-likelihood walk, first
+    band exit = early-stopping decision. See analytics.sprt_conversion."""
+    from ksql_query_tutorial_spark.operators.analytics import sprt_conversion
+
+    e = load(spark, sf_dir, "events")
+    return sprt_conversion(
+        e, p0=SPRT_P0, p1=SPRT_P1, alpha=SPRT_ALPHA, beta=SPRT_BETA
+    )
+
+
+EXTENSION_QUERIES["events_sprt"] = events_sprt
+
+
+def _sprt_consts() -> tuple[str, str, str, str]:
+    import math
+
+    la = math.log(SPRT_P1 / SPRT_P0)
+    lb = math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+    upper = math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+    lower = math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+    return repr(la), repr(lb), repr(upper), repr(lower)
+
+
+_LA, _LB, _UP, _LO = _sprt_consts()
+
+
+EXTENSION_ORACLES["events_sprt"] = f"""
+    WITH e AS (SELECT (user_id % 1048573) * 2654435761 % 2 AS arm,
+                      ts, event_id,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+               FROM events),
+    c AS (SELECT arm, x,
+                 sum(x) OVER (PARTITION BY arm ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_c,
+                 count(*) OVER (PARTITION BY arm ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_n
+          FROM e),
+    l AS (SELECT arm, cum_n,
+                 CAST(cum_c AS DOUBLE) * {_LA}
+                 + CAST(cum_n - cum_c AS DOUBLE) * {_LB} AS llr
+          FROM c),
+    x AS (SELECT arm, min(cum_n) AS first_cross_n,
+                 arg_min(llr, cum_n) AS llr_at
+          FROM l WHERE llr >= {_UP} OR llr <= {_LO} GROUP BY arm),
+    tot AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(x) AS BIGINT) AS n_conversions
+            FROM e GROUP BY arm)
+    SELECT t.arm, n_events, n_conversions,
+           ROUND(CAST(n_conversions AS DOUBLE) * {_LA}
+                 + CAST(n_events - n_conversions AS DOUBLE) * {_LB}, 6)
+             AS llr_final,
+           CAST(COALESCE(first_cross_n, 0) AS BIGINT) AS first_cross_n,
+           CASE WHEN llr_at >= {_UP} THEN 'accept_h1'
+                WHEN llr_at <= {_LO} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM tot t LEFT JOIN x USING (arm)
+    ORDER BY arm
+"""
+
+
+MAD_Z_THRESHOLD = 3.0
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily volume anomaly flags per event type (median/MAD
+    z-scores — outlier-immune spread). See analytics.mad_anomalies."""
+    from ksql_query_tutorial_spark.operators.analytics import mad_anomalies
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return mad_anomalies(e, z_threshold=MAD_Z_THRESHOLD)
+
+
+EXTENSION_QUERIES["events_anomaly_mad"] = events_anomaly_mad
+
+
+EXTENSION_ORACLES["events_anomaly_mad"] = f"""
+    WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM daily GROUP BY 1),
+    dev AS (SELECT d.event_type, d.day, d.n, m.med,
+                   abs(CAST(d.n AS DOUBLE) - m.med) AS ad
+            FROM daily d JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_type, d.day, d.n,
+           ROUND(d.med, 6) AS med,
+           ROUND(m.mad, 6) AS mad,
+           ROUND(CASE WHEN m.mad > 0
+                      THEN (CAST(d.n AS DOUBLE) - d.med) / (1.4826 * m.mad)
+                      ELSE 0.0 END, 6) AS robust_z,
+           abs(CASE WHEN m.mad > 0
+                    THEN (CAST(d.n AS DOUBLE) - d.med) / (1.4826 * m.mad)
+                    ELSE 0.0 END) > {MAD_Z_THRESHOLD} AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    ORDER BY d.event_type, d.day
+"""

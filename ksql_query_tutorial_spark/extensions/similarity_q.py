@@ -954,3 +954,47 @@ EXTENSION_ORACLES["embedding_assign_skew"] = f"""
     FROM c, t
     GROUP BY 1, total ORDER BY 1
 """.format(k=N_ASSIGN_CLUSTERS)
+
+
+# ---------------------------------------------------- silhouette (r9)
+
+def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette audit (centroid form) under the
+    deterministic k-smallest-ids assignment — the separation health
+    check over the same fixed centroids as embedding_cluster_assign.
+    See similarity.silhouette."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.silhouette(e, n_clusters=N_ASSIGN_CLUSTERS)
+
+
+EXTENSION_QUERIES["embedding_silhouette"] = embedding_silhouette
+
+
+EXTENSION_ORACLES["embedding_silhouette"] = f"""
+    WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+               FROM embeddings ORDER BY vec_id LIMIT {N_ASSIGN_CLUSTERS}),
+    s AS (SELECT e.vec_id, c.cid,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv) AS cos
+          FROM embeddings e CROSS JOIN c),
+    r AS (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM s),
+    pv AS (SELECT a.vec_id, a.cid AS cluster_id,
+                  1.0 - a.cos AS a, 1.0 - b.cos AS b
+           FROM r a JOIN r b ON a.vec_id = b.vec_id
+           WHERE a.rn = 1 AND b.rn = 2),
+    q AS (SELECT cluster_id,
+                 CAST(floor((CASE WHEN greatest(a, b) > 0
+                                  THEN (b - a) / greatest(a, b)
+                                  ELSE 0.0 END) * 1000000.0 + 0.5)
+                      AS BIGINT) AS sq,
+                 CAST(floor(a * 1000000.0 + 0.5) AS BIGINT) AS aq,
+                 CAST(floor(b * 1000000.0 + 0.5) AS BIGINT) AS bq
+          FROM pv)
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(sum(sq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_sil,
+           ROUND(CAST(sum(aq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_a,
+           ROUND(CAST(sum(bq) AS DOUBLE) / count(*) / 1e6, 6) AS mean_b
+    FROM q GROUP BY 1 ORDER BY 1
+"""

@@ -2740,3 +2740,190 @@ def entropy_rate(
         )
         .orderBy("prev_type")
     )
+
+
+def sprt_conversion(
+    events: DataFrame,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Wald sequential probability ratio test (SPRT) per experiment
+    arm: walk the event stream in time order and accumulate the
+    Bernoulli log-likelihood ratio of "this event converts" under
+    H1 (rate ``p1``) vs H0 (rate ``p0``); the test stops the moment the
+    walk exits the ``[ln(beta/(1-alpha)), ln((1-beta)/alpha)]`` band —
+    the always-valid early-stopping readout a batch z-test
+    (``ab_test_conversion``) cannot give. Arms use the repo's portable
+    hash bucketing (stable under re-runs and late events).
+
+    Numeric reproducibility: the increment takes only two values
+    (``la = ln(p1/p0)`` on conversion, ``lb = ln((1-p1)/(1-p0))``
+    otherwise), so the walk is derived from EXACT integer prefix
+    counts — ``llr_n = conv_n*la + (n-conv_n)*lb`` — one multiply+add
+    on identical integers in any engine, instead of a float cumsum
+    whose rounding path could flip a boundary comparison.
+
+    Scale design: the prefix counts use the hierarchical pattern
+    (``pack_sequences`` precedent) — intra-hour window partitioned by
+    (arm, hour) runs parallel across the calendar, per-hour totals
+    (a tiny |arms|·|hours| frame) carry the running offset, broadcast
+    back. No single-reducer global sort at any corpus size; a live
+    deployment runs the same integer-count recurrence incrementally in
+    the streaming layer.
+
+    Returns one row per arm: ``arm, n_events, n_conversions,
+    llr_final, first_cross_n, decision`` (``first_cross_n`` = 0 when
+    the walk never left the band; decision ∈ accept_h1 / accept_h0 /
+    continue).
+    """
+    import math
+
+    la = math.log(p1 / p0)
+    lb = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+
+    arm = ((F.col(user_col) % 1048573) * 2654435761 % 2).cast("int")
+    base = events.select(
+        arm.alias("arm"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__eid"),
+        F.when(F.col(type_col) == conversion_type, F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("__x"),
+        F.date_trunc("hour", F.col(ts_col)).alias("__blk"),
+    )
+
+    intra = (
+        Window.partitionBy("arm", "__blk")
+        .orderBy("__ts", "__eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = base.select(
+        "arm", "__blk", "__x",
+        F.sum("__x").over(intra).alias("__lc"),
+        F.count(F.lit(1)).over(intra).alias("__ln"),
+    )
+
+    blk_w = (
+        Window.partitionBy("arm").orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy("arm", "__blk")
+        .agg(F.sum("__x").alias("__bc"), F.count(F.lit(1)).alias("__bn"))
+        .select(
+            "arm", "__blk",
+            F.coalesce(F.sum("__bc").over(blk_w), F.lit(0)).alias("__oc"),
+            F.coalesce(F.sum("__bn").over(blk_w), F.lit(0)).alias("__on"),
+        )
+    )
+
+    cum = local.join(F.broadcast(offsets), ["arm", "__blk"]).select(
+        "arm",
+        (F.col("__oc") + F.col("__lc")).alias("cum_c"),
+        (F.col("__on") + F.col("__ln")).alias("cum_n"),
+    )
+    llr = (
+        F.col("cum_c").cast("double") * F.lit(la)
+        + (F.col("cum_n") - F.col("cum_c")).cast("double") * F.lit(lb)
+    )
+    crossings = (
+        cum.withColumn("__llr", llr)
+        .filter((F.col("__llr") >= upper) | (F.col("__llr") <= lower))
+        .groupBy("arm")
+        .agg(
+            F.min("cum_n").alias("first_cross_n"),
+            F.expr("min_by(__llr, cum_n)").alias("__llr_at"),
+        )
+    )
+
+    totals = base.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("__x").cast("long").alias("n_conversions"),
+    )
+    return (
+        totals.join(crossings, "arm", "left")
+        .select(
+            "arm",
+            "n_events",
+            "n_conversions",
+            F.round(
+                F.col("n_conversions").cast("double") * F.lit(la)
+                + (F.col("n_events") - F.col("n_conversions")).cast("double")
+                * F.lit(lb),
+                6,
+            ).alias("llr_final"),
+            F.coalesce(F.col("first_cross_n"), F.lit(0))
+            .cast("long").alias("first_cross_n"),
+            F.when(F.col("__llr_at") >= upper, F.lit("accept_h1"))
+            .when(F.col("__llr_at") <= lower, F.lit("accept_h0"))
+            .otherwise(F.lit("continue")).alias("decision"),
+        )
+        .orderBy("arm")
+    )
+
+
+def mad_anomalies(
+    events: DataFrame,
+    z_threshold: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Robust volume-anomaly detection: flag days whose event count
+    sits more than ``z_threshold`` robust standard deviations from the
+    per-type median, with spread estimated by the median absolute
+    deviation (MAD · 1.4826 ≈ σ under normality). Median/MAD ignore
+    the outliers they hunt — the property a mean/stddev z-score lacks
+    (one bot spike inflates σ and masks itself; the events_cusum
+    change-point walk is the complementary sequential view).
+
+    Scale design: the daily rollup collapses the raw stream to a
+    |types|·|days| frame in ONE partial-aggregated exchange; both
+    percentile passes and the flag join run on that tiny frame.
+    Exact interpolated percentiles (not approx) keep the oracle
+    strict; at 100 TB the rollup output is still calendar-bounded.
+
+    Returns one row per (event_type, day): ``event_type, day, n,
+    med, mad, robust_z, is_anomaly`` (z rounded 6; z = 0 when MAD = 0).
+    """
+    daily = (
+        events.groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "__ad", F.abs(F.col("n").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("__ad", F.lit(0.5)).alias("mad")
+    )
+    z = F.when(
+        F.col("mad") > 0,
+        (F.col("n").cast("double") - F.col("med"))
+        / (F.lit(1.4826) * F.col("mad")),
+    ).otherwise(F.lit(0.0))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.round(z, 6).alias("robust_z"),
+            (F.abs(z) > z_threshold).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -2358,3 +2358,92 @@ def feature_hash_signature(
         )
         .orderBy("doc_id")
     )
+
+
+def sample_importance(
+    df: DataFrame,
+    target_shares: dict[str, float] | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Importance-weighting plan for domain rebalancing: per-source
+    weights ``w_s = target_share / corpus_share`` (token shares) that
+    re-tilt the corpus toward a declared target mixture WITHOUT
+    dropping data — the reweight-at-loss alternative to
+    :func:`mix_budget`'s sample-and-discard plan. ``target_shares``
+    defaults to uniform across observed sources. The effective sample
+    size ``ESS = (Σw)²/Σw²`` (Kish) quantifies the variance cost: an
+    aggressive re-tilt can leave a 1B-doc corpus with the statistical
+    power of far fewer — the go/no-go number for reweighting vs
+    recollecting.
+
+    Scale design: ONE partial-aggregated rollup to a |sources|-row
+    frame; weights, per-source expected mass, and the Kish ratio are
+    closed-form arithmetic on that frame (ESS needs only Σ n_s·w_s and
+    Σ n_s·w_s² because the weight is constant within a source — no
+    second pass over the corpus).
+
+    Returns one row per source: ``source, n_docs, n_tokens,
+    corpus_share, target_share, weight, expected_mass, ess_ratio``
+    (shares/weights rounded 6; ``ess_ratio`` — the corpus-wide
+    ESS / n_docs, identical on every row by construction — lets a
+    single-row consumer read the headline without a second query).
+    """
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+    if target_shares is None:
+        tgt = None
+    else:
+        tgt = F.lit(0.0)
+        for s, w in sorted(target_shares.items()):
+            tgt = F.when(F.col("source") == s, F.lit(float(w))).otherwise(tgt)
+    totals = per_source.groupBy().agg(
+        F.sum("n_tokens").alias("__tok_total"),
+        F.count(F.lit(1)).alias("__n_sources"),
+        F.sum("n_docs").alias("__doc_total"),
+    )
+    base = per_source.crossJoin(F.broadcast(totals)).withColumn(
+        "corpus_share",
+        F.col("n_tokens").cast("double") / F.col("__tok_total").cast("double"),
+    ).withColumn(
+        "target_share",
+        tgt if tgt is not None
+        else F.lit(1.0) / F.col("__n_sources").cast("double"),
+    ).withColumn(
+        "weight", F.col("target_share") / F.col("corpus_share")
+    )
+    # Kish ESS over docs: weights constant within source, so the doc
+    # sums collapse to source-level closed form.
+    nd = F.col("n_docs").cast("double")
+    kish = base.groupBy().agg(
+        F.sum(nd * F.col("weight")).alias("__sw"),
+        F.sum(nd * F.col("weight") * F.col("weight")).alias("__sw2"),
+        F.sum("n_docs").alias("__nd"),
+    )
+    return (
+        base.crossJoin(F.broadcast(kish))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("corpus_share", 6).alias("corpus_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round("weight", 6).alias("weight"),
+            F.round(nd * F.col("weight"), 6).alias("expected_mass"),
+            F.round(
+                (F.col("__sw") * F.col("__sw"))
+                / F.col("__sw2") / F.col("__nd").cast("double"),
+                6,
+            ).alias("ess_ratio"),
+        )
+        .orderBy("source")
+    )

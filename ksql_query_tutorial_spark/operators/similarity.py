@@ -1646,3 +1646,104 @@ def quantization_error(
     return withq.select(
         "id", F.round(cos, 6).alias("q8_cosine")
     ).orderBy("id")
+
+
+def silhouette(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster silhouette audit under the deterministic
+    nearest-centroid assignment (:func:`cluster_assign`'s fixed
+    centroids — the k smallest ids; zero RNG): for each vector,
+    ``a`` = cosine distance to its own centroid, ``b`` = distance to
+    the nearest OTHER centroid, ``s = (b-a)/max(a,b)`` — the standard
+    separation score (simplified/centroid form, the O(n·k) variant
+    production uses; the textbook O(n²) pairwise form is a
+    scale-killer by construction). Clusters with mean ``s`` near 0
+    overlap their neighbor — the "merge or re-train" signal an
+    embedding-index health check alerts on.
+
+    Scale design: same bounded plan as ``cluster_assign`` — k
+    centroids collected once and broadcast; the nested-loop join's
+    k-per-row fan-out collapses back to one k-element struct array per
+    vector by map-side ``collect_list`` partials BEFORE the single
+    exchange (k = cluster count, a constant — the array is
+    size-bounded, never data-sized). Per-cluster means
+    aggregate micro-unit integers (``floor(s·1e6 + 0.5)``): exact
+    order-independent sums (decimal partials), so the oracle's
+    parallel scan reproduces the hash bit-for-bit (the
+    ``_ols_tail_sql`` precedent).
+
+    Returns one row per cluster: ``cluster_id, n_vectors, mean_sil,
+    mean_a, mean_b`` (means rounded 6).
+    """
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_clusters)
+        .collect()
+    )
+    cent = spark.createDataFrame(
+        [(int(r[0]), [float(x) for x in r[1]]) for r in cent_rows],
+        schema="cid long, cv array<double>",
+    ).withColumn("cn", F.greatest(l2_norm(F.col("cv")), F.lit(1e-30)))
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("vn", F.greatest(l2_norm(F.col("v")), F.lit(1e-30)))
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn")))
+        .alias("cos"),
+    )
+    # top-2 cosines per vector in one bounded pass: collect the k
+    # (cos, -cid, cid) structs (k is the CLUSTER count — constant,
+    # never data-sized) and sort descending, so [0] is the argmax with
+    # ties to the smaller cid (the cluster_assign convention) and [1]
+    # the nearest-other runner-up
+    per_vec = scored.groupBy("vec_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("cos").alias("c"),
+                    (-F.col("cid")).alias("t"),
+                    F.col("cid").alias("cid"),
+                )
+            ),
+            asc=False,
+        ).alias("ranked")
+    )
+    a = F.lit(1.0) - F.col("ranked")[0]["c"]
+    b = F.lit(1.0) - F.col("ranked")[1]["c"]
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    q = lambda c: F.floor(c * F.lit(10**6) + F.lit(0.5)).cast("long")  # noqa: E731
+    per_vec_q = per_vec.select(
+        F.col("ranked")[0]["cid"].alias("cluster_id"),
+        q(s).alias("__sq"),
+        q(a).alias("__aq"),
+        q(b).alias("__bq"),
+    )
+    n = F.col("n_vectors").cast("double")
+    return (
+        per_vec_q.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("__sq").cast("double").alias("__ss"),
+            F.sum("__aq").cast("double").alias("__sa"),
+            F.sum("__bq").cast("double").alias("__sb"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.round(F.col("__ss") / n / 1e6, 6).alias("mean_sil"),
+            F.round(F.col("__sa") / n / 1e6, 6).alias("mean_a"),
+            F.round(F.col("__sb") / n / 1e6, 6).alias("mean_b"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -4623,3 +4623,210 @@ def test_entropy_rate_deterministic_and_uniform(spark):
     n_a, n_b, n_c = 8, 4, 4
     expect_rate = (n_a * math.log(2)) / (n_a + n_b + n_c)
     assert out2["A"]["rate_total"] == round(expect_rate, 6)
+
+
+def test_sprt_closed_form_walk(spark):
+    """sprt_conversion: a hand-built stream whose walk is computed by
+    hand. Users 0,2 hash to arm 0 and 1,3 to arm 1 (the repo's
+    multiplicative bucketing). With p0=0.2, p1=0.4, alpha=beta=0.1:
+    la=ln(2), lb=ln(0.75), upper=ln(9), lower=-ln(9). Arm 0 gets 5
+    straight conversions: llr after n = n·ln2 crosses ln(9)≈2.197 at
+    n=4 (4·0.693=2.772) → accept_h1 at first_cross_n=4. Arm 1 gets 3
+    non-conversions: llr = 3·ln(0.75) ≈ −0.863, never crosses →
+    continue, first_cross_n=0."""
+    import math
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import sprt_conversion
+
+    arm_of = lambda u: (u % 1048573) * 2654435761 % 2  # noqa: E731
+    assert [arm_of(u) for u in (0, 1, 2, 3)] == [0, 1, 0, 1]
+    rows = []
+    eid = 0
+    for i in range(5):  # arm 0: all purchases
+        rows.append((datetime(2026, 1, 1, 10, i), eid, 0 if i % 2 == 0 else 2,
+                     "purchase"))
+        eid += 1
+    for i in range(3):  # arm 1: all clicks
+        rows.append((datetime(2026, 1, 1, 11, i), eid, 1 if i % 2 == 0 else 3,
+                     "click"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long, event_type string"
+    )
+    out = {r["arm"]: r for r in sprt_conversion(
+        df, p0=0.2, p1=0.4, alpha=0.1, beta=0.1
+    ).collect()}
+    a0, a1 = out[0], out[1]
+    assert (a0["n_events"], a0["n_conversions"]) == (5, 5)
+    assert a0["decision"] == "accept_h1"
+    assert a0["first_cross_n"] == 4
+    assert a0["llr_final"] == round(5 * math.log(2.0), 6)
+    assert (a1["n_events"], a1["n_conversions"]) == (3, 0)
+    assert a1["decision"] == "continue"
+    assert a1["first_cross_n"] == 0
+    assert a1["llr_final"] == round(3 * math.log(0.75), 6)
+
+
+def test_sprt_hierarchical_equals_global_window(spark):
+    """sprt_conversion's hierarchical prefix sum must equal a plain
+    global cumulative window: same events split across hour blocks,
+    crossing index invariant."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import sprt_conversion
+
+    base = datetime(2026, 1, 1, 0, 0)
+    # 40 events for one arm spread over 7 hours, conversion every 3rd
+    rows = [
+        (base + timedelta(minutes=11 * i), i, 0,
+         "purchase" if i % 3 == 0 else "view")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_id long, user_id long, event_type string"
+    )
+    got = {r["arm"]: r for r in sprt_conversion(
+        df, p0=0.2, p1=0.5, alpha=0.05, beta=0.05
+    ).collect()}[0]
+    # replicate with a driver-side exact walk
+    import math
+
+    la, lb = math.log(0.5 / 0.2), math.log(0.5 / 0.8)
+    up, lo = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    llr, first, dec = 0.0, 0, "continue"
+    c = 0
+    for n, (_, _, _, et) in enumerate(rows, start=1):
+        c += et == "purchase"
+        llr = c * la + (n - c) * lb
+        if first == 0 and (llr >= up or llr <= lo):
+            first, dec = n, "accept_h1" if llr >= up else "accept_h0"
+    assert got["first_cross_n"] == first
+    assert got["decision"] == dec
+    assert got["llr_final"] == round(llr, 6)
+
+
+def test_mad_anomalies_planted_spike(spark):
+    """mad_anomalies: 9 calm days (counts 10 or 12) plus one 100-event
+    spike — the spike is the only flagged day, and its robust z
+    matches the hand-computed MAD form; a constant-volume type has
+    MAD 0 and z defined as 0 (never NULL/inf)."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import mad_anomalies
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = datetime(2026, 2, 1)
+    rows = []
+    counts = [10, 12, 10, 12, 10, 12, 10, 12, 10, 100]
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((base + timedelta(days=d, hours=1), eid, "click"))
+            eid += 1
+    for d in range(5):  # constant-volume type: MAD = 0
+        for _ in range(7):
+            rows.append((base + timedelta(days=d, hours=2), eid, "view"))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp, event_id long, event_type string")
+    out = mad_anomalies(df, z_threshold=3.0).collect()
+    clicks = [r for r in out if r["event_type"] == "click"]
+    flagged = [r for r in clicks if r["is_anomaly"]]
+    # median of counts = 11, abs devs = [1]*9 + [89] -> MAD = 1
+    assert len(flagged) == 1 and flagged[0]["n"] == 100
+    assert flagged[0]["med"] == 11.0 and flagged[0]["mad"] == 1.0
+    assert flagged[0]["robust_z"] == round(89 / 1.4826, 6)
+    views = [r for r in out if r["event_type"] == "view"]
+    assert all(r["mad"] == 0.0 and r["robust_z"] == 0.0
+               and not r["is_anomaly"] for r in views)
+
+
+def test_wait_fault_isolates_sole_late_supplier(spark):
+    """supplier_wait_fault: order 1 has suppliers 10 (late) and 20
+    (on time) -> supplier 10 faulted; order 2 has both late -> nobody
+    faulted; order 3 is single-supplier late -> excluded (demand, not
+    fault); order 4 all on-time -> nothing."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.retail import supplier_wait_fault
+
+    d0 = datetime(2026, 1, 1)
+    late = datetime(2026, 6, 1)    # 151 days
+    ok = datetime(2026, 1, 15)     # 14 days
+    orders = spark.createDataFrame(
+        [(1, d0), (2, d0), (3, d0), (4, d0)],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 10, late), (1, 20, ok),
+            (2, 10, late), (2, 20, late),
+            (3, 10, late),
+            (4, 10, ok), (4, 20, ok),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(10, "Supplier#10"), (20, "Supplier#20")],
+        "s_suppkey long, s_name string",
+    )
+    out = supplier_wait_fault(orders, li, supp, late_days=90).collect()
+    assert [(r["s_suppkey"], r["numwait"]) for r in out] == [(10, 1)]
+
+
+def test_silhouette_separated_vs_overlapping(spark):
+    """silhouette: two tight, orthogonal clusters score near 1; a
+    vector exactly between the two centroids scores 0 (a == b)."""
+    from ksql_query_tutorial_spark.operators.similarity import silhouette
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),            # the 2 centroids
+        (2, [10.0, 0.0]), (3, [8.0, 0.0]),           # cluster 0, cos 1
+        (4, [0.0, 5.0]), (5, [0.0, 7.0]),            # cluster 1, cos 1
+        (6, [3.0, 3.0]),                             # equidistant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cluster_id"]: r for r in silhouette(df, n_clusters=2).collect()}
+    # cluster 0 members: ids 0,2,3 and the tie-broken id 6 (a == b ->
+    # argmax ties to smaller cid) -> mean_a = 0.29... dominated by id 6
+    assert set(out) == {0, 1}
+    c1 = out[1]
+    assert c1["n_vectors"] == 3  # ids 1, 4, 5
+    assert c1["mean_a"] == 0.0 and c1["mean_sil"] == 1.0
+    c0 = out[0]
+    assert c0["n_vectors"] == 4
+    # id 6: a = b = 1 - cos(45 deg) -> s = 0; others s = 1
+    assert c0["mean_sil"] == 0.75
+
+
+def test_sample_importance_uniform_target(spark):
+    """sample_importance: two sources with a 3:1 token imbalance get
+    weights 2/3·(total/tokens) -> 2/3 / (3/4) and 2/3·... computed by
+    hand; equal-weight corpus has ess_ratio 1."""
+    rows = [
+        (0, "a b c", "big"), (1, "d e f", "big"), (2, "g h i", "big"),
+        (3, "j k l", "small"),
+    ]
+    from ksql_query_tutorial_spark.operators.corpus import sample_importance
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in sample_importance(df).collect()}
+    big, small = out["big"], out["small"]
+    assert (big["n_docs"], big["n_tokens"]) == (3, 9)
+    assert big["corpus_share"] == 0.75 and big["target_share"] == 0.5
+    assert big["weight"] == round(0.5 / 0.75, 6)
+    assert small["weight"] == round(0.5 / 0.25, 6)
+    # ESS = (3·2/3 + 1·2)² / (3·(2/3)² + 1·2²) / 4 = 16/(16/3)/4
+    assert big["ess_ratio"] == round(16.0 / (16.0 / 3.0) / 4.0, 6)
+    assert big["ess_ratio"] == small["ess_ratio"]
+
+
+def test_sample_importance_balanced_corpus_is_identity(spark):
+    """A perfectly balanced corpus needs no reweighting: every weight
+    is 1 and the ESS ratio is exactly 1."""
+    from ksql_query_tutorial_spark.operators.corpus import sample_importance
+
+    rows = [(0, "a b", "x"), (1, "c d", "y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sample_importance(df).collect()
+    assert all(r["weight"] == 1.0 and r["ess_ratio"] == 1.0 for r in out)
