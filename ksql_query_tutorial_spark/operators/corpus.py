@@ -2389,6 +2389,11 @@ def sample_importance(
     ESS / n_docs, identical on every row by construction — lets a
     single-row consumer read the headline without a second query).
     """
+    # eager localCheckpoint: the |sources|-row rollup is consumed by
+    # THREE downstream frames (totals, the Kish moments, and the final
+    # projection) — without materialization each re-executes the full
+    # corpus tokenization scan (the expr-dup gate caught 4 scans; the
+    # assign_skew/modularity convention applies: tiny frame, one job).
     per_source = (
         df.select(
             F.col(source_col).alias("source"),
@@ -2399,6 +2404,7 @@ def sample_importance(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("__t").cast("long").alias("n_tokens"),
         )
+        .localCheckpoint()
     )
     if target_shares is None:
         tgt = None

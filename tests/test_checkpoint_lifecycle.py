@@ -45,6 +45,7 @@ CHECKPOINT_SWEEP = [
     "embedding_pca_power",
     "embedding_assign_skew",
     "dedup_clusters",
+    "sample_importance",
     # NOT range_orders_90d / asof queries: range_join checkpoints only
     # on how="left" (the __lid-correlation materialization), and every
     # declared query drives the inner path — nothing to reclaim.
