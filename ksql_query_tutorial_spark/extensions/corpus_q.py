@@ -1489,3 +1489,50 @@ EXTENSION_ORACLES["sample_importance"] = f"""
            ROUND(sw * sw / sw2 / ndt, 6) AS ess_ratio
     FROM b CROSS JOIN k ORDER BY source
 """
+
+
+# ------------------------------------------------ Kneser-Ney (r9)
+
+KN_DISCOUNT = 0.75
+KN_MIN_COUNT = 3
+
+
+def corpus_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities from exact corpus
+    counts (continuation-count smoothing — the KenLM scheme raw
+    relative frequency lacks). See corpus.kn_bigram."""
+    d = load(spark, sf_dir, "documents")
+    return corpus.kn_bigram(d, discount=KN_DISCOUNT, min_count=KN_MIN_COUNT)
+
+
+EXTENSION_QUERIES["corpus_kn_bigram"] = corpus_kn_bigram
+
+
+EXTENSION_ORACLES["corpus_kn_bigram"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bgl AS (SELECT CASE WHEN len(toks) >= 2 THEN
+                     list_transform(range(1, len(toks)),
+                                    i -> [toks[i], toks[i+1]])
+                   ELSE [] END AS bs
+            FROM t),
+    pairs AS (SELECT unnest(bs) AS b FROM bgl),
+    big AS (SELECT b[1] AS w1, b[2] AS w2,
+                   CAST(count(*) AS BIGINT) AS c12
+            FROM pairs GROUP BY 1, 2),
+    lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1p_fw
+            FROM big GROUP BY 1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw
+             FROM big GROUP BY 1),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM big)
+    SELECT b.w1, b.w2, c12,
+           ROUND(greatest(CAST(c12 AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+                   / CAST(c1 AS DOUBLE)
+                 + {KN_DISCOUNT} * CAST(n1p_fw AS DOUBLE)
+                   / CAST(c1 AS DOUBLE)
+                   * (CAST(n1p_bw AS DOUBLE) / CAST(n_types AS DOUBLE)),
+                 6) AS p_kn
+    FROM big b JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN nt
+    WHERE c12 >= {KN_MIN_COUNT}
+    ORDER BY w1, w2
+"""

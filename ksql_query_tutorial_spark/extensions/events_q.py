@@ -1791,3 +1791,73 @@ EXTENSION_ORACLES["events_anomaly_mad"] = f"""
     FROM dev d JOIN mad m USING (event_type)
     ORDER BY d.event_type, d.day
 """
+
+
+# -------------------------------------------- diff-in-diff (r9)
+
+DID_SPLIT = "2024-01-16 00:00:00"
+
+
+def events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over purchase values with a
+    mid-window intervention split — the quasi-experimental estimate
+    under parallel trends. See analytics.did_effect."""
+    from ksql_query_tutorial_spark.operators.analytics import did_effect
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load(spark, sf_dir, "events")
+    return did_effect(e, split_ts=DID_SPLIT)
+
+
+EXTENSION_QUERIES["events_did"] = events_did
+
+
+def _did_cells_sql() -> str:
+    parts = []
+    for a, p, nm in ((0, 0, "a_pre"), (0, 1, "a_post"),
+                     (1, 0, "b_pre"), (1, 1, "b_post")):
+        cond = f"arm = {a} AND post = {p}"
+        parts += [
+            f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{nm}",
+            f"sum(CASE WHEN {cond} THEN q ELSE 0 END) AS s_{nm}",
+            f"sum(CASE WHEN {cond} THEN q * q ELSE 0 END) AS s2_{nm}",
+        ]
+    return ",\n                 ".join(parts)
+
+
+def _did_tail_sql() -> str:
+    def mean(nm: str) -> str:
+        return (f"CAST(s_{nm} AS DOUBLE) / CAST(n_{nm} AS DOUBLE)"
+                f" / 1000000.0")
+
+    def von(nm: str) -> str:
+        m = mean(nm)
+        n = f"CAST(n_{nm} AS DOUBLE)"
+        return (f"(CAST(s2_{nm} AS DOUBLE) / 1000000000000.0"
+                f" - {n} * ({m}) * ({m})) / ({n} - 1.0) / {n}")
+
+    did = (f"(({mean('b_post')}) - ({mean('b_pre')}))"
+           f" - (({mean('a_post')}) - ({mean('a_pre')}))")
+    se = (f"sqrt({von('a_pre')} + {von('a_post')}"
+          f" + {von('b_pre')} + {von('b_post')})")
+    cols = [f"n_{nm}" for nm in ("a_pre", "a_post", "b_pre", "b_post")]
+    cols += [f"ROUND({mean(nm)}, 6) AS mean_{nm}"
+             for nm in ("a_pre", "a_post", "b_pre", "b_post")]
+    cols += [f"ROUND({did}, 6) AS did",
+             f"ROUND({se}, 6) AS se",
+             f"ROUND(({did}) / ({se}), 6) AS t"]
+    return ",\n           ".join(cols)
+
+
+EXTENSION_ORACLES["events_did"] = f"""
+    WITH c AS (SELECT (user_id % 1048573) * 2654435761 % 2 AS arm,
+                      CASE WHEN ts >= TIMESTAMP '{DID_SPLIT}'
+                           THEN 1 ELSE 0 END AS post,
+                      CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS q
+               FROM events WHERE event_type = 'purchase'),
+    w AS (SELECT {_did_cells_sql()}
+          FROM c)
+    SELECT {_did_tail_sql()}
+    FROM w
+"""

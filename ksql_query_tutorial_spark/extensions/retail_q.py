@@ -1939,3 +1939,52 @@ EXTENSION_ORACLES["supplier_wait_fault"] = f"""
     FROM f JOIN supplier ON l_suppkey = s_suppkey
     ORDER BY s_suppkey
 """
+
+
+# ---------------------------------------------- Wilson ranking (r9)
+
+ON_TIME_DAYS = 45
+_WZ = 1.959963984540054
+_WZ2 = repr(_WZ * _WZ)
+
+
+def supplier_on_time_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time rate ranked by the Wilson lower bound (the
+    small-sample-correct ranking). See retail.on_time_wilson."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    return retail.on_time_wilson(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        on_time_days=ON_TIME_DAYS,
+        z=_WZ,
+    )
+
+
+EXTENSION_QUERIES["supplier_on_time_wilson"] = supplier_on_time_wilson
+
+
+EXTENSION_ORACLES["supplier_on_time_wilson"] = f"""
+    WITH j AS (SELECT l_suppkey,
+                      CASE WHEN date_diff('day', o_orderdate::DATE,
+                                          l_shipdate::DATE)
+                                <= {ON_TIME_DAYS}
+                           THEN 1 ELSE 0 END AS ot
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    per AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(ot) AS BIGINT) AS n_ontime
+            FROM j GROUP BY 1),
+    calc AS (SELECT *,
+                    CAST(n_ontime AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+                    CAST(n_lines AS DOUBLE) AS n
+             FROM per)
+    SELECT s_suppkey, s_name, n_lines, n_ontime,
+           ROUND(p, 6) AS rate,
+           ROUND((p + {_WZ2} / (2.0 * n)
+                  - {_WZ!r} * sqrt(p * (1.0 - p) / n
+                                   + {_WZ2} / (4.0 * n * n)))
+                 / (1.0 + {_WZ2} / n), 6) AS wilson_lb
+    FROM calc JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY s_suppkey
+"""

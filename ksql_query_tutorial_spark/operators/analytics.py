@@ -2927,3 +2927,98 @@ def mad_anomalies(
         )
         .orderBy("event_type", "day")
     )
+
+
+def did_effect(
+    events: DataFrame,
+    split_ts: str,
+    metric_type: str = "purchase",
+    value_col: str = "value",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Difference-in-differences readout: per (arm, period) mean of the
+    metric value with period = before/after ``split_ts``, and the DiD
+    estimate ``(B_post − B_pre) − (A_post − A_pre)`` with its pooled
+    standard error — the quasi-experimental effect estimate when only
+    arm B received the change at ``split_ts`` (parallel-trends
+    assumption; complements cuped_ab_effect's variance reduction and
+    sprt_conversion's sequential stopping).
+
+    Numeric reproducibility: per-cell moments accumulate MICRO-UNIT
+    INTEGERS (``floor(v·1e6 + 0.5)``, decimal(38,0) partials — the
+    ``_ols_tail_sql`` convention), so sums are order-independent and
+    the derived means/variances are bit-identical in any engine.
+
+    Scale design: one partial-aggregated rollup to FOUR cells; all
+    statistics are closed-form arithmetic on that single wide row.
+
+    Returns one row: ``n_{a,b}_{pre,post}, mean_{a,b}_{pre,post},
+    did, se, t`` (floats rounded 6).
+    """
+    arm = ((F.col(user_col) % 1048573) * 2654435761 % 2).cast("int")
+    post = (F.col(ts_col) >= F.lit(split_ts).cast("timestamp")).cast("int")
+    q = F.floor(F.col(value_col) * F.lit(1e6) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    cells = (
+        events.filter(F.col(type_col) == metric_type)
+        .select(arm.alias("__arm"), post.alias("__post"), q.alias("__q"))
+    )
+
+    def _cell(a: int, p: int, agg):
+        cond = (F.col("__arm") == a) & (F.col("__post") == p)
+        return agg(cond)
+
+    def _n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    def _s(cond):
+        return F.sum(F.when(cond, F.col("__q")).otherwise(F.lit(0).cast(
+            "decimal(38,0)")))
+
+    def _s2(cond):
+        return F.sum(F.when(cond, F.col("__q") * F.col("__q"))
+                     .otherwise(F.lit(0).cast("decimal(38,0)")))
+
+    names = {(0, 0): "a_pre", (0, 1): "a_post",
+             (1, 0): "b_pre", (1, 1): "b_post"}
+    aggs = []
+    for (a, p), nm in names.items():
+        aggs += [
+            _cell(a, p, _n).alias(f"n_{nm}"),
+            _cell(a, p, _s).alias(f"__s_{nm}"),
+            _cell(a, p, _s2).alias(f"__s2_{nm}"),
+        ]
+    wide = cells.agg(*aggs)
+
+    def mean(nm):
+        return (
+            F.col(f"__s_{nm}").cast("double")
+            / F.col(f"n_{nm}").cast("double") / F.lit(1e6)
+        )
+
+    def var_over_n(nm):
+        n = F.col(f"n_{nm}").cast("double")
+        m = mean(nm)
+        return (
+            (F.col(f"__s2_{nm}").cast("double") / F.lit(1e12)
+             - n * m * m)
+            / (n - F.lit(1.0)) / n
+        )
+
+    did = (mean("b_post") - mean("b_pre")) - (mean("a_post") - mean("a_pre"))
+    se = F.sqrt(
+        var_over_n("a_pre") + var_over_n("a_post")
+        + var_over_n("b_pre") + var_over_n("b_post")
+    )
+    out_cols = [F.col(f"n_{nm}") for nm in names.values()]
+    out_cols += [F.round(mean(nm), 6).alias(f"mean_{nm}")
+                 for nm in names.values()]
+    out_cols += [
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t"),
+    ]
+    return wide.select(*out_cols)

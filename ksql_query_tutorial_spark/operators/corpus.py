@@ -2453,3 +2453,79 @@ def sample_importance(
         )
         .orderBy("source")
     )
+
+
+def kn_bigram(
+    df: DataFrame,
+    discount: float = 0.75,
+    min_count: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the corpus —
+    the smoothing real n-gram LMs (KenLM) ship, where
+    :func:`lm_score`'s raw relative frequencies break: KN discounts
+    every observed bigram by a fixed ``discount`` and redistributes the
+    held-out mass over CONTINUATION counts (in how many distinct left
+    contexts does w2 appear), so "francisco" — frequent but only ever
+    after "san" — stops looking like a good unigram fallback.
+
+        p_kn(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · p_cont(w2)
+        p_cont(w2)  = N1+(·,w2) / |distinct bigrams|
+
+    Every input to the formula is an exact integer count, so the
+    derived doubles are engine-reproducible with no float-sum order
+    concerns.
+
+    Scale design: ONE tokenize+lead pass builds the bigram posting
+    (never persisted — at corpus scale it outweighs the text; the
+    lm_score trade); the vocabulary²-bounded count table IS pinned
+    (cache registry) because four rollups consume it: left-context
+    totals + fan-out, continuation counts, the distinct-bigram scalar,
+    and the final projection. Everything downstream of the posting
+    rollup is vocabulary-bounded, not corpus-bounded. ``min_count``
+    trims the report to bigrams with support (stats still use full
+    counts).
+
+    Returns ``w1, w2, c12, p_kn`` (rounded 6) for bigrams with
+    ``c12 >= min_count``.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    pos_toks = (
+        df.repartition(par, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    pairs = (
+        pos_toks.select(
+            F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    big = cache.pin(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    )
+    left = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fw"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    n_types = big.groupBy().agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(float(discount))
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + d * F.col("n1p_fw").cast("double") / F.col("c1").cast("double")
+        * (F.col("n1p_bw").cast("double") / F.col("n_types").cast("double"))
+    )
+    return (
+        big.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select("w1", "w2", "c12", F.round(p_kn, 6).alias("p_kn"))
+        .orderBy("w1", "w2")
+    )

@@ -44,6 +44,7 @@ PERSIST_ONLY_SWEEP = [
     "corpus_novelty",
     "corpus_cms_counts",
     "corpus_lm_score",
+    "corpus_kn_bigram",
     "corpus_bpe_encode",
     "embedding_kmeans",
 ]

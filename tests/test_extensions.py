@@ -4830,3 +4830,84 @@ def test_sample_importance_balanced_corpus_is_identity(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = sample_importance(df).collect()
     assert all(r["weight"] == 1.0 and r["ess_ratio"] == 1.0 for r in out)
+
+
+def test_kn_bigram_closed_form(spark):
+    """kn_bigram: a corpus built so every count is known. Docs:
+    "a b" ×3, "c b" ×1, "a d" ×1 → bigrams: (a,b):3, (c,b):1, (a,d):1.
+    c1(a)=4, N1+(a,·)=2; c1(c)=1, N1+(c,·)=1; N1+(·,b)=2, N1+(·,d)=1;
+    |types|=3. p_kn(b|a) = (3-.75)/4 + .75·2/4·(2/3) = 0.8125;
+    p_kn(d|a) = (1-.75)/4 + .75·2/4·(1/3) = 0.1875;
+    p_kn(b|c) = (1-.75)/1 + .75·1/1·(2/3) = 0.75."""
+    from ksql_query_tutorial_spark.operators.corpus import kn_bigram
+
+    rows = [(0, "a b"), (1, "a b"), (2, "a b"), (3, "c b"), (4, "a d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in
+           kn_bigram(df, discount=0.75, min_count=1).collect()}
+    assert out[("a", "b")]["c12"] == 3
+    assert out[("a", "b")]["p_kn"] == 0.8125
+    assert out[("a", "d")]["p_kn"] == 0.1875
+    assert out[("c", "b")]["p_kn"] == 0.75
+    # probabilities given each context sum to <= 1 (KN leaves no
+    # leftover mass when every continuation is observed)
+    assert out[("a", "b")]["p_kn"] + out[("a", "d")]["p_kn"] == 1.0
+
+
+def test_did_textbook_effect(spark):
+    """did_effect: 2 users per arm, hand-built values. Arm A (users
+    0,2): pre mean 10, post mean 12 (trend +2). Arm B (users 1,3):
+    pre mean 20, post mean 26 (trend +6). DiD = 6 − 2 = 4."""
+    from datetime import datetime
+
+    from ksql_query_tutorial_spark.operators.analytics import did_effect
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pre, post = datetime(2026, 1, 1, 9), datetime(2026, 1, 20, 9)
+    rows = [
+        (pre, 0, "purchase", 9.0), (pre, 2, "purchase", 11.0),
+        (post, 0, "purchase", 11.0), (post, 2, "purchase", 13.0),
+        (pre, 1, "purchase", 19.0), (pre, 3, "purchase", 21.0),
+        (post, 1, "purchase", 25.0), (post, 3, "purchase", 27.0),
+        (post, 0, "click", 999.0),  # other types excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, value double"
+    )
+    r = did_effect(df, split_ts="2026-01-10 00:00:00").collect()[0]
+    assert (r["n_a_pre"], r["n_a_post"], r["n_b_pre"], r["n_b_post"]) == (
+        2, 2, 2, 2)
+    assert (r["mean_a_pre"], r["mean_a_post"]) == (10.0, 12.0)
+    assert (r["mean_b_pre"], r["mean_b_post"]) == (20.0, 26.0)
+    assert r["did"] == 4.0
+    # each cell has variance 2 (dev ±1, n=2 -> s² = 2), se = sqrt(4·2/2)=2
+    assert r["se"] == 2.0 and r["t"] == 2.0
+
+
+def test_wilson_small_sample_ranking(spark):
+    """on_time_wilson: a 2/2 supplier must rank BELOW a 96/100 one by
+    the lower bound even though its raw rate is higher."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.retail import on_time_wilson
+
+    d0 = datetime(2026, 1, 1)
+    ot, lt = d0 + timedelta(days=10), d0 + timedelta(days=200)
+    rows = [(i, 1, ot) for i in range(2)]                   # 2/2
+    rows += [(100 + i, 2, ot if i < 96 else lt) for i in range(100)]
+    orders = spark.createDataFrame(
+        [(k, d0) for k, _, _ in rows],
+        "o_orderkey long, o_orderdate timestamp",
+    ).dropDuplicates()
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_shipdate timestamp"
+    )
+    supp = spark.createDataFrame(
+        [(1, "S1"), (2, "S2")], "s_suppkey long, s_name string"
+    )
+    out = {r["s_suppkey"]: r for r in
+           on_time_wilson(orders, li, supp, on_time_days=45).collect()}
+    assert out[1]["rate"] == 1.0 and out[2]["rate"] == 0.96
+    assert out[1]["wilson_lb"] < out[2]["wilson_lb"]
+    # textbook value: Wilson lb for 2/2 at z=1.96 is ~0.342
+    assert 0.29 < out[1]["wilson_lb"] < 0.40
