@@ -1899,48 +1899,6 @@ EXTENSION_ORACLES["part_price_dispersion"] = """
 """
 
 
-# ---------------------------------------------------- wait fault (r9)
-
-WAIT_FAULT_LATE_DAYS = 90
-
-
-def supplier_wait_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: suppliers who were the sole late shipper in a
-    multi-supplier order (late = shipped >90d after the order date).
-    See retail.supplier_wait_fault."""
-    from ksql_query_tutorial_spark.operators import retail
-
-    return retail.supplier_wait_fault(
-        load(spark, sf_dir, "orders"),
-        load(spark, sf_dir, "lineitem"),
-        load(spark, sf_dir, "supplier"),
-        late_days=WAIT_FAULT_LATE_DAYS,
-    )
-
-
-EXTENSION_QUERIES["supplier_wait_fault"] = supplier_wait_fault
-
-
-EXTENSION_ORACLES["supplier_wait_fault"] = f"""
-    WITH j AS (SELECT l_orderkey, l_suppkey,
-                      MAX(CASE WHEN date_diff('day', o_orderdate::DATE,
-                                              l_shipdate::DATE)
-                                    > {WAIT_FAULT_LATE_DAYS}
-                               THEN 1 ELSE 0 END) AS late
-               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-               GROUP BY 1, 2),
-    per AS (SELECT l_orderkey, count(*) AS ns, sum(late) AS nl
-            FROM j GROUP BY 1),
-    f AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
-          FROM j JOIN per USING (l_orderkey)
-          WHERE late = 1 AND ns >= 2 AND nl = 1
-          GROUP BY 1)
-    SELECT s_suppkey, s_name, numwait
-    FROM f JOIN supplier ON l_suppkey = s_suppkey
-    ORDER BY s_suppkey
-"""
-
-
 # ---------------------------------------------- Wilson ranking (r9)
 
 ON_TIME_DAYS = 45

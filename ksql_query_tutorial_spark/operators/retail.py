@@ -2122,64 +2122,6 @@ def reorder_survival(
     )
 
 
-def supplier_wait_fault(
-    orders: DataFrame,
-    lineitem: DataFrame,
-    suppliers: DataFrame,
-    late_days: int = 90,
-) -> DataFrame:
-    """TPC-H Q21 shape on this corpus's columns: suppliers who were the
-    SOLE late shipper in a multi-supplier order — the fault-isolation
-    readout procurement actually escalates on (a late line in an order
-    where everyone was late is a demand problem; being the only late
-    supplier is a supplier problem). "Late" = the line shipped more
-    than ``late_days`` after the order date (this corpus has no
-    commit/receipt dates — reference Q21 uses those; same plan shape).
-
-    Scale design: ONE orderkey-keyed shuffle joins lineitem to the
-    order date (only o_orderdate projected); the per-(order, supplier)
-    lateness rollup and the per-order supplier/late counts both reuse
-    that orderkey partitioning (groupBy on a superset prefix —
-    AQE-coalesced, no second full-data exchange); the fault filter and
-    the per-supplier count collapse to a |suppliers|-row frame before
-    the broadcast name join. No semi/anti join materializes the
-    quadratic "other suppliers of my orders" set.
-
-    Returns one row per faulted supplier: ``s_suppkey, s_name,
-    numwait`` (orders where this supplier was the only late one).
-    """
-    o = orders.select("o_orderkey", "o_orderdate")
-    lines = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate").join(
-        o, lineitem.l_orderkey == o.o_orderkey
-    )
-    late = (
-        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
-        > late_days
-    ).cast("int")
-    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(late).alias("__late")
-    )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("__n_supp"),
-        F.sum("__late").alias("__n_late"),
-    )
-    faulted = (
-        per_os.filter(F.col("__late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
-        .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-    )
-    return (
-        faulted.join(
-            F.broadcast(suppliers.select("s_suppkey", "s_name")),
-            faulted.l_suppkey == F.col("s_suppkey"),
-        )
-        .select("s_suppkey", "s_name", "numwait")
-        .orderBy("s_suppkey")
-    )
-
-
 def on_time_wilson(
     orders: DataFrame,
     lineitem: DataFrame,

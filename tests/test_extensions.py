@@ -4741,39 +4741,6 @@ def test_mad_anomalies_planted_spike(spark):
                and not r["is_anomaly"] for r in views)
 
 
-def test_wait_fault_isolates_sole_late_supplier(spark):
-    """supplier_wait_fault: order 1 has suppliers 10 (late) and 20
-    (on time) -> supplier 10 faulted; order 2 has both late -> nobody
-    faulted; order 3 is single-supplier late -> excluded (demand, not
-    fault); order 4 all on-time -> nothing."""
-    from datetime import datetime
-
-    from ksql_query_tutorial_spark.operators.retail import supplier_wait_fault
-
-    d0 = datetime(2026, 1, 1)
-    late = datetime(2026, 6, 1)    # 151 days
-    ok = datetime(2026, 1, 15)     # 14 days
-    orders = spark.createDataFrame(
-        [(1, d0), (2, d0), (3, d0), (4, d0)],
-        "o_orderkey long, o_orderdate timestamp",
-    )
-    li = spark.createDataFrame(
-        [
-            (1, 10, late), (1, 20, ok),
-            (2, 10, late), (2, 20, late),
-            (3, 10, late),
-            (4, 10, ok), (4, 20, ok),
-        ],
-        "l_orderkey long, l_suppkey long, l_shipdate timestamp",
-    )
-    supp = spark.createDataFrame(
-        [(10, "Supplier#10"), (20, "Supplier#20")],
-        "s_suppkey long, s_name string",
-    )
-    out = supplier_wait_fault(orders, li, supp, late_days=90).collect()
-    assert [(r["s_suppkey"], r["numwait"]) for r in out] == [(10, 1)]
-
-
 def test_silhouette_separated_vs_overlapping(spark):
     """silhouette: two tight, orthogonal clusters score near 1; a
     vector exactly between the two centroids scores 0 (a == b)."""
