@@ -1536,3 +1536,56 @@ EXTENSION_ORACLES["corpus_kn_bigram"] = f"""
     WHERE c12 >= {KN_MIN_COUNT}
     ORDER BY w1, w2
 """
+
+
+# ------------------------------------------------ DSIR (r9)
+
+
+_DSIR_D = 1024
+
+
+_DSIR_HASH = _portable_hash_sql("tok")
+
+
+def corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based pretraining-data selection: hashed-unigram DSIR
+    importance log-weights toward the English slice.
+    See corpus.dsir_importance."""
+    return corpus.dsir_importance(load(spark, sf_dir, "documents"))
+
+
+EXTENSION_QUERIES["corpus_dsir"] = corpus_dsir
+
+
+EXTENSION_ORACLES["corpus_dsir"] = f"""
+    WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+                        unnest({_TOKS}) AS tok
+                 FROM documents),
+    tc AS (SELECT doc_id, tgt, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok WHERE tok <> '' GROUP BY 1, 2, 3),
+    db AS (SELECT doc_id, tgt, {_DSIR_HASH} & {_DSIR_D - 1} AS bucket,
+                  CAST(SUM(cnt) AS BIGINT) AS c
+           FROM tc GROUP BY 1, 2, 3),
+    dist AS (SELECT bucket,
+                    CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END)
+                         AS BIGINT) AS c_tgt,
+                    CAST(SUM(c) AS BIGINT) AS c_raw
+             FROM db GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS t_tgt,
+                   CAST(SUM(c_raw) AS BIGINT) AS t_raw
+            FROM dist),
+    r AS (SELECT bucket,
+                 ln(CAST(c_tgt + 1 AS DOUBLE))
+                   - ln(CAST(t_tgt + {_DSIR_D} AS DOUBLE))
+                   - ln(CAST(c_raw + 1 AS DOUBLE))
+                   + ln(CAST(t_raw + {_DSIR_D} AS DOUBLE)) AS lr
+          FROM dist CROSS JOIN tot),
+    pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+                  SUM(CAST(c AS DOUBLE) * lr) AS lw
+           FROM db JOIN r USING (bucket) GROUP BY 1)
+    SELECT doc_id, n_toks,
+           ROUND(lw, 6) AS logw,
+           ROUND(lw / n_toks, 6) AS logw_per_tok,
+           ROUND(lw, 6) > 0 AS selected
+    FROM pd ORDER BY doc_id
+"""

@@ -1861,3 +1861,71 @@ EXTENSION_ORACLES["events_did"] = f"""
     SELECT {_did_tail_sql()}
     FROM w
 """
+
+
+# ------------------------------------------------ Mann-Whitney (r9)
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum A/B test on per-user total spend — the nonparametric
+    sibling of events_ab_test. See analytics.mann_whitney_value."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        mann_whitney_value,
+    )
+
+    return mann_whitney_value(load(spark, sf_dir, "events"))
+
+
+EXTENSION_QUERIES["events_mann_whitney"] = events_mann_whitney
+
+
+EXTENSION_ORACLES["events_mann_whitney"] = """
+    WITH per AS (
+        SELECT user_id,
+               (user_id % 1048573) * 2654435761 % 2 AS arm,
+               SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS m
+        FROM events GROUP BY 1, 2),
+    vals AS (
+        SELECT m,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM per GROUP BY 1),
+    c AS (
+        SELECT na, nb,
+               COALESCE(SUM(nb) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cb
+        FROM vals),
+    s AS (
+        SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+               CAST(SUM(nb) AS BIGINT) AS n_b,
+               CAST(SUM(na * (2 * cb + nb)) AS BIGINT) AS twice_u_a,
+               CAST(SUM(CASE WHEN na + nb > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_tied_groups,
+               SUM(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+                   - (na + nb)) AS tie_cubes
+        FROM c),
+    d AS (
+        SELECT *,
+               CAST(n_a AS DOUBLE) AS nad,
+               CAST(n_b AS DOUBLE) AS nbd,
+               CAST(n_a + n_b AS DOUBLE) AS nd
+        FROM s),
+    e AS (
+        SELECT *,
+               nad * nbd / 12.0
+                 * ((nd + 1)
+                    - CAST(tie_cubes AS DOUBLE) / (nd * (nd - 1)))
+                 AS sigma2
+        FROM d)
+    SELECT n_a, n_b, twice_u_a, n_tied_groups,
+           ROUND(CASE WHEN sigma2 > 0
+                      THEN (CAST(twice_u_a AS DOUBLE) - nad * nbd)
+                           / (2.0 * sqrt(sigma2))
+                      ELSE 0.0 END, 6) AS z,
+           ROUND(CAST(twice_u_a AS DOUBLE) / (nad * nbd) - 1.0, 6)
+               AS effect_r
+    FROM e
+"""

@@ -1946,3 +1946,61 @@ EXTENSION_ORACLES["supplier_on_time_wilson"] = f"""
     FROM calc JOIN supplier ON l_suppkey = s_suppkey
     ORDER BY s_suppkey
 """
+
+
+# ------------------------------------------------ Weibull fit (r9)
+
+
+def lineitem_weibull_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape/scale fit of the positive fulfillment delay via
+    median-rank regression. See retail.weibull_delay_fit."""
+    from ksql_query_tutorial_spark.operators import retail
+
+    return retail.weibull_delay_fit(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+EXTENSION_QUERIES["lineitem_weibull_delay"] = lineitem_weibull_delay
+
+
+EXTENSION_ORACLES["lineitem_weibull_delay"] = """
+    WITH lags AS (
+        SELECT datediff('day', o_orderdate, l_shipdate) AS lag
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE datediff('day', o_orderdate, l_shipdate) >= 1),
+    per AS (SELECT lag, CAST(count(*) AS BIGINT) AS cnt
+            FROM lags GROUP BY 1),
+    c AS (SELECT lag, cnt,
+                 SUM(cnt) OVER (ORDER BY lag
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                 SUM(cnt) OVER () AS n
+          FROM per),
+    p AS (SELECT CAST(cnt AS DOUBLE) AS w,
+                 ln(CAST(lag AS DOUBLE)) AS x,
+                 ln(-ln(1.0 - CAST(cum AS DOUBLE)
+                              / (CAST(n AS DOUBLE) + 1))) AS y,
+                 cnt, n
+          FROM c),
+    m AS (SELECT CAST(MAX(n) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_lags,
+                 SUM(w) AS sw, SUM(w * x) AS sx, SUM(w * y) AS sy,
+                 SUM(w * x * x) AS sxx, SUM(w * y * y) AS syy,
+                 SUM(w * x * y) AS sxy
+          FROM p),
+    d AS (SELECT *,
+                 sxy - sx * sy / sw AS cov,
+                 sxx - sx * sx / sw AS varx,
+                 syy - sy * sy / sw AS vary_
+          FROM m)
+    SELECT n, n_lags,
+           ROUND(cov / varx, 6) AS shape_k,
+           ROUND(exp(-((sy - (cov / varx) * sx) / sw)
+                     / (cov / varx)), 6) AS scale_lambda,
+           ROUND(exp(-((sy - (cov / varx) * sx) / sw) / (cov / varx))
+                 * pow(ln(2.0), varx / cov), 6) AS median_days,
+           ROUND(cov * cov / (varx * vary_), 6) AS r2
+    FROM d
+"""

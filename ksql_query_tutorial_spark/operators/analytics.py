@@ -3022,3 +3022,129 @@ def did_effect(
         F.round(did / se, 6).alias("t"),
     ]
     return wide.select(*out_cols)
+
+
+def mann_whitney_value(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on per-user total spend
+    between the two deterministic experiment arms — the nonparametric
+    complement of :func:`ab_test_conversion` (proportion z) and
+    :func:`difference_in_differences` (mean t): it compares the FULL
+    per-user value distributions via ranks, so one whale user cannot
+    drag the verdict the way it drags a mean. Arms use the repo's
+    portable hash bucketing (``(user % 1048573)·2654435761 % 2``),
+    identical to the other experimentation queries, so all four
+    readouts describe the same experiment.
+
+    Numeric reproducibility: the per-user metric is summed in integer
+    micro-units (``floor(value·1e6 + 0.5)`` per event, then an exact
+    BIGINT sum), so tie groups are well-defined and identical in any
+    engine — no float-equality grouping. U itself is carried DOUBLED
+    (``twice_u_a``) so the half-tie credit stays an exact integer
+    (bound: 2·U ≤ 2·n_a·n_b fits int64 through ~2·10⁹ users per arm);
+    the tie correction Σ(t³−t) accumulates in decimal(38,0) — a tie
+    group of every user on Earth cubed still fits — and only the
+    tie-corrected normal approximation (z) and the rank-biserial
+    effect size are doubles, rounded 6.
+
+    Scale design: per-user rollup (one user-keyed exchange with
+    map-side partials) collapses to |users| rows; the distinct-value
+    frame after the second rollup is ≤ |users| rows. The
+    strictly-below-B cumulative uses the hierarchical prefix-sum
+    pattern (``sprt_conversion`` precedent): intra-bucket window
+    partitioned by a value bucket (exact integer floor-division via
+    ``pmod``) runs parallel across buckets, per-bucket totals (a tiny
+    frame) carry the running offset via a broadcast join — no
+    single-reducer global sort at any corpus size.
+
+    Returns one row: ``n_a, n_b, twice_u_a, n_tied_groups, z,
+    effect_r`` (twice_u_a = 2·U_A exact; n_tied_groups = distinct
+    metric values shared by ≥2 users; z without continuity
+    correction, 0 when σ = 0).
+    """
+    bucket_w = 1 << 20  # micro-unit bucket width for the hierarchy
+
+    arm = ((F.col(user_col) % 1048573) * 2654435761 % 2).cast("int")
+    per_user = (
+        events.select(
+            arm.alias("arm"),
+            F.col(user_col).alias("__u"),
+            F.floor(F.col(value_col) * 1000000.0 + 0.5)
+            .cast("long")
+            .alias("__v"),
+        )
+        .groupBy("arm", "__u")
+        .agg(F.sum("__v").alias("m"))
+    )
+    # one row per distinct metric value with per-arm counts
+    vals = per_user.groupBy("m").agg(
+        F.sum((F.col("arm") == 0).cast("long")).alias("na"),
+        F.sum((F.col("arm") == 1).cast("long")).alias("nb"),
+    )
+    # exact integer floor division (negative-safe) for the bucket key
+    blk = ((F.col("m") - F.pmod(F.col("m"), F.lit(bucket_w)))
+           / F.lit(bucket_w)).cast("long")
+    vals = vals.withColumn("__blk", blk)
+
+    intra = (
+        Window.partitionBy("__blk")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = vals.withColumn(
+        "__lb", F.coalesce(F.sum("nb").over(intra), F.lit(0))
+    )
+    blk_w = (
+        Window.orderBy("__blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        vals.groupBy("__blk")
+        .agg(F.sum("nb").alias("__bn"))
+        .select(
+            "__blk",
+            F.coalesce(F.sum("__bn").over(blk_w), F.lit(0)).alias("__ob"),
+        )
+    )
+    t = (F.col("na") + F.col("nb")).cast("decimal(38,0)")
+    stats = (
+        local.join(F.broadcast(offsets), "__blk")
+        .agg(
+            F.sum("na").cast("long").alias("n_a"),
+            F.sum("nb").cast("long").alias("n_b"),
+            F.sum(
+                F.col("na") * (2 * (F.col("__ob") + F.col("__lb"))
+                               + F.col("nb"))
+            ).cast("long").alias("twice_u_a"),
+            F.sum(
+                ((F.col("na") + F.col("nb")) > 1).cast("long")
+            ).cast("long").alias("n_tied_groups"),
+            F.sum(t * t * t - t).alias("__tie_cubes"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    sigma2 = (
+        na * nb / F.lit(12.0)
+        * ((n + 1)
+           - F.col("__tie_cubes").cast("double") / (n * (n - 1)))
+    )
+    z = F.when(
+        sigma2 > 0,
+        (F.col("twice_u_a").cast("double") - na * nb)
+        / (F.lit(2.0) * F.sqrt(sigma2)),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "n_a",
+        "n_b",
+        "twice_u_a",
+        "n_tied_groups",
+        F.round(z, 6).alias("z"),
+        F.round(
+            F.col("twice_u_a").cast("double") / (na * nb) - 1.0, 6
+        ).alias("effect_r"),
+    )

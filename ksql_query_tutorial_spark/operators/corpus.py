@@ -2529,3 +2529,117 @@ def kn_bigram(
         .select("w1", "w2", "c12", F.round(p_kn, 6).alias("p_kn"))
         .orderBy("w1", "w2")
     )
+
+
+DSIR_BUCKETS = 1024  # power of two: hashed n-gram feature space
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how much more likely its hashed
+    bag-of-words is under a TARGET distribution (here: the corpus's
+    ``target_lang`` slice, standing in for "looks like the domain we
+    want") than under the RAW corpus distribution. The per-document
+    log importance weight is ``Σ_f c_{d,f}·(ln p_tgt(f) − ln p_raw(f))``
+    over hashed unigram features with add-one smoothing across the
+    ``n_buckets`` feature space — the standard content-based
+    pretraining-data selector, complementary to
+    :func:`sample_importance` (which rebalances SOURCES, blind to
+    content).
+
+    The length-normalized ``logw_per_tok`` is the selection signal
+    (raw logw scales with document length); ``selected`` is the
+    zero-threshold readout.
+
+    Scale design: tokenize → per-(doc, bucket) counts (doc-keyed
+    exchanges with map-side partials, hashing-trick so NO global
+    vocabulary build — the :func:`feature_hash_signature` property) →
+    the two corpus-level distributions are ≤ ``n_buckets``-row
+    aggregates, joined back as ONE broadcast of a 1024-row log-ratio
+    table → per-doc rollup. The only data-sized exchanges are
+    doc-keyed; target/raw tables are constant-size at any corpus
+    scale. Smoothed probabilities use exact BIGINT counts folded into
+    ln at the last step (the counts-into-ln convention), doubles
+    rounded 6.
+
+    Returns ``doc_id, n_toks, logw, logw_per_tok, selected`` ordered
+    by doc id.
+    """
+    from ksql_query_tutorial_spark.operators.dedup import (
+        portable_token_hash,
+    )
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    tc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(lang_col) == target_lang).alias("__tgt"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "__tgt", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # pin the hashed per-(doc, bucket) frame: it has THREE consumers
+    # (per-doc rollup, bucket distributions, totals) and rebuilding it
+    # re-runs the interpreted portable char-fold over the whole corpus
+    # each time (the expr-dup gate caught exactly that on first write)
+    db = cache.pin(
+        tc.select(
+            "doc_id",
+            "__tgt",
+            portable_token_hash(F.col("tok"))
+            .bitwiseAND(F.lit(n_buckets - 1))
+            .alias("bucket"),
+            "cnt",
+        )
+        .groupBy("doc_id", "__tgt", "bucket")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    dist = db.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long").alias("c_tgt"),
+        F.sum("c").cast("long").alias("c_raw"),
+    )
+    totals = dist.agg(
+        F.sum("c_tgt").cast("long").alias("t_tgt"),
+        F.sum("c_raw").cast("long").alias("t_raw"),
+    )
+    ratio = (
+        dist.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_tgt") + 1).cast("double"))
+                - F.log((F.col("t_tgt") + n_buckets).cast("double"))
+                - F.log((F.col("c_raw") + 1).cast("double"))
+                + F.log((F.col("t_raw") + n_buckets).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        db.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_toks"),
+            F.sum(F.col("c").cast("double") * F.col("lr")).alias("__lw"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.round(F.col("__lw"), 6).alias("logw"),
+        F.round(F.col("__lw") / F.col("n_toks").cast("double"), 6)
+        .alias("logw_per_tok"),
+        (F.round(F.col("__lw"), 6) > 0).alias("selected"),
+    ).orderBy("doc_id")

@@ -2182,3 +2182,98 @@ def on_time_wilson(
         )
         .orderBy("s_suppkey")
     )
+
+
+def weibull_delay_fit(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Parametric reliability fit of the fulfillment delay: estimate
+    Weibull shape k and scale λ for the positive ship lag
+    (``l_shipdate − o_orderdate`` in days) by median-rank regression —
+    OLS of ``ln(−ln(1−F))`` on ``ln(lag)`` — the classic probability-
+    plot method. Shape k > 1 means wear-in (delays concentrate around
+    the scale, a healthy pipeline); k < 1 means infant-mortality-style
+    heavy tails (many quick ships plus a long straggler tail). The
+    nonparametric banded view is :func:`ship_lag_priority`; this is
+    the two-parameter summary a capacity model consumes.
+
+    Grouped-tie plotting positions: integer day lags tie heavily, so
+    each distinct lag v plots once at its cumulative rank,
+    ``F(v) = cum_n(v)/(n+1)`` (mean-rank convention, never 1), and
+    the regression weights each point by its tie count — equivalent to
+    giving every tied observation its group's position. Negative and
+    zero lags (synthetic backdated rows) are excluded: a Weibull
+    support is (0, ∞).
+
+    Numeric reproducibility: counts and cumulative counts are exact
+    BIGINTs; ln/OLS run once per DISTINCT lag on those integers
+    (counts-into-ln convention), output doubles rounded 6.
+
+    Scale design: one orderkey-keyed join exchange (the Q12/Q21
+    shape), then a groupBy(lag) that collapses to a calendar-bounded
+    frame — distinct integer lags are bounded by the date-range span,
+    NOT data volume, so the cumulative window and the closed-form
+    weighted OLS run on a few-thousand-row frame at any scale (the
+    single-partition window is over that bounded frame only).
+
+    Returns one row: ``n, n_lags, shape_k, scale_lambda, median_days,
+    r2`` (median = λ·(ln 2)^{1/k}; doubles rounded 6).
+    """
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    per_lag = (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(lag.alias("lag"))
+        .filter(F.col("lag") >= 1)
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cum_w = Window.orderBy("lag").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pts = per_lag.select(
+        "lag",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+    )
+    n_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pts = pts.withColumn("__n", F.sum("cnt").over(n_w))
+    x = F.log(F.col("lag").cast("double"))
+    fv = F.col("cum").cast("double") / (F.col("__n").cast("double") + 1)
+    y = F.log(-F.log(F.lit(1.0) - fv))
+    w = F.col("cnt").cast("double")
+    moments = pts.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.sum(w).alias("__sw"),
+        F.sum(w * x).alias("__sx"),
+        F.sum(w * y).alias("__sy"),
+        F.sum(w * x * x).alias("__sxx"),
+        F.sum(w * y * y).alias("__syy"),
+        F.sum(w * x * y).alias("__sxy"),
+    )
+    sw = F.col("__sw")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / sw
+    varx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / sw
+    vary = F.col("__syy") - F.col("__sy") * F.col("__sy") / sw
+    k = cov / varx
+    intercept = (F.col("__sy") - k * F.col("__sx")) / sw
+    lam = F.exp(-intercept / k)
+    import math
+
+    return moments.select(
+        "n",
+        "n_lags",
+        F.round(k, 6).alias("shape_k"),
+        F.round(lam, 6).alias("scale_lambda"),
+        F.round(
+            lam * F.pow(F.lit(math.log(2.0)), F.lit(1.0) / k), 6
+        ).alias("median_days"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

@@ -4878,3 +4878,114 @@ def test_wilson_small_sample_ranking(spark):
     assert out[1]["wilson_lb"] < out[2]["wilson_lb"]
     # textbook value: Wilson lb for 2/2 at z=1.96 is ~0.342
     assert 0.29 < out[1]["wilson_lb"] < 0.40
+
+
+def test_mann_whitney_hand_computed(spark):
+    """mann_whitney_value: 3 users per arm (arm = user parity for
+    small ids), per-user sums A = {1, 2, 3}, B = {2, 4, 5} (units).
+    U_A = #(a>b) + ties/2 = 1 + 0.5 = 1.5 -> twice_u_a = 3; one tie
+    group (value 2, t=2) -> tie_cubes = 6;
+    sigma^2 = (9/12)(7 - 6/30) = 5.1; z = (1.5 - 4.5)/sqrt(5.1);
+    effect_r = 2*1.5/9 - 1 = -2/3. User 0's sum is split over two
+    events to pin the per-user rollup."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        mann_whitney_value,
+    )
+
+    rows = [
+        (0, 0.5), (0, 0.5),           # arm 0, m = 1.0
+        (2, 2.0), (4, 3.0),           # arm 0
+        (1, 2.0), (3, 4.0), (5, 5.0),  # arm 1
+    ]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    r = mann_whitney_value(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["twice_u_a"] == 3
+    assert r["n_tied_groups"] == 1
+    assert r["z"] == round(-3.0 / math.sqrt(5.1), 6)
+    assert r["effect_r"] == round(-2.0 / 3.0, 6)
+
+
+def test_mann_whitney_identical_distributions(spark):
+    """All users share one value: every comparison ties, sigma = 0
+    (the tie correction removes ALL variance), z defined as 0 and
+    twice_u_a = 2 * (n_a*n_b/2) = n_a*n_b."""
+    from ksql_query_tutorial_spark.operators.analytics import (
+        mann_whitney_value,
+    )
+
+    df = spark.createDataFrame(
+        [(u, 7.0) for u in range(10)], "user_id long, value double"
+    )
+    r = mann_whitney_value(df).collect()[0]
+    assert r["twice_u_a"] == r["n_a"] * r["n_b"]
+    assert r["z"] == 0.0 and r["effect_r"] == 0.0
+
+
+def test_dsir_separates_target_like_content(spark):
+    """dsir_importance: target (en) docs repeat one token, others a
+    different one. Target-token docs must score strictly higher per
+    token; with EVERY doc in the target slice the target and raw
+    distributions coincide and all weights are exactly 0."""
+    from ksql_query_tutorial_spark.operators.corpus import dsir_importance
+
+    rows = [
+        (1, "alpha alpha alpha", "en"),
+        (2, "alpha alpha", "en"),
+        (3, "omega omega omega", "de"),
+        (4, "omega alpha omega", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in dsir_importance(df).collect()}
+    assert out[1]["n_toks"] == 3 and out[4]["n_toks"] == 3
+    assert out[1]["logw_per_tok"] > out[3]["logw_per_tok"]
+    # at toy scale add-one smoothing over 1024 buckets pushes ALL
+    # weights negative (target total ~5 tokens vs D=1024), so assert
+    # the flag's consistency with logw, not its sign
+    for r in out.values():
+        assert r["selected"] == (r["logw"] > 0)
+    # mixed doc 4 sits between the pure docs
+    assert (out[3]["logw_per_tok"] < out[4]["logw_per_tok"]
+            < out[1]["logw_per_tok"])
+
+    all_en = df.withColumn("lang", F.lit("en"))
+    for r in dsir_importance(all_en).collect():
+        assert r["logw"] == 0.0 and not r["selected"]
+
+
+def test_weibull_two_point_exact_fit(spark):
+    """weibull_delay_fit: two distinct lags -> the weighted OLS runs
+    through both plotting positions exactly (r2 = 1) and k/lambda
+    match the hand-derived two-point closed form. Negative and zero
+    lags must be excluded from n."""
+    from datetime import date
+
+    from ksql_query_tutorial_spark.operators.retail import (
+        weibull_delay_fit,
+    )
+
+    d0 = date(2026, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, d0), (2, d0), (3, d0), (4, d0)],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, date(2026, 1, 2)),    # lag 1
+            (2, date(2026, 1, 4)),    # lag 3
+            (3, date(2026, 1, 1)),    # lag 0 -> excluded
+            (4, date(2025, 12, 20)),  # negative -> excluded
+        ],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = weibull_delay_fit(orders, li).collect()[0]
+    assert (r["n"], r["n_lags"]) == (2, 2)
+    x1, x2 = 0.0, math.log(3.0)
+    y1 = math.log(-math.log(1.0 - 1.0 / 3.0))
+    y2 = math.log(-math.log(1.0 - 2.0 / 3.0))
+    k = (y2 - y1) / (x2 - x1)
+    lam = math.exp(-((y1 + y2) / 2 - k * (x1 + x2) / 2) / k)
+    assert r["shape_k"] == round(k, 6)
+    assert r["scale_lambda"] == round(lam, 6)
+    assert r["median_days"] == round(lam * math.log(2.0) ** (1 / k), 6)
+    assert r["r2"] == 1.0
