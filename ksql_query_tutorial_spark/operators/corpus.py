@@ -2558,16 +2558,24 @@ def dsir_importance(
     (raw logw scales with document length); ``selected`` is the
     zero-threshold readout.
 
-    Scale design: tokenize → per-(doc, bucket) counts (doc-keyed
-    exchanges with map-side partials, hashing-trick so NO global
-    vocabulary build — the :func:`feature_hash_signature` property) →
-    the two corpus-level distributions are ≤ ``n_buckets``-row
-    aggregates, joined back as ONE broadcast of a 1024-row log-ratio
-    table → per-doc rollup. The only data-sized exchanges are
-    doc-keyed; target/raw tables are constant-size at any corpus
-    scale. Smoothed probabilities use exact BIGINT counts folded into
-    ln at the last step (the counts-into-ln convention), doubles
-    rounded 6.
+    Scale design: tokenize → per-(doc, term) counts → the interpreted
+    portable char-fold runs once per DISTINCT TOKEN (a Heaps-law-
+    bounded vocabulary frame), joined back onto the counts — AQE
+    broadcasts the vocabulary side while it fits, degrading to a
+    token-keyed shuffle join beyond that; measured at sf0.1 this beats
+    folding per distinct (doc, token) pair 2.38s vs 2.75s best-of-3,
+    and the gap widens with corpus size because |doc,token| grows
+    linearly while |vocab| saturates. (Pinning the tokenized counts to
+    avoid the vocabulary pass's second tokenize measured WORSE, 3.78s
+    vs 2.92s — materializing the |doc,token|-row frame costs more than
+    the narrow re-scan.) The hashed per-(doc, bucket) frame is pinned
+    for its three consumers; the two corpus-level distributions are
+    ≤ ``n_buckets``-row aggregates joined back as ONE broadcast of a
+    1024-row log-ratio table → per-doc rollup. The only data-sized
+    exchanges are doc/token-keyed; target/raw tables are constant-size
+    at any corpus scale. Smoothed probabilities use exact BIGINT
+    counts folded into ln at the last step (the counts-into-ln
+    convention), doubles rounded 6.
 
     Returns ``doc_id, n_toks, logw, logw_per_tok, selected`` ordered
     by doc id.
@@ -2590,19 +2598,20 @@ def dsir_importance(
         .groupBy("doc_id", "__tgt", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    # fold once per distinct token (vocabulary-bounded), not per
+    # (doc, token) pair — see the measured A/B in the docstring
+    vocab = tc.select("tok").distinct().select(
+        "tok",
+        portable_token_hash(F.col("tok"))
+        .bitwiseAND(F.lit(n_buckets - 1))
+        .alias("bucket"),
+    )
     # pin the hashed per-(doc, bucket) frame: it has THREE consumers
     # (per-doc rollup, bucket distributions, totals) and rebuilding it
-    # re-runs the interpreted portable char-fold over the whole corpus
-    # each time (the expr-dup gate caught exactly that on first write)
+    # re-runs tokenize + vocabulary hash + join each time (the
+    # expr-dup gate caught exactly that on first write)
     db = cache.pin(
-        tc.select(
-            "doc_id",
-            "__tgt",
-            portable_token_hash(F.col("tok"))
-            .bitwiseAND(F.lit(n_buckets - 1))
-            .alias("bucket"),
-            "cnt",
-        )
+        tc.join(vocab, "tok")
         .groupBy("doc_id", "__tgt", "bucket")
         .agg(F.sum("cnt").alias("c"))
     )
