@@ -60,15 +60,36 @@ def _persistent_rdd_ids(spark) -> set[int]:
 def _await_reclaim(spark, baseline: set[int], timeout: float = 60.0) -> set[int]:
     """Poll until no persistent RDDs beyond ``baseline`` remain,
     nudging the JVM GC each round (ContextCleaner cleans via a
-    weak-reference queue, so reclamation is GC-driven and async)."""
+    weak-reference queue, so reclamation is GC-driven and async).
+    ``runFinalization`` rides along: py4j detach commands free the JVM
+    object-map root, but reference-queue processing can need a
+    finalization pass before the next collection sees the RDD dead."""
     deadline = time.monotonic() + timeout
     leaked = _persistent_rdd_ids(spark) - baseline
     while leaked and time.monotonic() < deadline:
         gc.collect()  # free any lingering py4j proxies first
         spark.sparkContext._jvm.System.gc()
+        spark.sparkContext._jvm.System.runFinalization()
         time.sleep(0.5)
         leaked = _persistent_rdd_ids(spark) - baseline
     return leaked
+
+
+def _leak_report(spark, leaked: set[int]) -> str:
+    """Callsite + storage info for surviving RDD ids, so a failure in a
+    long full-suite run is diagnosable after the fact."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        out = []
+        for k in jmap.keySet().toArray():
+            if int(k) in leaked:
+                r = jmap.get(k)
+                out.append(
+                    f"id {k}: {r.name()} @ {r.rdd().getCreationSite()}"
+                )
+        return "; ".join(out)
+    except Exception as exc:  # diagnostics must never mask the assert
+        return f"report unavailable: {exc!r}"
 
 
 def test_sweep_names_exist():
@@ -76,8 +97,8 @@ def test_sweep_names_exist():
     assert not missing, missing
 
 
-@pytest.mark.parametrize("name", CHECKPOINT_SWEEP)
-def test_checkpoint_blocks_reclaimed_after_gc(spark, name):
+def _run_cycle(spark, name) -> set[int]:
+    """One full create → drop → reclaim cycle; returns surviving ids."""
     cache.release()
     # settle any droppings from earlier tests so the baseline is honest
     _await_reclaim(spark, set(), timeout=10.0)
@@ -93,8 +114,21 @@ def test_checkpoint_blocks_reclaimed_after_gc(spark, name):
 
     del df
     cache.release()  # some families ALSO pin via the registry
-    leaked = _await_reclaim(spark, before)
+    return _await_reclaim(spark, before)
+
+
+@pytest.mark.parametrize("name", CHECKPOINT_SWEEP)
+def test_checkpoint_blocks_reclaimed_after_gc(spark, name):
+    leaked = _run_cycle(spark, name)
+    if leaked:
+        # One fresh cycle before failing: reclamation is GC-driven and
+        # a loaded 30+-minute-old JVM has (rarely — once in the r9 full
+        # suite, never standalone) needed more than the poll window. A
+        # STRUCTURAL leak — some root still strongly referencing the
+        # checkpointed RDDs — survives the retry too and still fails.
+        leaked = _run_cycle(spark, name)
     assert not leaked, (
         f"{name}: {len(leaked)} checkpointed RDD block set(s) survived "
-        f"reference drop + JVM GC — a long-lived session would "
-        f"accumulate unreclaimable storage")
+        f"reference drop + JVM GC across two independent cycles — a "
+        f"long-lived session would accumulate unreclaimable storage "
+        f"[{_leak_report(spark, leaked)}]")
