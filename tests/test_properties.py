@@ -833,3 +833,166 @@ def test_wilson_lower_bound_dominated_by_rate(spark, lines):
     out = on_time_wilson(orders, li, supp, on_time_days=45).collect()
     for r in out:
         assert 0.0 <= r["wilson_lb"] <= r["rate"] + 1e-9, r
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9),
+              st.integers(min_value=1, max_value=2000)),
+    min_size=2, max_size=40))
+def test_mann_whitney_matches_python_reference(spark, rows):
+    """mann_whitney_value equals a brute-force pairwise U computed in
+    Python over any event set covering both arms: exact integers
+    (twice_u_a, tie groups) match exactly, z/effect within rounding."""
+    import math as _m
+
+    from hypothesis import assume
+
+    from ksql_query_tutorial_spark.operators.analytics import (
+        mann_whitney_value,
+    )
+
+    # per-user micro-unit sums + the engine's arm hash, replicated
+    sums: dict[int, int] = {}
+    for u, cents in rows:
+        sums[u] = sums.get(u, 0) + _m.floor(cents / 100.0 * 1e6 + 0.5)
+    arm = {u: (u % 1048573) * 2654435761 % 2 for u in sums}
+    a = sorted(m for u, m in sums.items() if arm[u] == 0)
+    b = sorted(m for u, m in sums.items() if arm[u] == 1)
+    assume(a and b)
+
+    twice_u = sum(2 * sum(x > y for y in b) + sum(x == y for y in b)
+                  for x in a)
+    from collections import Counter
+
+    groups = Counter(a) + Counter(b)
+    tied = sum(1 for t in groups.values() if t > 1)
+    tie_cubes = sum(t ** 3 - t for t in groups.values())
+    na, nb = len(a), len(b)
+    n = na + nb
+    sigma2 = (na * nb / 12.0
+              * ((n + 1) - tie_cubes / (n * (n - 1)))) if n > 1 else 0.0
+    z = ((twice_u - na * nb) / (2.0 * _m.sqrt(sigma2))
+         if sigma2 > 0 else 0.0)
+
+    df = spark.createDataFrame(
+        [(u, cents / 100.0) for u, cents in rows],
+        "user_id long, value double",
+    )
+    r = mann_whitney_value(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["twice_u_a"] == twice_u
+    assert r["n_tied_groups"] == tied
+    assert abs(r["z"] - z) < 2e-6
+    assert abs(r["effect_r"] - (twice_u / (na * nb) - 1.0)) < 2e-6
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=1, max_value=50),
+                min_size=2, max_size=60))
+def test_weibull_matches_python_reference(spark, lags):
+    """weibull_delay_fit equals a from-scratch weighted OLS on the
+    grouped median-rank plotting positions for any positive lag set
+    with >= 2 distinct values."""
+    import math as _m
+    from collections import Counter
+    from datetime import date, timedelta
+
+    from hypothesis import assume
+
+    assume(len(set(lags)) >= 2)
+    from ksql_query_tutorial_spark.operators.retail import (
+        weibull_delay_fit,
+    )
+
+    cnt = Counter(lags)
+    n = len(lags)
+    cum = 0
+    sw = sx = sy = sxx = syy = sxy = 0.0
+    for v in sorted(cnt):
+        c = cnt[v]
+        cum += c
+        x = _m.log(v)
+        y = _m.log(-_m.log(1.0 - cum / (n + 1.0)))
+        w = float(c)
+        sw += w; sx += w * x; sy += w * y
+        sxx += w * x * x; syy += w * y * y; sxy += w * x * y
+    cov = sxy - sx * sy / sw
+    varx = sxx - sx * sx / sw
+    vary = syy - sy * sy / sw
+    k = cov / varx
+    lam = _m.exp(-((sy - k * sx) / sw) / k)
+
+    d0 = date(2026, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, d0) for i in range(len(lags))],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(i, d0 + timedelta(days=int(v))) for i, v in enumerate(lags)],
+        "l_orderkey long, l_shipdate date",
+    )
+    r = weibull_delay_fit(orders, li).collect()[0]
+    assert (r["n"], r["n_lags"]) == (n, len(cnt))
+    assert abs(r["shape_k"] - k) < 2e-6
+    assert abs(r["scale_lambda"] - lam) < max(2e-6, abs(lam) * 1e-5)
+    if vary > 0:
+        assert abs(r["r2"] - cov * cov / (varx * vary)) < 2e-6
+
+
+_M31 = (1 << 31) - 1
+
+
+def _py_portable_hash(tok: str) -> int:
+    def fold(mult: int, init: int) -> int:
+        h = init
+        for ch in tok:
+            h = (h * mult + ord(ch)) % _M31
+        return h
+
+    return fold(131, 7) + (fold(137, 11) << 31)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from(["en", "de"]),
+              st.lists(st.sampled_from(["ga", "bu", "zo", "meu", "xq"]),
+                       min_size=1, max_size=8)),
+    min_size=1, max_size=8))
+def test_dsir_matches_python_reference(spark, docs):
+    """dsir_importance equals a from-scratch Python DSIR (portable
+    Mersenne-31 fold reimplemented independently) on any tiny corpus."""
+    import math as _m
+    from collections import Counter
+
+    from ksql_query_tutorial_spark.operators.corpus import dsir_importance
+
+    D = 1024
+    per_doc: list[Counter] = []
+    tgt_c: Counter = Counter()
+    raw_c: Counter = Counter()
+    for lang, toks in docs:
+        bc = Counter(_py_portable_hash(t) & (D - 1) for t in toks)
+        per_doc.append(bc)
+        raw_c.update(bc)
+        if lang == "en":
+            tgt_c.update(bc)
+    t_tgt = sum(tgt_c.values())
+    t_raw = sum(raw_c.values())
+
+    rows = [(i, " ".join(toks), lang)
+            for i, (lang, toks) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in dsir_importance(df).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, bc in enumerate(per_doc):
+        lw = sum(
+            c * (_m.log(tgt_c[bkt] + 1) - _m.log(t_tgt + D)
+                 - _m.log(raw_c[bkt] + 1) + _m.log(t_raw + D))
+            for bkt, c in bc.items()
+        )
+        assert out[i]["n_toks"] == sum(bc.values())
+        assert abs(out[i]["logw"] - lw) < 2e-6, i
