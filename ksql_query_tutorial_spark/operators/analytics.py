@@ -2889,6 +2889,14 @@ def mad_anomalies(
     percentile passes and the flag join run on that tiny frame.
     Exact interpolated percentiles (not approx) keep the oracle
     strict; at 100 TB the rollup output is still calendar-bounded.
+    Measured-kept (r9 dup-subtree audit): the rollup subtree appears
+    4× in the plan (med / mad / dev / final), and pinning it measured
+    WORSE at sf0.1 — 1.56s vs 1.24s best-of-3, the audit_referential
+    pattern where independent scans parallelize while the pin
+    serializes materialization. On a cluster where the raw scan
+    dominates, route ``daily`` through ``cache.pin`` (the losing local
+    variant) to collapse the four scans to one — the semantics are
+    identical (verified).
 
     Returns one row per (event_type, day): ``event_type, day, n,
     med, mad, robust_z, is_anomaly`` (z rounded 6; z = 0 when MAD = 0).
