@@ -1482,8 +1482,16 @@ def sole_late_suppliers(
             > F.col("o_orderdate") + F.expr(f"INTERVAL {int(lag_days)} DAYS")
         ).alias("__late"),
     )
+    # size(collect_set) instead of countDistinct (r9 optimization):
+    # mixing countDistinct with another aggregate makes Catalyst plan an
+    # Expand (x2 of the joined fact) + a two-phase distinct rewrite; the
+    # set aggregate is already being built for __late_set, so reading
+    # the distinct-supplier count off a second collect_set keeps ONE
+    # ObjectHashAggregate over the fact with no Expand — identical
+    # semantics (both ignore NULLs; suppliers-per-order is single-digit
+    # bounded, so the set buffer is tiny at any scale).
     per_order = joined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.size(F.collect_set("l_suppkey")).alias("__n_supp"),
         F.collect_set(
             F.when(F.col("__late"), F.col("l_suppkey"))
         ).alias("__late_set"),
