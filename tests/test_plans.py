@@ -565,14 +565,17 @@ def test_bpe_pair_argmax_is_take_ordered_no_global_sort(spark):
     checks.assert_no_python(df)
 
 
-def test_profile_single_aggregate_pass(spark):
-    """profile_orders: the whole profile must come from ONE aggregate
-    pass over the table (Expand + two-phase agg for the exact distinct
-    lanes) — never one scan per column — and the unpivot must run on
-    the single wide row."""
+def test_profile_no_expand_single_column_branches(spark):
+    """profile_orders: one single-COLUMN aggregate branch per profiled
+    column, NO Expand anywhere (r9: the former one-pass multi-distinct
+    aggregate expanded every full-width row |cols|+1 times before the
+    partial agg — measured 3.1× slower at sf0.1). Each branch's scan
+    must be pruned to exactly its own column so the union's combined
+    I/O equals the old single scan's."""
     import re
 
     from ksql_query_tutorial_spark.extensions import profile_orders
+    from ksql_query_tutorial_spark.extensions.retail_q import PROFILE_COLUMNS
     from ksql_query_tutorial_spark.plans.checks import (
         assert_no_python,
         formatted_plan,
@@ -581,10 +584,13 @@ def test_profile_single_aggregate_pass(spark):
 
     df = profile_orders(spark, SF_ORACLE)
     plan = formatted_plan(df)
-    # count numbered operator nodes, not detail-section title repeats
+    assert "Expand" not in plan, plan
+    # one pruned scan per profiled column, each reading only that column
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
-    assert n_scans == 1, plan
-    assert "Expand" in plan, plan
+    assert n_scans == len(PROFILE_COLUMNS), plan
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    single_col = [s for s in read_schemas if s.count(":") == 1]
+    assert len(single_col) == len(PROFILE_COLUMNS), read_schemas
     assert_no_python(df)
 
 
