@@ -946,21 +946,32 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        neigh_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src").agg(F.min("label").alias("nl"))
+        # r9 optimization (guide §2.4): the step used to aggregate
+        # neighbor minima by src and LEFT-JOIN them back onto the label
+        # frame — an aggregate exchange plus a two-sided join exchange
+        # per round. Instead, union the raw (dst, neighbor-label) rows
+        # with the carried (id, label) state rows and fold both in ONE
+        # id-keyed aggregate (min ignores the state rows' NULL nl; max
+        # picks each node's unique previous label). Identical labels:
+        # min over longs commutes and every node appears exactly once
+        # in the state rows.
+        neigh_rows = edges.join(labels, edges.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("label").alias("nl")
         )
+        state_rows = labels.select("id", F.col("label").alias("prev"))
         # the step checkpoint is LAZY: the convergence count below is
         # the action that materializes it (one job per iteration, not
         # two), and the next iteration's double reference then reads
         # materialized blocks. The carried `changed` flag makes that
         # count a scan, not a join.
         stepped = (
-            labels.join(neigh_min, labels.id == neigh_min.src, "left")
+            neigh_rows.unionByName(state_rows, allowMissingColumns=True)
+            .groupBy("id")
+            .agg(F.min("nl").alias("nl"), F.max("prev").alias("prev"))
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label"),
-                (F.coalesce(F.col("nl"), F.col("label")) < F.col("label")).alias("changed"),
+                F.least(F.col("prev"), F.coalesce(F.col("nl"), F.col("prev"))).alias("label"),
+                (F.coalesce(F.col("nl"), F.col("prev")) < F.col("prev")).alias("changed"),
             )
             .localCheckpoint(eager=False)
         )

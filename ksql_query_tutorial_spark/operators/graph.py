@@ -15,9 +15,11 @@ and bit-reproducible in any BIGINT SQL engine via the same unrolled
 arithmetic. Mass leaked by the floor divisions is ≤ outdeg·1 micro-unit
 per node per round — bounded rounding, identical in both engines.
 
-Scale design: per iteration ONE join (ranks → edges on src, both sides
-hash-partitioned on the same key, so the partitioning is planned once
-and reused) and ONE dst-keyed aggregate with map-side partial sums.
+Scale design: per iteration ONE join (ranks → edges on src) and ONE
+id-keyed union-aggregate with map-side partial sums — the per-edge
+contribution stream is unioned with the node base rows and folded in a
+single exchange (r9: the former dst-keyed aggregate + left-join-back
+paid two more exchanges per round).
 Edge/degree tables are checkpointed eagerly ONCE (they are referenced
 every round; a lazy plan would recompute the pair-generation subtree
 per iteration); each iteration's result is a LAZY local checkpoint —
@@ -126,19 +128,31 @@ def pagerank_fixed_point(
     ).localCheckpoint()
 
     ranks = nodes
+    # r9 optimization (guide §2.4 — remove shuffles): the step used to
+    # aggregate contributions by dst and LEFT-JOIN them back onto the
+    # node frame — a dst-keyed exchange plus a two-sided join exchange
+    # per round. Instead, UNION the raw per-edge contributions with the
+    # node base rows and fold both in ONE id-keyed aggregate (map-side
+    # partials reduce the edge stream exactly as the old groupBy did;
+    # sum ignores the node rows' NULL c, max picks each node's unique
+    # outdeg/base). Two exchanges and a join collapse into one
+    # exchange per round; results are bit-identical (long sums commute,
+    # every node appears exactly once in the node rows).
+    node_rows = nodes.select(F.col("src").alias("id"), "outdeg", "base")
     for _ in range(iterations):
-        contribs = (
-            edges.join(
-                ranks.select("src", F.expr("pr div outdeg").alias("c")), "src"
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inc"))
-        )
+        contribs = edges.join(
+            ranks.select("src", F.expr("pr div outdeg").alias("c")), "src"
+        ).select(F.col("dst").alias("id"), "c")
         ranks = (
-            nodes.select("src", "outdeg", "base")
-            .join(contribs, nodes.src == contribs.dst, "left")
+            contribs.unionByName(node_rows, allowMissingColumns=True)
+            .groupBy("id")
+            .agg(
+                F.max("outdeg").alias("outdeg"),
+                F.max("base").alias("base"),
+                F.sum("c").alias("inc"),
+            )
             .select(
-                "src",
+                F.col("id").alias("src"),
                 "outdeg",
                 "base",
                 (
@@ -202,6 +216,17 @@ def label_propagation(
         .localCheckpoint()
     )
     lab = nodes.select("id", "__seed", F.col("__seed").alias("__lab"))
+    # r9 optimization (guide §2.4): the step used to argmax the votes
+    # per node and then run TWO id-keyed joins (nodes for the seed,
+    # previous lab for the fallback). Both joins fold into the argmax
+    # aggregate itself: union the (id, __nl, __c) vote rows with the
+    # carried (id, __seed, __prev) state rows and aggregate once per
+    # id — min(struct) ignores the state rows' NULL vote struct, max
+    # picks each node's unique seed/prev. Per round this replaces one
+    # aggregate exchange plus two join exchanges with ONE exchange;
+    # results identical (exact integer votes, the same
+    # (-count, label) total order, every node present in the state
+    # rows).
     for _ in range(iterations):
         votes = (
             edges.join(
@@ -213,26 +238,28 @@ def label_propagation(
             .groupBy(F.col("dst").alias("id"), "__nl")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        best = (
-            votes.groupBy("id")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("__c")).alias("nc"),
-                        F.col("__nl").alias("lab"),
-                    )
-                ).alias("__b")
-            )
-            .select("id", F.col("__b.lab").alias("__best"))
+        vote_rows = votes.select(
+            "id",
+            F.struct(
+                (-F.col("__c")).alias("nc"), F.col("__nl").alias("lab")
+            ).alias("__vs"),
+        )
+        state_rows = lab.select(
+            "id", "__seed", F.col("__lab").alias("__prev")
         )
         lab = (
-            nodes.join(best, "id", "left")
-            .join(lab.select("id", F.col("__lab").alias("__prev")), "id")
+            vote_rows.unionByName(state_rows, allowMissingColumns=True)
+            .groupBy("id")
+            .agg(
+                F.min("__vs").alias("__b"),
+                F.max("__seed").alias("__seed"),
+                F.max("__prev").alias("__prev"),
+            )
             .select(
                 "id",
                 "__seed",
                 F.coalesce(
-                    F.col("__seed"), F.col("__best"), F.col("__prev")
+                    F.col("__seed"), F.col("__b.lab"), F.col("__prev")
                 ).alias("__lab"),
             )
             .localCheckpoint(eager=False)
