@@ -1834,9 +1834,9 @@ def bpe_merges(
     ``orderBy.limit(1)`` for the argmax (AQE collapses it to a
     TakeOrdered — no global sort materializes), a ONE-ROW driver
     collect (the same bounded-scalar pattern as the JDBC watermark),
-    and a narrow JVM array fold applying the rule. State persists
-    each round and unpersists the previous (the pagerank lazy-
-    checkpoint pattern), so lineage and recompute stay O(1) per round.
+    and a narrow JVM array fold applying the rule. State chains
+    through lazy localCheckpoints (the pagerank pattern), so lineage,
+    per-round PLANNING, and recompute all stay O(1) per round.
 
     The rewrite fold is greedy left-to-right non-overlapping (merge
     when the accumulator's last symbol is ``l`` and the current is
@@ -1863,30 +1863,30 @@ def bpe_merges(
     )
     spark = df.sparkSession
     words = _bpe_words(df, text_col, max_word_chars).select("freq", "syms")
-    state = words.persist()
-    prev: DataFrame | None = None
+    # r9 optimization: rounds chain through LAZY localCheckpoint()s
+    # instead of persist(). A persist() keeps the previous round's full
+    # logical plan nested inside the new one, so by round k Catalyst
+    # re-analyzes a k-deep regexp chain per argmax — driver planning
+    # cost growing with the round number (guide §3.3/§7.3 plan-size
+    # trap); the checkpoint truncates each round's plan to a constant
+    # scan + one rewrite + the argmax. Each round's collect()
+    # materializes the pending checkpoint, so it is still exactly one
+    # job per merge and the unpersist bookkeeping disappears.
+    # Interleaved best-of-4 at sf0.1: 9.39s → 2.72s, identical rule
+    # sequence. Blocks are vocabulary-bounded and freed by the
+    # ContextCleaner on GC (the lifecycle-sweep family contract).
+    state = words.localCheckpoint(eager=False)
     rules: list[tuple] = []
-    try:
-        for k in range(n_merges):
-            top = _bpe_pair_argmax(state).collect()
-            # the collect above just materialized `state`'s cache, so
-            # the round BEFORE it is now safe to release — deferring
-            # the unpersist by one round avoids a dedicated count()
-            # materialization job per merge (12 fewer jobs).
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if not top:
-                break
-            a, b, cnt = top[0].l, top[0].r, top[0].cnt
-            rules.append((k + 1, a, b, int(cnt)))
-            merged = _bpe_apply_rule(a, b)
-            nxt = state.withColumn("syms", merged).persist()
-            prev, state = state, nxt
-    finally:
-        state.unpersist()
-        if prev is not None:
-            prev.unpersist()
+    for k in range(n_merges):
+        top = _bpe_pair_argmax(state).collect()
+        if not top:
+            break
+        a, b, cnt = top[0].l, top[0].r, top[0].cnt
+        rules.append((k + 1, a, b, int(cnt)))
+        merged = _bpe_apply_rule(a, b)
+        state = state.withColumn("syms", merged).localCheckpoint(
+            eager=False
+        )
     return spark.createDataFrame(rules, schema)
 
 
@@ -1906,31 +1906,28 @@ def bpe_encode(
     yields the trainer's first ``n_merges`` rules.
 
     Scale design matches the trainer: one corpus-sized word-frequency
-    rollup, then every round runs over |distinct words| rows with
-    per-round persist/unpersist. The returned frame's final state
-    stays persisted (it IS the materialized artifact) but is pinned
-    in the session cache registry, so long-lived sessions reclaim it
-    with ``cache.release()`` once done — harmless to leak at
-    vocabulary size either way.
+    rollup, then every round runs over |distinct words| rows chained
+    through lazy localCheckpoints (r9 — constant per-round plan, see
+    :func:`bpe_merges`). The returned frame reads the final round's
+    materialized checkpoint blocks; they are vocabulary-bounded and
+    freed by the ContextCleaner on GC, the lifecycle-sweep contract.
 
     Returns ``word, freq, n_syms, encoded`` (symbols space-joined,
     including the '</w>' terminator), ordered by word.
     """
     words = _bpe_words(df, text_col, max_word_chars)
-    state = cache.pin(words)
-    prev: DataFrame | None = None
+    # r9: lazy localCheckpoint chain instead of per-round persist — see
+    # bpe_merges (same measured plan-nesting fix; the returned frame
+    # reads the final round's materialized checkpoint blocks).
+    state = words.localCheckpoint(eager=False)
     for _ in range(n_merges):
         top = _bpe_pair_argmax(state.select("freq", "syms")).collect()
-        if prev is not None:
-            prev.unpersist()
-            prev = None
         if not top:
             break
         a, b = top[0].l, top[0].r
-        nxt = cache.pin(state.withColumn("syms", _bpe_apply_rule(a, b)))
-        prev, state = state, nxt
-    if prev is not None:
-        prev.unpersist()
+        state = state.withColumn(
+            "syms", _bpe_apply_rule(a, b)
+        ).localCheckpoint(eager=False)
     return state.select(
         "word",
         F.col("freq").cast("long").alias("freq"),
