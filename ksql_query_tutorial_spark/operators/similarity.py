@@ -1118,9 +1118,15 @@ def pca_top_component(
     v = c_full.select("i").distinct().select(
         F.col("i").alias("j"), F.lit(start).alias("v")
     )
+    # r9: broadcast v explicitly in every matvec join — v is
+    # dimension-bounded (≤ d rows at ANY corpus scale, the guide §3.1
+    # "broadcast the side that fits" case), but as a checkpointed
+    # ExistingRDD it has no size statistics, so the planner fell back
+    # to a SortMergeJoin with two full exchanges per iteration
+    # (plan-pinned in tests/test_plans.py).
     for _ in range(iterations):
         w = (
-            c_full.join(v, "j")
+            c_full.join(F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
         )
@@ -1130,12 +1136,12 @@ def pca_top_component(
         ).localCheckpoint(eager=False)
 
     w_final = (
-        c_full.join(v, "j")
+        c_full.join(F.broadcast(v), "j")
         .groupBy("i")
         .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
     )
     lam = (
-        w_final.join(v, w_final.i == v.j)
+        w_final.join(F.broadcast(v), w_final.i == v.j)
         .agg(F.sum(F.col("v") * F.col("w")).alias("lam"))
     )
     trace = cells.filter(F.col("i") == F.col("j")).agg(

@@ -1145,6 +1145,11 @@ def test_pca_power_single_corpus_pass(spark):
     assert "embeddings.parquet" not in plan, plan
     assert "MapInPandas" not in plan, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    # r9: the matvec joins broadcast the dimension-bounded v side
+    # explicitly (a checkpointed frame has no size stats, so the
+    # planner used to fall back to SortMergeJoin with two exchanges
+    # per iteration)
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_pca_project_jvm_dot_product(spark):
