@@ -633,12 +633,15 @@ def community_modularity(
     terms, whose addition order differs between engines:
     ``Q = Σe_c/m − Σd_c²/(4m²)`` in one fixed-shape expression.
 
-    Scale design: the labeled edge list is pinned once (three
-    consumers: the m rollup, the endpoint-label degree rollup, the
-    intra-community filter); every aggregate is a keyed rollup with
-    map-side partials over edge-sized or |communities|-sized frames;
-    the single-row totals ride in via broadcast cross joins. No
-    windows, no all-pairs anything.
+    Scale design (r9): ONE endpoint-explode rollup over the labeled
+    edge list feeds degree_sum, internal_edges, AND the one-row totals
+    (the pre-r9 shape ran four separate aggregates over a pinned edge
+    frame — three edge-sized passes and a pin materialization more);
+    every aggregate is a keyed rollup with map-side partials over
+    edge-sized or |communities|-sized frames; the single-row totals
+    ride in via a broadcast cross join. The edge list now has exactly
+    one consumer, so it is no longer pinned. No windows, no all-pairs
+    anything.
 
     Returns ``label, n_nodes, internal_edges, degree_sum, q_term,
     q_total`` (doubles rounded 6; q_total identical on every row),
@@ -646,44 +649,50 @@ def community_modularity(
     """
     und = _as_edge_cols(pairs) if normalized else _normalized_edges(pairs)
     lab = labels.filter(F.col("label").isNotNull()).select("id", "label")
-    le = cache.pin(
-        und.join(
-            lab.select(F.col("id").alias("a"), F.col("label").alias("__la")),
-            "a",
-        ).join(
-            lab.select(F.col("id").alias("b"), F.col("label").alias("__lb")),
-            "b",
+    # single consumer since the r9 one-rollup rewrite — no pin needed
+    le = und.join(
+        lab.select(F.col("id").alias("a"), F.col("label").alias("__la")),
+        "a",
+    ).join(
+        lab.select(F.col("id").alias("b"), F.col("label").alias("__lb")),
+        "b",
+    )
+    # r9 optimization (guide §2.4): degree_sum, internal_edges, and the
+    # m/Σe totals used to be FOUR separate aggregates over the pinned
+    # labeled-edge frame (each its own exchange + AQE job). One
+    # endpoint-explode rollup now feeds them all: every edge emits its
+    # two endpoint labels with an is-intra marker, so per label
+    # degree_sum = count(rows) and internal_edges = sum(marker) div 2
+    # (an intra edge contributes exactly two marked rows — the halved
+    # sum is exact), and the one-row totals (__m = Σdegree_sum div 2,
+    # __te = Σinternal, __td2 = Σdegree_sum²) are a second aggregate
+    # over the |labels|-row rollup instead of a second pass over the
+    # edges. Exact integers throughout, identical outputs.
+    per_label = (
+        le.select(
+            F.explode(F.array("__la", "__lb")).alias("label"),
+            F.when(F.col("__la") == F.col("__lb"), 1)
+            .otherwise(0).alias("__i"),
         )
-    )
-    degsum = (
-        le.select(F.explode(F.array("__la", "__lb")).alias("label"))
         .groupBy("label")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
-    )
-    intra = (
-        le.filter(F.col("__la") == F.col("__lb"))
-        .groupBy(F.col("__la").alias("label"))
-        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("degree_sum"),
+            F.expr("sum(__i) div 2").cast("long").alias("internal_edges"),
+        )
     )
     nn = lab.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
     dec = "decimal(38,0)"
-    totals = le.agg(
-        F.count(F.lit(1)).cast("long").alias("__m"),
-        F.sum(
-            F.when(F.col("__la") == F.col("__lb"), 1).otherwise(0)
-        ).cast("long").alias("__te"),
-    )
-    td2 = degsum.agg(
+    totals = per_label.agg(
+        F.expr("sum(degree_sum) div 2").cast("long").alias("__m"),
+        F.sum("internal_edges").cast("long").alias("__te"),
         F.sum((F.col("degree_sum").cast(dec))
-              * (F.col("degree_sum").cast(dec))).alias("__td2")
+              * (F.col("degree_sum").cast(dec))).alias("__td2"),
     )
     joined = (
-        nn.join(intra, "label", "left")
-        .join(degsum, "label", "left")
+        nn.join(per_label, "label", "left")
         .crossJoin(F.broadcast(totals))
-        .crossJoin(F.broadcast(td2))
     )
     e_c = F.coalesce(F.col("internal_edges"), F.lit(0)).cast("long")
     d_c = F.coalesce(F.col("degree_sum"), F.lit(0)).cast("long")

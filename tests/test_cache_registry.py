@@ -45,7 +45,10 @@ PERSIST_ONLY_SWEEP = [
     "corpus_cms_counts",
     "corpus_lm_score",
     "corpus_kn_bigram",
-    "corpus_bpe_encode",
+    # corpus_bpe_encode moved to the checkpoint-lifecycle sweep in r9:
+    # its rounds chain through lazy localCheckpoints now (the former
+    # per-round cache.pin was the plan-nesting cost the r9 optimization
+    # removed).
     "embedding_kmeans",
 ]
 

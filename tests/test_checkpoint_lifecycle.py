@@ -46,6 +46,10 @@ CHECKPOINT_SWEEP = [
     "embedding_assign_skew",
     "dedup_clusters",
     "sample_importance",
+    # r9: the BPE trainer/encoder rounds chain through lazy
+    # localCheckpoints (formerly per-round persists in the registry)
+    "corpus_bpe_merges",
+    "corpus_bpe_encode",
     # NOT range_orders_90d / asof queries: range_join checkpoints only
     # on how="left" (the __lid-correlation materialization), and every
     # declared query drives the inner path — nothing to reclaim.
