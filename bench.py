@@ -248,9 +248,67 @@ def main() -> None:
     # The driver records only the LAST 2KB of stdout; with 200+ queries
     # the full per-query dict above exceeds that, so its single line
     # gets decapitated and parses as nothing (BENCH_r05.json
-    # "parsed": null — VERDICT r5 #5). Emit a compact, guaranteed-
-    # sub-2KB summary line LAST so the tail always contains one
-    # parseable record: totals plus the 10 slowest queries.
+    # "parsed": null — VERDICT r5 #5).
+    #
+    # VERDICT r9 #2b (measurement-visibility fix, not a methodology
+    # change — the timed numbers above are untouched): additionally
+    # emit the per-query map as MANY self-contained sub-700-byte
+    # "per_query_chunk" JSON lines, sorted by query name, immediately
+    # before the final compact summary. Rationale: a 2KB tail can only
+    # ever hold ~45 per-query entries, so chunking cannot make ALL of
+    # them survive — but sorted order makes the SAME trailing ~45
+    # queries survive in every round, giving any tail-reading comparer
+    # a stable common subset instead of one decapitated unparseable
+    # line. The full map is also written to bench_logs/bench_latest.json
+    # (documented file artifact; overwritten per run) for anything that
+    # can read files.
+    try:
+        _logdir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_logs"
+        )
+        os.makedirs(_logdir, exist_ok=True)
+        with open(os.path.join(_logdir, "bench_latest.json"), "w") as fh:
+            json.dump(
+                {
+                    "metric": "total_query_wall_clock",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "sf": sf_val,
+                    "cpus": cpus,
+                    "calibration": cal,
+                    "noisy": noisy,
+                },
+                fh,
+            )
+    except OSError as exc:  # pragma: no cover - read-only checkout etc.
+        print(f"# bench_latest.json not written: {exc!r}", file=sys.stderr)
+
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for name in sorted(timings):
+        chunk[name] = timings[name]
+        # ~25 bytes/entry: 24 entries keeps every line well under 700B
+        if len(chunk) == 24:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, c in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_chunk",
+                    "part": i + 1,
+                    "of": len(chunks),
+                    "queries": c,
+                }
+            )
+        )
+
+    # Emit a compact, guaranteed-sub-2KB summary line LAST so the tail
+    # always contains one parseable record: totals plus the 10 slowest
+    # queries.
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )

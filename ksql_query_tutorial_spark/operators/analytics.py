@@ -770,8 +770,17 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
     min / max are rendered to strings per type (doubles via
     ``%.6f``, timestamps as ``yyyy-MM-dd HH:mm:ss``) so the output
     schema is uniform and engine-portable.
+
+    Input-shape assumption (ADVICE r9): the per-column branches each
+    re-execute ``df``'s upstream plan, so the I/O-parity argument holds
+    when ``df`` is a bare (pruned) columnar scan — the profile_orders
+    case and the normal use of a snapshot profiler. For a DERIVED input
+    (joins/filters/UDF stages) the caller should persist ``df`` first,
+    or the upstream compute runs |cols| times.
     """
     cols = cols or df.columns
+    if not cols:
+        raise ValueError("column_profile needs at least one column")
     distinct = (
         (lambda c: F.countDistinct(F.col(c))) if exact_distinct
         else (lambda c: F.approx_count_distinct(F.col(c)))

@@ -313,21 +313,31 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
     lo_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = cache.pin(
+    # single consumer since the r10 explode rewrite below — no pin
+    oriented = (
         und.join(da, "a").join(db, "b")
         .select(
             F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
-    # pin the out-adjacency rollup: BOTH array-attach joins consume it
-    # (nx and ny), and without the pin the collect_list aggregate over
-    # the full edge list runs once per broadcast build (r8, measured)
+    # pin the out-adjacency rollup: the edge-with-nx frame AND the ny
+    # attach both consume it, and without the pin the collect_list
+    # aggregate over the full edge list runs once per build (r8,
+    # measured)
     adj = cache.pin(
         oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     )
-    withx = oriented.join(
-        adj.select(F.col("src"), F.col("nbrs").alias("nx")), "src"
+    # r10 (guide §2.4, VERDICT r9 #1): the (src, dst, N⁺(src)) frame
+    # used to be oriented ⋈ adj on src — a second |E|-row join (and a
+    # pin of `oriented` to feed it). But adj IS the oriented edge list
+    # grouped by src, so exploding nbrs back out reproduces the exact
+    # edge multiset (oriented edges are distinct — `und` is a distinct
+    # simple-graph list and the orientation is a bijection on edges)
+    # with nx already attached: one join and one |E|-row pin
+    # materialization removed from the triangle core.
+    withx = adj.select(
+        "src", F.explode("nbrs").alias("dst"), F.col("nbrs").alias("nx")
     )
     withy = withx.join(
         adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("ny")),
@@ -668,7 +678,13 @@ def community_modularity(
     # __te = Σinternal, __td2 = Σdegree_sum²) are a second aggregate
     # over the |labels|-row rollup instead of a second pass over the
     # edges. Exact integers throughout, identical outputs.
-    per_label = (
+    # pin the |labels|-row rollup (ADVICE r9): BOTH the totals aggregate
+    # and the output join consume per_label, and without the pin the
+    # edge-sized join+explode subtree under it executes twice per run
+    # (the r9 plan dump showed the subtree physically duplicated with no
+    # ReusedExchange). The pinned frame is |communities|-bounded — the
+    # cheapest possible cache — while the subtree it guards is edge-sized.
+    per_label = cache.pin(
         le.select(
             F.explode(F.array("__la", "__lb")).alias("label"),
             F.when(F.col("__la") == F.col("__lb"), 1)

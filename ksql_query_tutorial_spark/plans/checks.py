@@ -115,6 +115,68 @@ def count_physical_nodes(df: DataFrame, node_name: str) -> int:
     return walk(df._jdf.queryExecution().executedPlan())
 
 
+#: physical nodes that provably bound the row count flowing into any
+#: operator above them: grouped aggregates emit |groups| rows (the
+#: bounded-cells argument every global-window site relies on) and
+#: limit-family nodes emit <= k rows.
+_BOUNDING_NODES = (
+    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+    "TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit",
+)
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Return a description of every ``Window`` node with NO partition
+    spec whose subtree contains no aggregate/limit node — i.e. a
+    single-task global window over potentially CORPUS-SIZED input, the
+    one WindowExec shape that serializes a 100 TB query (VERDICT r9
+    #5). Global windows over grouped aggregates (bounded cells: bins,
+    nations, blocks, top-k frames) are the deliberate, audited pattern
+    and pass. Walks the tree via py4j (robust to formatter changes),
+    descending into AQE wrappers and cached relations.
+    """
+    offenders: list[str] = []
+
+    def bounded_below(jnode) -> bool:
+        name = jnode.nodeName()
+        if any(name.startswith(b) for b in _BOUNDING_NODES):
+            return True
+        if name == "AdaptiveSparkPlan":
+            return bounded_below(jnode.executedPlan())
+        if name == "InMemoryTableScan":
+            try:
+                return bounded_below(jnode.relation().cachedPlan())
+            except Exception:
+                return False
+        kids = jnode.children()
+        # every input branch must be bounded for the window input to be
+        for i in range(kids.size()):
+            if not bounded_below(kids.apply(i)):
+                return False
+        return kids.size() > 0
+
+    def walk(jnode) -> None:
+        name = jnode.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(jnode.executedPlan())
+            return
+        if name == "InMemoryTableScan":
+            try:
+                walk(jnode.relation().cachedPlan())
+            except Exception:
+                pass
+            return
+        if name == "Window" and jnode.partitionSpec().isEmpty():
+            if not bounded_below(jnode):
+                offenders.append(jnode.simpleString(200))
+        kids = jnode.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return offenders
+
+
 def count_parquet_scans(df: DataFrame, path_fragment: str | None = None) -> int:
     """Structurally count parquet scan LEAVES in the executed plan,
     optionally only those whose one-line description (which carries the

@@ -101,6 +101,15 @@ def test_sweep_names_exist():
     assert not missing, missing
 
 
+# Families whose RETURNED frame holds no reference to the loop's
+# checkpointed RDDs (ADVICE r9: bpe_merges returns a driver-local
+# createDataFrame, so its checkpoint blocks become ContextCleaner-
+# eligible the moment the query function returns — the "blocks exist
+# while referenced" assert would race the async cleaner). For these the
+# sweep only proves the reclaim half of the contract.
+RESULT_HOLDS_NO_CHECKPOINT_REF = {"corpus_bpe_merges"}
+
+
 def _run_cycle(spark, name) -> set[int]:
     """One full create → drop → reclaim cycle; returns surviving ids."""
     cache.release()
@@ -110,11 +119,12 @@ def _run_cycle(spark, name) -> set[int]:
 
     df = QUERIES[name](spark, SF_SMOKE)
     df.count()
-    during = _persistent_rdd_ids(spark) - before
-    # the family is checkpoint-backed: blocks exist while referenced
-    assert during, (
-        f"{name} checkpointed nothing — if it no longer uses "
-        f"localCheckpoint, move it to the cache-registry sweep")
+    if name not in RESULT_HOLDS_NO_CHECKPOINT_REF:
+        during = _persistent_rdd_ids(spark) - before
+        # the family is checkpoint-backed: blocks exist while referenced
+        assert during, (
+            f"{name} checkpointed nothing — if it no longer uses "
+            f"localCheckpoint, move it to the cache-registry sweep")
 
     del df
     cache.release()  # some families ALSO pin via the registry

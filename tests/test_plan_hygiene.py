@@ -107,6 +107,28 @@ def test_no_nonbroadcast_cartesian_anywhere(all_plans):
     assert not offenders, f"non-broadcast cartesian joins in: {offenders}"
 
 
+def test_global_windows_only_over_bounded_frames(spark):
+    """VERDICT r9 #5: a ``Window`` with no partition spec moves ALL its
+    input through one task — fine over a bounded frame (a grouped
+    rollup's cells, a top-k limit), a serialization point at 100 TB
+    over anything corpus-sized. Audit result (r10): every global-window
+    site in the repo sits above an aggregate or limit; this gate keeps
+    it that way structurally, for every declared query."""
+    import __spark_entry__ as em
+
+    from ksql_query_tutorial_spark.plans.checks import (
+        unbounded_global_windows,
+    )
+
+    bad = {}
+    for name, fn in em.queries().items():
+        offenders = unbounded_global_windows(fn(spark, SF))
+        if offenders:
+            bad[name] = offenders
+        spark.catalog.clearCache()
+    assert not bad, f"global windows over unbounded input: {bad}"
+
+
 def test_arrow_python_only_where_semantics_need_it(all_plans):
     bad = {}
     for name, plan in all_plans.items():
