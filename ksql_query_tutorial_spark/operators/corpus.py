@@ -2518,21 +2518,27 @@ def kn_bigram(
     Returns ``w1, w2, c12, p_kn`` (rounded 6) for bigrams with
     ``c12 >= min_count``.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    pos_toks = (
-        df.repartition(par, F.col(id_col))
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
-        )
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    pairs = (
-        pos_toks.select(
-            F.col("tok").alias("w1"), F.lead("tok", 1).over(w).alias("w2")
-        )
-        .filter(F.col("w2").isNotNull())
-    )
+    # r10 (guide §2.4, VERDICT r9 #6): adjacent-pair generation used to
+    # posexplode the token array and re-pair it with a lead window —
+    # which cost a full id-keyed repartition PLUS a per-doc sort, only
+    # to reconstruct adjacency the array already encodes. Zipping the
+    # array against its own 1-shifted slice (the BPE trainer's pattern,
+    # and literally the oracle's list_transform) emits the identical
+    # bigram multiset with ZERO exchanges before the count rollup:
+    # a size<2 array slices to [] and explodes to nothing, exactly the
+    # lead filter's behavior. Measured at sf0.1: 15 → 14 jobs (the
+    # repartition exchange and the per-doc window sort disappear from
+    # the corpus-sized segment), interleaved best-of-4 2.70s → 2.32s
+    # with the new side winning every paired rep; identical output.
+    pairs = df.select(tokens(F.col(text_col)).alias("__t")).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, size(__t) - 1), "
+                "slice(__t, 2, size(__t) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
     big = cache.pin(
         pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     )
@@ -2627,7 +2633,14 @@ def dsir_importance(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     # fold once per distinct token (vocabulary-bounded), not per
-    # (doc, token) pair — see the measured A/B in the docstring
+    # (doc, token) pair — see the measured A/B in the docstring.
+    # r10 note: dropping this pre-aggregation and joining the RAW
+    # token stream to the broadcast vocabulary (straight to a
+    # (doc, bucket) rollup — one corpus exchange fewer on paper) was
+    # implemented and interleave-measured: it LOST every paired rep
+    # (best-of-4 2.72s → 3.93s at sf0.1) — probing the vocabulary hash
+    # table and feeding the partial aggregate with the full 6M-token
+    # stream costs more than the (doc, tok) pre-collapse saves. Kept.
     vocab = tc.select("tok").distinct().select(
         "tok",
         portable_token_hash(F.col("tok"))

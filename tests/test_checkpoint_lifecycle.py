@@ -30,6 +30,10 @@ import __spark_entry__ as entrymod
 from ksql_query_tutorial_spark import cache
 from tests.conftest import SF_SMOKE
 
+# Multi-minute sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+pytestmark = pytest.mark.slow
+
 QUERIES = entrymod.queries()
 
 # One representative per localCheckpoint-backed family excluded from

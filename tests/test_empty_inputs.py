@@ -18,6 +18,10 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+# All-240-query sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+pytestmark = pytest.mark.slow
+
 QUERIES = entrymod.queries()
 
 # Ops whose CONTRACT requires non-empty input (they raise a clear

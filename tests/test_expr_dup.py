@@ -32,6 +32,10 @@ import pytest
 import __spark_entry__ as entrymod
 from tools.expr_dup_audit import FREE_LIMIT, HEAVY_HEADS, PIN_SF, PINS_PATH
 
+# All-240-query sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+pytestmark = pytest.mark.slow
+
 QUERIES = entrymod.queries()
 
 with open(PINS_PATH) as _f:

@@ -21,6 +21,10 @@ from ksql_query_tutorial_spark.operators import dedup, multimodal
 from ksql_query_tutorial_spark.tables import load
 from tests.conftest import SF_ORACLE, SF_SMOKE
 
+# Multi-minute sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+pytestmark = pytest.mark.slow
+
 
 def test_minhash_lsh_is_high_recall_subset_of_exact(spark):
     exact = {

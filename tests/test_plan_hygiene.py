@@ -34,6 +34,10 @@ import pytest
 
 from ksql_query_tutorial_spark.plans.checks import formatted_plan
 
+# Multi-minute sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+pytestmark = pytest.mark.slow
+
 SF = "/root/testdata/sf0.001"
 
 # Queries allowed to carry each Arrow-Python stage kind (discovered by

@@ -15,6 +15,12 @@ from pyspark.sql import types as T
 from ksql_query_tutorial_spark.operators.upsert import latest_by_key
 from ksql_query_tutorial_spark.streaming import replay as R
 
+# Multi-minute sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+import pytest
+
+pytestmark = pytest.mark.slow
+
 EVENT = st.fixed_dictionaries(
     {
         "id": st.sampled_from(["1", "2", "3"]),

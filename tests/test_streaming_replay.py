@@ -14,6 +14,10 @@ from ksql_query_tutorial_spark.functions.serde import encode_kv
 from ksql_query_tutorial_spark.operators.upsert import latest_by_key
 from ksql_query_tutorial_spark.streaming import replay as R
 
+# Multi-minute sweep: excluded from the driver-facing default run
+# (pytest.ini addopts); run with -m slow / -m "".
+pytestmark = pytest.mark.slow
+
 
 def players_df(spark):
     return spark.createDataFrame(
